@@ -1,0 +1,190 @@
+package graft
+
+import graft.gen.{ChangeGen, GenConfig}
+import graft.ingest.BatchReplay
+import graft.lake.LakeTable
+import graft.merge.{Meta, MergeInto}
+import graft.schema.SchemaRegistry
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden replay tests: the engine's final table state must equal an
+  * independent (non-Spark) fold of the change log, row by row, including
+  * sha256(content) — the verified invariant. Mirrors the reference's
+  * golden-fixture strategy (src/places/place_index.rs:455-501). */
+class ReplaySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def stateOf(table: LakeTable): Map[(String, String), (Long, String, String, String)] = {
+    table.read()
+      .select("repo", "path", "lsn", "commit", "lang", "content")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getString(3), r.getString(4), r.getString(5))))
+      .toMap
+  }
+
+  private def expectedOf(cfg: GenConfig): Map[(String, String), (Long, String, String, String)] =
+    ChangeGen.expectedState(cfg).map { case (k, e) =>
+      k -> ((e.lsn, e.commit, e.lang, e.content))
+    }
+
+  test("batch replay matches the independent fold, including sha256") {
+    val cfg = GenConfig(nEvents = 3000L, nRepos = 20, pathsPerRepo = 25)
+    val work = TestSpark.tmpDir("replay")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 5, partitions = 4)
+    val table = new LakeTable(spark, s"$work/table")
+    val stats = BatchReplay.replay(spark, s"$work/log", table, numBuckets = 8)
+
+    assert(stats.size == 5)
+    assert(stats.forall(!_.skipped))
+
+    val got = stateOf(table)
+    val want = expectedOf(cfg)
+    assert(got.keySet == want.keySet, "key sets differ")
+    got.foreach { case (k, v) => assert(v == want(k), s"row mismatch at $k") }
+
+    // the sha256(content) invariant, engine-side vs locally computed
+    val shaGot = table.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    want.foreach { case (k, (_, _, _, content)) =>
+      assert(shaGot(k) == ChangeGen.sha256Hex(content), s"sha mismatch at $k")
+    }
+  }
+
+  test("re-delivering a committed epoch is a no-op (exactly-once)") {
+    val cfg = GenConfig(nEvents = 800L)
+    val work = TestSpark.tmpDir("idem")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 2, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table")
+    BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4)
+    val before = stateOf(table)
+    val versionBefore = table.currentSnapshot().get.version
+
+    // re-deliver epoch 1 verbatim
+    val merge = new MergeInto(table, numBuckets = 4)
+    val redo = merge.apply(spark.read.parquet(s"$work/log/batch-00001"), 1L)
+    assert(redo.skipped, "committed epoch must be skipped")
+    assert(table.currentSnapshot().get.version == versionBefore)
+    assert(stateOf(table) == before)
+  }
+
+  test("resume: partial replay then full replay equals one-shot replay") {
+    val cfg = GenConfig(nEvents = 1500L)
+    val work = TestSpark.tmpDir("resume")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 6, partitions = 2)
+
+    // interrupted run: only first 3 batches visible, then "crash"
+    val t1 = new LakeTable(spark, s"$work/t1")
+    val merge1 = new MergeInto(t1, numBuckets = 4)
+    BatchReplay.listBatches(spark, s"$work/log").take(3).foreach { case (e, d) =>
+      merge1.apply(spark.read.parquet(d), e)
+    }
+    // restart: replay the whole log — committed epochs skip, rest apply
+    val stats = BatchReplay.replay(spark, s"$work/log", t1, numBuckets = 4)
+    assert(stats.count(_.skipped) == 3)
+
+    assert(stateOf(t1) == expectedOf(cfg))
+  }
+
+  test("late duplicate of an upsert cannot resurrect a deleted key") {
+    import spark.implicits._
+    import graft.schema.ChangeEvent
+    val work = TestSpark.tmpDir("tomb")
+    val table = new LakeTable(spark, s"$work/table")
+    val merge = new MergeInto(table, numBuckets = 4, recordMeta = false)
+    def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000)
+    val up = ChangeEvent(10L, "U", ts(10), "r1", "a.txt", "c" * 40, "scala", "hello")
+    val del = ChangeEvent(20L, "D", ts(20), "r1", "a.txt", "d" * 40, "scala", null)
+    merge.apply(Seq(up).toDF(), 0L)
+    merge.apply(Seq(del).toDF(), 1L)
+    assert(table.read().where($"repo" === "r1").count() == 0)
+    // duplicate of lsn 10 redelivered in a NEW epoch — must stay deleted
+    merge.apply(Seq(up).toDF(), 2L)
+    assert(table.read().where($"repo" === "r1").count() == 0,
+      "tombstone must win the lsn argmax over a redelivered older upsert")
+  }
+
+  test("schema evolution: v2 adds a column; v1 writers still work") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("evo")
+    val table = new LakeTable(spark, s"$work/table")
+    val merge = new MergeInto(table, numBuckets = 4, recordMeta = false)
+    def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000)
+
+    // epoch 0: v1 events
+    val v1 = Seq(
+      graft.schema.ChangeEvent(1L, "I", ts(1), "r1", "a.txt", "a" * 40, "scala", "one"),
+      graft.schema.ChangeEvent(2L, "I", ts(2), "r2", "b.txt", "b" * 40, "rust", "two"))
+    merge.apply(v1.toDF(), 0L)
+    assert(table.currentSnapshot().get.schemaVersion == 1)
+
+    // epoch 1: v2 events carry `branch`
+    val v2 = Seq(
+      (3L, "U", ts(3), "r1", "a.txt", "e" * 40, "scala", "one-v2", "main"))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content", "branch")
+    merge.apply(v2, 1L)
+    val snap = table.currentSnapshot().get
+    assert(snap.schemaVersion == 2)
+    assert(snap.schema.fieldNames.contains("branch"))
+
+    val rows = table.read().orderBy("repo").collect()
+    assert(rows.length == 2)
+    val r1 = rows.find(_.getString(rows.head.fieldIndex("repo")) == "r1").get
+    assert(r1.getAs[String]("content") == "one-v2")
+    assert(r1.getAs[String]("branch") == "main")
+    val r2 = rows.find(_.getAs[String]("repo") == "r2").get
+    assert(r2.getAs[String]("branch") == null, "old rows read as null for new column")
+
+    // epoch 2: a v1 writer (no branch column) updates r2 — still legal
+    val v1again = Seq(
+      graft.schema.ChangeEvent(4L, "U", ts(4), "r2", "b.txt", "f" * 40, "rust", "two-v2"))
+    merge.apply(v1again.toDF(), 2L)
+    val r2b = table.read().where($"repo" === "r2").collect().head
+    assert(r2b.getAs[String]("content") == "two-v2")
+    assert(r2b.getAs[String]("branch") == null)
+    assert(table.currentSnapshot().get.schema.fieldNames.contains("branch"))
+  }
+
+  test("lineage and metrics tables are recorded per epoch") {
+    val cfg = GenConfig(nEvents = 500L)
+    val work = TestSpark.tmpDir("meta")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 2, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table")
+    BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4, recordMeta = true)
+    val m = Meta.metrics(table).collect()
+    assert(m.length == 2)
+    val lin = Meta.lineage(table)
+    assert(lin.count() > 0)
+    assert(lin.columns.toSet ==
+      Set("bucket", "n_keys", "min_lsn", "max_lsn", "version", "epoch"))
+  }
+
+  test("schema registry: widen ok, narrow/illegal rejected") {
+    import org.apache.spark.sql.types._
+    val v1 = SchemaRegistry.eventSchemaV1
+    val v2 = SchemaRegistry.eventSchemaV2
+    val e = SchemaRegistry.evolve(v1, v2)
+    assert(e.fieldNames.contains("branch"))
+    // v1 into v2 table: no change
+    assert(SchemaRegistry.evolve(e, v1) == e)
+    // widen int->long
+    val a = StructType(Seq(StructField("x", IntegerType)))
+    val b = StructType(Seq(StructField("x", LongType)))
+    assert(SchemaRegistry.evolve(a, b).head.dataType == LongType)
+    // incompatible type change rejected
+    val c = StructType(Seq(StructField("x", StringType)))
+    intercept[IllegalArgumentException](SchemaRegistry.evolve(a, c))
+    // new non-nullable column rejected
+    val d = StructType(Seq(StructField("x", IntegerType), StructField("y", StringType, nullable = false)))
+    intercept[IllegalArgumentException](SchemaRegistry.evolve(a, d))
+  }
+
+  test("snapshot serde roundtrip") {
+    import graft.lake.{FileEntry, Snapshot}
+    val s = Snapshot(7L, 2, SchemaRegistry.eventSchemaV2, 16, Set(1L, 5L),
+      Seq(FileEntry(0, "data/v7/b=0/x.parquet"), FileEntry(3, "data/v7/b=3/y.parquet")))
+    assert(Snapshot.deserialize(Snapshot.serialize(s)) == s)
+  }
+}
