@@ -1,0 +1,201 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic, self-contained hashing kernels backing graft's custom
+  * Catalyst expressions (see exprs.scala). All functions are pure
+  * (seed, bytes) → value, so results are identical at any parallelism and
+  * across JVMs — required because these hashes define dedup/LSH bucket
+  * identity in distributed runs.
+  *
+  * These are called from generated code (whole-stage codegen emits static
+  * calls into this object), so every entry point takes/returns catalyst
+  * runtime types (ArrayData, UTF8String) without boxing per element.
+  */
+object Hashing {
+
+  /** splitmix64 finalizer (public-domain mixing function). */
+  def mix64(v: Long): Long = {
+    var x = v + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a 64 over raw bytes, then splitmix-finalized: a fast, stable
+    * 64-bit string hash with good avalanche for bucket assignment. */
+  def hashBytes(bytes: Array[Byte], offset: Int, len: Int, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = offset
+    val end = offset + len
+    while (i < end) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  def hashUtf8(s: UTF8String, seed: Long): Long = {
+    val b = s.getBytes
+    hashBytes(b, 0, b.length, seed)
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** 64-bit SimHash of a token array: each token votes ±1 per bit of its
+    * hash; the sign of each bit-sum becomes the output bit. Documents
+    * differing in a few tokens land at small Hamming distance. */
+  def simhash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hashUtf8(tokens.getUTF8String(i), 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash
+  // -------------------------------------------------------------------
+
+  /** k-permutation MinHash signature of a string-set in ONE pass over the
+    * input (k min-accumulators updated per element), vs. k full scans if
+    * composed from built-in `transform`+`array_min`. Empty input yields
+    * sentinel Long.MaxValue entries (no shingle ever hashes to it in
+    * practice, so empty sets only band-collide with empty sets). */
+  def minhash(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val base = hashUtf8(shingles.getUTF8String(i), seed)
+        var j = 0
+        while (j < k) {
+          // j-th "permutation" = splitmix re-mix of the base hash; cheap
+          // and independent-enough for banding (standard one-hash trick).
+          val h = mix64(base ^ (j * 0xff51afd7ed558ccdL))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  // -------------------------------------------------------------------
+  // Winnowing fingerprint (rolling hash)
+  // -------------------------------------------------------------------
+
+  /** Winnowed document fingerprint: Rabin–Karp rolling hash over char
+    * n-grams, then the standard winnowing selection (min hash of each
+    * window of `w` consecutive n-grams, recorded once per run), returned
+    * sorted+distinct. Robust to small local edits; used for document
+    * fingerprint dedup/provenance. */
+  def winnow(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = len - n + 1 // number of n-grams
+    val hashes = new Array[Long](m)
+    val B = 1000003L
+    // precompute B^(n-1) for the rolling update
+    var pow = 1L
+    var p = 0
+    while (p < n - 1) { pow *= B; p += 1 }
+    var h = 0L
+    var i = 0
+    while (i < n) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = mix64(h)
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + n - 1)
+      hashes(i) = mix64(h)
+      i += 1
+    }
+    // winnow: min of each window of w (ties → rightmost), dedup runs
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var min = hashes(0)
+      i = 1
+      while (i < m) { if (hashes(i) <= min) min = hashes(i); i += 1 }
+      sel.add(min)
+    } else {
+      var start = 0
+      var lastPick = -1
+      while (start + w <= m) {
+        var minIdx = start
+        i = start + 1
+        while (i < start + w) { if (hashes(i) <= hashes(minIdx)) minIdx = i; i += 1 }
+        if (minIdx != lastPick) { sel.add(hashes(minIdx)); lastPick = minIdx }
+        start += 1
+      }
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  // -------------------------------------------------------------------
+  // Vector kernels (float embeddings)
+  // -------------------------------------------------------------------
+
+  /** Cosine similarity over float arrays, accumulated in double in index
+    * order (bit-stable and matching a sequential SQL re-computation).
+    * Returns 0 when either norm is 0. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH bucket: `nbits` signed projections against
+    * Rademacher (±1) planes derived deterministically from (seed, bit,
+    * dim) — no stored plane matrix, any worker regenerates identically. */
+  def hyperplaneBucket(v: ArrayData, nbits: Int, seed: Long): Int = {
+    val n = v.numElements()
+    var bucket = 0
+    var b = 0
+    while (b < nbits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = if ((mix64(seed ^ (b.toLong << 32) ^ i) & 1L) == 1L) 1.0 else -1.0
+        s += sign * v.getFloat(i)
+        i += 1
+      }
+      if (s > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+}

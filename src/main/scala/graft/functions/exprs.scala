@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the operators Spark's built-ins can't
+  * express efficiently (SURVEY.md §7.3): each implements both `eval` and
+  * `doGenCode` (a static call into [[Hashing]]) so they stay inside
+  * whole-stage codegen instead of falling back to interpreted UDF rows.
+  *
+  * Everything here is deterministic and foldable-safe: same input → same
+  * output on every worker, which is what makes LSH/minhash bucket joins
+  * correct in a distributed run.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<string>, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(arr: Any): Any =
+    Hashing.simhash(arr.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+case class MinHashSig(child: Expression, k: Int, seed: Long) extends UnaryExpression {
+  require(k > 0 && k <= 512, s"minhash k out of range: $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash requires array<string>, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(arr: Any): Any =
+    Hashing.minhash(arr.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.minhash($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class WinnowFingerprint(child: Expression, n: Int, w: Int) extends UnaryExpression {
+  require(n > 0 && w > 0, s"winnow params out of range: n=$n w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprint requires string, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(s: Any): Any =
+    Hashing.winnow(s.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.winnow($c, $n, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires (array<float>, array<float>), got (${l.simpleString}, ${r.simpleString})")
+    }
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+case class HyperplaneBucket(child: Expression, nbits: Int, seed: Long) extends UnaryExpression {
+  require(nbits > 0 && nbits <= 30, s"nbits out of range: $nbits")
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(FloatType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_bucket requires array<float>, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(v: Any): Any =
+    Hashing.hyperplaneBucket(v.asInstanceOf[ArrayData], nbits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.hyperplaneBucket($c, $nbits, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** Public Column API over the custom expressions + composed helpers. */
+object fns {
+  import org.apache.spark.sql.functions._
+
+  def simhash64(c: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def minhashSig(c: Column, k: Int, seed: Long = 0L): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c), k, seed))
+
+  def winnowFingerprint(c: Column, n: Int = 8, w: Int = 4): Column =
+    Bridge.column(WinnowFingerprint(Bridge.expression(c), n, w))
+
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  def hyperplaneBucket(c: Column, nbits: Int, seed: Long = 0L): Column =
+    Bridge.column(HyperplaneBucket(Bridge.expression(c), nbits, seed))
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // ---------------------------------------------------------------
+  // Text helpers (built-ins only → codegen'd, and DuckDB-mirrorable)
+  // ---------------------------------------------------------------
+
+  /** Whitespace tokens of trimmed text. */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct token set (for Jaccard). */
+  def tokenSet(c: Column): Column = array_distinct(wsTokens(c))
+
+  /** Count of tokens contained in `words`. */
+  def countTokensIn(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit): _*)))
+
+  /** Word n-gram shingles, space-joined; empty array when too short. */
+  def wordShingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
+      .otherwise(array())
+
+  /** Set Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.functions.fns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * q18 is the exact baseline: brute-force cosine top-k for a query subset,
+  * via broadcast(queries) ⋈ corpus — at 100 TB the corpus side streams
+  * once per query batch with no shuffle of the corpus itself.
+  *
+  * q19 is the scale path: random-hyperplane LSH bucketing with multiprobe
+  * (query probes its bucket plus all 1-bit-flip neighbors), so each query
+  * touches ~(nbits+1)/2^nbits of the corpus. Bucketing is an equi-join;
+  * recall vs q18 is measured in AnnSpec.
+  */
+object AnnOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+
+  val TopK = 10
+  /** Query subset: every 50th vector — deterministic, sf-proportional. */
+  private def queryFilter = col("vec_id") % 50 === 0
+
+  /** q18: exact brute-force cosine top-k per query (tie-break on vec_id). */
+  def q18AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+    val queries = corpus.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(fns.cosineSim(col("qe"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  val q18Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(
+       |      list_sum(list_transform(range(1, len(q.qe) + 1),
+       |        i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |      / (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+       |           i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)))
+       |       * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS cos
+       |  FROM e JOIN q ON e.vec_id <> q.query_id)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK""".stripMargin
+
+  /** q19: LSH-bucketed ANN. Corpus hashed once into 2^6 buckets; queries
+    * multiprobe their bucket + 6 single-bit flips. Top-k within probed
+    * candidates. No SQL oracle (graft-specific hash); AnnSpec measures
+    * recall against q18 and checks determinism. */
+  def q19AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val nbits = 6
+    val corpus = emb(s, dir)
+      .withColumn("bucket", fns.hyperplaneBucket(col("embedding"), nbits, seed = 11L))
+    val queries = corpus.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      .select(col("query_id"), col("qe"),
+        explode(array(
+          (col("bucket") +: (0 until nbits).map(b =>
+            col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
+    val scored = corpus.as("c").join(broadcast(queries.as("q")),
+        col("q.bucket") === col("c.bucket") && col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("c.vec_id").as("vec_id"),
+        round(fns.cosineSim(col("q.qe"), col("c.embedding")), 6).as("cos"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_ann_bruteforce" -> (q18AnnBruteForce _),
+    "q19_ann_lsh" -> (q19AnnLsh _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q18_ann_bruteforce" -> q18Sql
+  )
+}

@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.functions.fns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents`: exact-pairwise Jaccard with
+  * blocking, MinHash+LSH banding, SimHash banding, and embedding-cosine
+  * near-dup — the standard dedup ladder of a training-data pipeline.
+  *
+  * Scale design (100 TB): never a blind cross join. Every pairwise
+  * operator first reduces the candidate space with an equi-joinable
+  * blocking key (lang block, LSH band bucket, SimHash chunk, hyperplane
+  * bucket), so the heavy work is an equi-join shuffle on well-distributed
+  * keys; the exact similarity check runs only on candidates. Bucket-size
+  * skew is bounded: band hashes are 64-bit (collisions spread), and a
+  * `groupBy(bucket).count` guardrail can cap pathological buckets.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  val JaccardThreshold = 0.9
+
+  /** Tokenized view: doc_id, lang, distinct token set. */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      fns.tokenSet(col("text")).as("toks"))
+
+  /** q14: exact token-set Jaccard near-dup pairs, blocked by lang.
+    * The oracle recomputes it exhaustively in DuckDB with list ops. */
+  def q14NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val a = tokenized(s, dir).as("a")
+    val b = tokenized(s, dir).as("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(fns.jaccard(col("a.toks"), col("b.toks")), 6).as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+  }
+
+  val q14Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+       |  FROM documents)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(len(list_intersect(a.toks, b.toks))::DOUBLE
+       |          / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+       |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+       |WHERE jaccard >= $JaccardThreshold""".stripMargin
+
+  /** q15: MinHash + LSH banding near-dup. 64 minhashes (one-pass custom
+    * expression), 32 bands × 2 rows → candidate pairs share a band hash →
+    * exact Jaccard verify. At threshold 0.9 the banding miss probability
+    * is (1-0.81)^32 ≈ 1e-23 per pair, so the verified output equals the
+    * exhaustive q14 — which is exactly the oracle used here (DedupSpec
+    * asserts the equality Spark-side too).
+    *
+    * This is the at-scale path: candidate generation is an equi-join on
+    * (band, bandHash) instead of an O(n²/blocks) blocked cross join. */
+  def q15MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val bandRows = 2
+    val nBands = k / bandRows
+    val sig = tokenized(s, dir)
+      .select(col("doc_id"), col("lang"), col("toks"),
+        fns.minhashSig(col("toks"), k, seed = 7L).as("sig"))
+    // explode to (band, bandHash): hash the band's signature slice
+    val banded = sig.select(
+      col("doc_id"), col("lang"), col("toks"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        bnd => xxhash64(bnd, element_at(col("sig"), bnd * bandRows + 1),
+          element_at(col("sig"), bnd * bandRows + 2)))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(fns.jaccard(col("a.toks"), col("b.toks")), 6).as("jaccard"))
+      .dropDuplicates("doc_a", "doc_b") // same pair may share several bands
+      .where(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Oracle: exhaustive pairs (LSH recall is 1.0 at this threshold/params
+    * on any realistic input; spec-verified). Blocking column differs (lang
+    * vs band) but near-dup pairs always share lang in this corpus — also
+    * spec-verified via exact equality with q14's output. */
+  val q15Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+       |  FROM documents)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(len(list_intersect(a.toks, b.toks))::DOUBLE
+       |          / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= $JaccardThreshold""".stripMargin
+
+  /** q16: SimHash near-dup. 64-bit simhash per doc, banded into 4×16-bit
+    * chunks: any pair at Hamming distance ≤ 3 shares at least one chunk
+    * (pigeonhole), so chunk-equality candidate generation is lossless for
+    * the ≤3 threshold. Output is per-doc (rows stable): the simhash and
+    * the nearest in-chunk neighbor's Hamming distance (-1 = none). */
+  def q16Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(
+      col("doc_id"),
+      fns.simhash64(fns.wsTokens(col("text"))).as("sh"))
+    val chunked = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    val cand = a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"),
+        fns.hamming64(col("a.sh"), col("b.sh")).as("ham"))
+      .groupBy("doc_id").agg(min("ham").as("nearest_ham"))
+    sh.join(cand, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sh").as("simhash"),
+        coalesce(col("nearest_ham"), lit(-1)).as("nearest_ham"))
+  }
+
+  val CosineThreshold = 0.4
+
+  /** q17: embedding-cosine near-dup pairs (custom codegen'd cosine over
+    * float vectors, double accumulation in index order → bit-stable and
+    * SQL-mirrorable). Small table self-join here; the at-scale variant is
+    * q19's LSH bucketing. */
+  def q17EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(fns.cosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .where(col("cos") >= CosineThreshold)
+  }
+
+  val q17Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(
+       |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+       |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |           i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+       |       * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+       |           i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |WHERE cos >= $CosineThreshold""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_ngram_jaccard" -> (q14NgramJaccard _),
+    "q15_minhash_lsh" -> (q15MinhashLsh _),
+    "q16_simhash" -> (q16Simhash _),
+    "q17_embedding_neardup" -> (q17EmbeddingNearDup _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q14_ngram_jaccard" -> q14Sql,
+    "q15_minhash_lsh" -> q15Sql,
+    "q17_embedding_neardup" -> q17Sql
+  )
+}

@@ -181,7 +181,8 @@ object Queries {
   // Registry
   // ---------------------------------------------------------------------
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    TextOps.all ++ DedupOps.all ++ AnnOps.all ++ RelOps.all ++ MediaOps.all ++ Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_top_parts_per_brand" -> (q3TopPartsPerBrand _),
@@ -193,7 +194,8 @@ object Queries {
     "q9_event_window_agg" -> (q9EventWindowAgg _)
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] =
+    TextOps.oracles ++ DedupOps.oracles ++ AnnOps.oracles ++ RelOps.oracles ++ MediaOps.oracles ++ Map(
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_parts_per_brand" -> q3Sql,

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.functions.fns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, fingerprinting — the per-document map
+  * stage of a training-data pipeline. All are narrow (no shuffle): at
+  * 100 TB these run as a single scan-project pass with whole-stage
+  * codegen, bounded only by IO.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // Marker stopwords per language for the n-gram/stopword language-ID
+  // heuristic. The heuristic (not the list) is the operator under test;
+  // the oracle recomputes the identical heuristic.
+  private val enWords = Seq("the", "a", "of", "and", "is", "to", "in")
+  private val deWords = Seq("der", "die", "das", "und", "ist", "ein")
+  private val frWords = Seq("le", "la", "et", "est", "les", "un")
+  private val esWords = Seq("el", "los", "de", "y", "es", "una")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** q10: language ID via per-language marker-token counts + deterministic
+    * argmax (fixed priority on ties, 'und' when nothing matches). */
+  def q10LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = fns.wsTokens(col("text"))
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      fns.countTokensIn(toks, enWords).as("n_en"),
+      fns.countTokensIn(toks, deWords).as("n_de"),
+      fns.countTokensIn(toks, frWords).as("n_fr"),
+      fns.countTokensIn(toks, esWords).as("n_es"),
+      col("lang").as("lang_actual"))
+    val g = greatest(col("n_en"), col("n_de"), col("n_fr"), col("n_es"))
+    d.withColumn("lang_pred",
+      when(g === 0, "und")
+        .when(col("n_en") === g, "en")
+        .when(col("n_de") === g, "de")
+        .when(col("n_fr") === g, "fr")
+        .otherwise("es"))
+  }
+
+  val q10Sql: String =
+    s"""SELECT doc_id, n_en, n_de, n_fr, n_es, lang_actual,
+       |  CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
+       |       WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+       |       WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+       |       WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
+       |       ELSE 'es' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN (${sqlList(enWords)}))) AS n_en,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN (${sqlList(deWords)}))) AS n_de,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN (${sqlList(frWords)}))) AS n_fr,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN (${sqlList(esWords)}))) AS n_es,
+       |    lang AS lang_actual
+       |  FROM documents)""".stripMargin
+
+  /** q11: document quality score from length / punctuation / stopword
+    * signals — the classic pre-training quality filter shape. */
+  def q11Quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = fns.wsTokens(col("text"))
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(toks).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))).as("n_punct"),
+      fns.countTokensIn(toks, enWords).as("n_stop"))
+    d.select(
+      col("doc_id"), col("n_chars_m"), col("n_tokens"), col("n_punct"), col("n_stop"),
+      round(col("n_punct").cast("double") / col("n_chars_m"), 6).as("punct_ratio"),
+      round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+      round(
+        least(lit(1.0), col("n_tokens") / 100.0) * 0.3
+          + (lit(1.0) - col("n_punct").cast("double") / col("n_chars_m")) * 0.4
+          + least(lit(1.0), col("n_stop").cast("double") / col("n_tokens") * 4.0) * 0.3,
+        6).as("quality"))
+  }
+
+  val q11Sql: String =
+    s"""SELECT doc_id, n_chars_m, n_tokens, n_punct, n_stop,
+       |  round(n_punct::DOUBLE / n_chars_m, 6) AS punct_ratio,
+       |  round(n_stop::DOUBLE / n_tokens, 6) AS stop_ratio,
+       |  round(least(1.0, n_tokens / 100.0) * 0.3
+       |      + (1.0 - n_punct::DOUBLE / n_chars_m) * 0.4
+       |      + least(1.0, n_stop::DOUBLE / n_tokens * 4.0) * 0.3, 6) AS quality
+       |FROM (
+       |  SELECT doc_id, length(text) AS n_chars_m,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN (${sqlList(enWords)}))) AS n_stop
+       |  FROM documents)""".stripMargin
+
+  /** q12: token counting — whitespace tokens and a BPE-ish pre-tokenizer
+    * (letter runs | single digits | single symbols), the standard way to
+    * estimate token budgets before running a real BPE. */
+  def q12TokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(fns.wsTokens(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars_m"))
+
+  val q12Sql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+      |  length(text) AS n_chars_m
+      |FROM documents""".stripMargin
+
+  /** q13: winnowed rolling-hash fingerprints (custom codegen'd Catalyst
+    * expression). No SQL oracle — the hash is graft-specific; correctness
+    * is covered by FunctionsSpec golden values + determinism tests. */
+  def q13Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), fns.winnowFingerprint(col("text"), n = 8, w = 4).as("fp"))
+      .select(
+        col("doc_id"),
+        size(col("fp")).as("n_fp"),
+        element_at(col("fp"), 1).as("min_fp"),
+        element_at(col("fp"), -1).as("max_fp"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_lang_id" -> (q10LangId _),
+    "q11_quality_score" -> (q11Quality _),
+    "q12_token_count" -> (q12TokenCount _),
+    "q13_fingerprint" -> (q13Fingerprint _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q10_lang_id" -> q10Sql,
+    "q11_quality_score" -> q11Sql,
+    "q12_token_count" -> q12Sql
+  )
+}
