@@ -1,0 +1,194 @@
+package graft
+
+import graft.gen.{ChangeGen, GenConfig}
+import graft.lake.LakeTable
+import org.apache.spark.sql.SparkSession
+
+/** CDC-replay scaling benchmark — the two-cluster-size protocol from
+  * BASELINE.md, run honestly on one box:
+  *
+  * Each measurement runs in its OWN child JVM pinned with `taskset` to
+  * exactly N cores (and `-XX:ActiveProcessorCount=N`), because in a single
+  * unpinned JVM a `local[2]` run borrows idle cores for GC/IO threads,
+  * silently inflating the small-N baseline — a real cluster cgroup-binds
+  * executors, and the pinning emulates that. Runs are interleaved
+  * (N, 4N, N, 4N) and the min per core count is kept (the sandbox VM has
+  * intermittent multi-second host noise).
+  *
+  * Knobs (env): SPARK_GRAFT_BENCH_EVENTS (default 8M), _BATCHES (1),
+  * _BUCKETS (16), _SALT (2), _REPOS (2000), _PATHS (200), _REPS (2),
+  * SPARK_GRAFT_CORES_LIST ("8,32"), SPARK_GRAFT_BENCH_AQE, _WORK.
+  */
+object BenchCdc {
+  def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-cdc-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "false"))
+      // keep the shuffle at 2×cores partitions: AQE's size-based coalescing
+      // would fold this medium shuffle into ~12 partitions and strand the
+      // extra cores at 4N — parallelism matters more than partition size here
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // shuffle spill files on tmpfs: the bench measures compute scaling,
+      // not the sandbox's single virtio disk (a real cluster has
+      // per-executor local disks)
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.memory.offHeap.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OFFHEAP", "true"))
+      .config("spark.memory.offHeap.size", "6g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def rm(dir: String): Unit = {
+    def loop(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(loop)
+      f.delete(): Unit
+    }
+    val f = new java.io.File(dir)
+    if (f.exists()) loop(f)
+  }
+
+  private def envInt(k: String, d: Int) = sys.env.getOrElse(k, d.toString).toInt
+  private def envLong(k: String, d: Long) = sys.env.getOrElse(k, d.toString).toLong
+
+  private case class Cfg(nEvents: Long, nBatches: Int, buckets: Int, salt: Int,
+                         nRepos: Int, pathsPerRepo: Int, format: String) {
+    def work: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_WORK", "/dev/shm") +
+      s"/graft-cdc-$format-$nEvents-$nBatches-$nRepos-$pathsPerRepo"
+    def logDir = s"$work/log"
+    def warmLogDir = s"$work/warmlog"
+  }
+
+  private def cfgFromEnv = Cfg(
+    nEvents = envLong("SPARK_GRAFT_BENCH_EVENTS", 8000000L),
+    nBatches = envInt("SPARK_GRAFT_BENCH_BATCHES", 1),
+    buckets = envInt("SPARK_GRAFT_BENCH_BUCKETS", 16),
+    salt = envInt("SPARK_GRAFT_BENCH_SALT", 2),
+    nRepos = envInt("SPARK_GRAFT_BENCH_REPOS", 2000),
+    pathsPerRepo = envInt("SPARK_GRAFT_BENCH_PATHS", 200),
+    format = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORMAT", "json"))
+
+  /** Generate the timed log + a small warmup log if not present. */
+  def ensureLogs(cfg: Cfg): Unit = {
+    if (!new java.io.File(f"${cfg.logDir}/batch-${cfg.nBatches - 1}%05d").exists()) {
+      rm(cfg.work)
+      val sg = session(32)
+      ChangeGen.writeLog(sg,
+        GenConfig(nEvents = cfg.nEvents, nRepos = cfg.nRepos, pathsPerRepo = cfg.pathsPerRepo),
+        cfg.logDir, nBatches = cfg.nBatches, partitions = 64, format = cfg.format)
+      ChangeGen.writeLog(sg,
+        GenConfig(seed = 7L, nEvents = math.min(cfg.nEvents, 500000L),
+          nRepos = cfg.nRepos, pathsPerRepo = cfg.pathsPerRepo),
+        cfg.warmLogDir, nBatches = 1, partitions = 32, format = cfg.format)
+      sg.stop()
+    }
+  }
+
+  /** One pinned measurement: JIT warmup on the small log, then the timed
+    * replay. Returns (secs, finalRows). Runs inside the child JVM. */
+  def measure(cpus: Int, cfg: Cfg): (Double, Long) = {
+    val spark = session(cpus)
+    val warmDir = s"${cfg.work}/table_${cpus}_warm"
+    rm(warmDir)
+    ingest.BatchReplay.replay(spark, cfg.warmLogDir, new LakeTable(spark, warmDir),
+      numBuckets = cfg.buckets, saltBuckets = cfg.salt, recordMeta = false,
+      shaColumn = true, format = cfg.format)
+    rm(warmDir)
+    val tableDir = s"${cfg.work}/table_$cpus"
+    rm(tableDir)
+    val t0 = System.nanoTime()
+    ingest.BatchReplay.replay(spark, cfg.logDir, new LakeTable(spark, tableDir),
+      numBuckets = cfg.buckets, saltBuckets = cfg.salt, recordMeta = false,
+      shaColumn = true, format = cfg.format)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rows = new LakeTable(spark, tableDir).read().count()
+    spark.stop()
+    (secs, rows)
+  }
+
+  /** Spawn `measure` in a taskset-pinned child JVM; fall back to in-process
+    * if taskset/exec fails. Returns (secs, rows). */
+  private def measurePinned(cpus: Int, cfg: Cfg): (Double, Long) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-Xmx") || a.startsWith("-D"))
+    val extra = sys.env.get("SPARK_GRAFT_CHILD_JVM_OPTS")
+      .map(_.split(' ').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", javaBin) ++ jvmArgs ++ extra ++
+      Seq(s"-XX:ActiveProcessorCount=$cpus", "-cp", cp, "graft.BenchCdc", "child", cpus.toString)
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      sys.env.foreach { case (k, v) => pb.environment().put(k, v) }
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      p.waitFor()
+      val line = out.linesIterator.find(_.startsWith("CHILD_RESULT ")).getOrElse {
+        System.err.println(out.takeRight(2000))
+        throw new IllegalStateException("child produced no result")
+      }
+      val Array(s, r) = line.stripPrefix("CHILD_RESULT ").split(',')
+      (s.toDouble, r.toLong)
+    } catch {
+      case e: java.io.IOException => // no taskset (non-Linux): run unpinned
+        System.err.println(s"pinned child failed (${e.getMessage}); running in-process")
+        measure(cpus, cfg)
+    }
+  }
+
+  final case class ScalingResult(nEvents: Long, bestSecs: Map[Int, Double],
+                                 repSecs: Seq[(Int, Double)], rows: Long) {
+    def throughput(cpus: Int): Long = (nEvents / bestSecs(cpus)).toLong
+    def efficiency(n: Int, m: Int): Double =
+      (bestSecs(n) / bestSecs(m)) / (m.toDouble / n)
+  }
+
+  /** The full two-cluster-size protocol; prints progress, returns results. */
+  def runScaling(coreList: Seq[Int], reps: Int): ScalingResult = {
+    val cfg = cfgFromEnv
+    ensureLogs(cfg)
+    val best = scala.collection.mutable.Map.empty[Int, Double]
+    val repLog = Seq.newBuilder[(Int, Double)]
+    var rowsSeen = -1L
+    (1 to reps).foreach { _ =>
+      coreList.foreach { cpus =>
+        val (secs, rows) = measurePinned(cpus, cfg)
+        println(f"""{"cores":$cpus,"rep_secs":$secs%.2f}""")
+        repLog += (cpus -> secs)
+        best(cpus) = math.min(best.getOrElse(cpus, Double.MaxValue), secs)
+        require(rowsSeen < 0 || rows == rowsSeen, s"row mismatch: $rows vs $rowsSeen")
+        rowsSeen = rows
+      }
+    }
+    ScalingResult(cfg.nEvents, best.toMap, repLog.result(), rowsSeen)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 2 && args(0) == "child") {
+      val (secs, rows) = measure(args(1).toInt, cfgFromEnv)
+      println(s"CHILD_RESULT $secs,$rows")
+      sys.exit(0)
+    }
+    val coreList = sys.env.getOrElse("SPARK_GRAFT_CORES_LIST", "2,8")
+      .split(',').map(_.trim.toInt).toSeq
+    val reps = envInt("SPARK_GRAFT_BENCH_REPS", 3)
+    val r = runScaling(coreList, reps)
+    coreList.foreach { cpus =>
+      println(f"""{"cores":$cpus,"secs":${r.bestSecs(cpus)}%.2f,"events_per_sec":${r.throughput(cpus)},"rows":${r.rows}}""")
+    }
+    if (coreList.size >= 2) {
+      val (nC, mC) = (coreList.head, coreList.last)
+      println(f"""{"scaling":"${nC}->${mC}","efficiency":${r.efficiency(nC, mC)}%.3f}""")
+    }
+  }
+}

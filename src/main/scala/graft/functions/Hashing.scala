@@ -103,6 +103,32 @@ object Hashing {
     new GenericArrayData(mins)
   }
 
+  /** LSH band hashes computed directly from the minhash accumulators in
+    * the same single pass: band j = mix of signature rows
+    * [j*rowsPerBand, (j+1)*rowsPerBand). Returning the band hashes (not
+    * the signature) keeps the downstream plan narrow AND evaluates the
+    * whole k-permutation pass exactly once per input row — if the plan
+    * instead computes `element_at(sig, i)` per band, Catalyst's project
+    * collapsing re-inlines the full signature computation once per band
+    * (measured 5× slowdown on the dedup query). */
+  def minhashBands(shingles: ArrayData, k: Int, rowsPerBand: Int, seed: Long): ArrayData = {
+    val sig = minhash(shingles, k, seed)
+    val nBands = k / rowsPerBand
+    val out = new Array[Long](nBands)
+    var j = 0
+    while (j < nBands) {
+      var h = 0x87c37b91114253d5L ^ j
+      var r = 0
+      while (r < rowsPerBand) {
+        h = mix64(h ^ sig.getLong(j * rowsPerBand + r))
+        r += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // -------------------------------------------------------------------
   // Winnowing fingerprint (rolling hash)
   // -------------------------------------------------------------------

@@ -52,6 +52,26 @@ case class MinHashSig(child: Expression, k: Int, seed: Long) extends UnaryExpres
     copy(child = newChild)
 }
 
+case class MinHashBands(child: Expression, k: Int, rowsPerBand: Int, seed: Long)
+    extends UnaryExpression {
+  require(k > 0 && k <= 512 && rowsPerBand > 0 && k % rowsPerBand == 0,
+    s"bad minhash banding: k=$k rowsPerBand=$rowsPerBand")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_bands requires array<string>, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(arr: Any): Any =
+    Hashing.minhashBands(arr.asInstanceOf[ArrayData], k, rowsPerBand, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.minhashBands($c, $k, $rowsPerBand, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
 case class WinnowFingerprint(child: Expression, n: Int, w: Int) extends UnaryExpression {
   require(n > 0 && w > 0, s"winnow params out of range: n=$n w=$w")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -115,6 +135,9 @@ object fns {
 
   def minhashSig(c: Column, k: Int, seed: Long = 0L): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), k, seed))
+
+  def minhashBands(c: Column, k: Int, rowsPerBand: Int, seed: Long = 0L): Column =
+    Bridge.column(MinHashBands(Bridge.expression(c), k, rowsPerBand, seed))
 
   def winnowFingerprint(c: Column, n: Int = 8, w: Int = 4): Column =
     Bridge.column(WinnowFingerprint(Bridge.expression(c), n, w))

@@ -149,18 +149,22 @@ object ChangeGen {
   /** Write the log as numbered micro-batch directories so batch reads and
     * Structured Streaming file-source reads see identical bytes, and resume
     * tests can reveal batches incrementally (reference analogue: stage
-    * outputs as files, src/pipeline/mod.rs:9-27). */
+    * outputs as files, src/pipeline/mod.rs:9-27).
+    *
+    * `format` "parquet" (pre-parsed) or "json" (JSON-lines — the raw
+    * binlog/WAL-tail shape, where the engine pays the decode). */
   def writeLog(spark: SparkSession, cfg: GenConfig, dir: String,
-               nBatches: Int, partitions: Int = 8): Unit = {
+               nBatches: Int, partitions: Int = 8,
+               format: String = "parquet"): Unit = {
     import spark.implicits._
     val per = math.max(1L, (cfg.nEvents + nBatches - 1) / nBatches)
     (0 until nBatches).foreach { b =>
       val lo = b * per
       val hi = math.min(cfg.nEvents, (b + 1) * per)
       if (lo < hi) {
-        spark.range(lo, hi, 1L, partitions)
+        val ds = spark.range(lo, hi, 1L, partitions)
           .flatMap(id => emittedFor(cfg, id))
-          .write.mode("overwrite").parquet(f"$dir/batch-$b%05d")
+        ds.write.mode("overwrite").format(format).save(f"$dir/batch-$b%05d")
       }
     }
   }

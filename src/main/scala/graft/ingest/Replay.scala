@@ -29,11 +29,22 @@ object BatchReplay {
   def replay(spark: SparkSession, logDir: String, table: LakeTable,
              numBuckets: Int = 16, saltBuckets: Int = 4,
              recordMeta: Boolean = true,
-             schema: Option[StructType] = None): Seq[MergeStats] = {
+             schema: Option[StructType] = None,
+             shaColumn: Boolean = false,
+             format: String = "parquet"): Seq[MergeStats] = {
     val merge = new MergeInto(table, numBuckets, saltBuckets, recordMeta)
+    val jsonSchema = graft.schema.SchemaRegistry.eventSchemaV1
     listBatches(spark, logDir).map { case (epoch, dir) =>
-      val reader = spark.read
-      val df = schema.map(reader.schema).getOrElse(reader).parquet(dir)
+      val reader = spark.read.format(format)
+      // JSON (the raw WAL-tail shape) needs the explicit event schema —
+      // inference would both cost a pass and type ts as string
+      var df = schema.orElse(if (format == "json") Some(jsonSchema) else None)
+        .map(reader.schema).getOrElse(reader).load(dir)
+      // materialize the per-row invariant (BASELINE.json input_hint:
+      // sha256(content) equality) as a state column at ingest time, so
+      // state verification is a column compare instead of a rehash
+      if (shaColumn) df = df.withColumn("content_sha256",
+        org.apache.spark.sql.functions.sha2(org.apache.spark.sql.functions.col("content"), 256))
       merge.apply(df, epoch)
     }
   }

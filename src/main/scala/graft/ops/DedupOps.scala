@@ -65,26 +65,25 @@ object DedupOps {
   def q15MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val k = 64
     val bandRows = 2
-    val nBands = k / bandRows
-    val sig = tokenized(s, dir)
-      .select(col("doc_id"), col("lang"), col("toks"),
-        fns.minhashSig(col("toks"), k, seed = 7L).as("sig"))
-    // explode to (band, bandHash): hash the band's signature slice
-    val banded = sig.select(
-      col("doc_id"), col("lang"), col("toks"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        bnd => xxhash64(bnd, element_at(col("sig"), bnd * bandRows + 1),
-          element_at(col("sig"), bnd * bandRows + 2)))))
+    // narrow banded view: (doc_id, band, band_hash) — one single-pass
+    // band-hash expression per row, no wide payload in the shuffle
+    val banded = tokenized(s, dir).select(
+      col("doc_id"),
+      posexplode(fns.minhashBands(col("toks"), k, bandRows, seed = 7L)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
+    // candidate pairs: equi-join on (band, band_hash), dedup multi-band hits
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(fns.jaccard(col("a.toks"), col("b.toks")), 6).as("jaccard"))
-      .dropDuplicates("doc_a", "doc_b") // same pair may share several bands
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify: re-join token sets only for the surviving candidates
+    val toks = tokenized(s, dir).select(col("doc_id"), col("toks"))
+    cand
+      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_a", "toks" -> "toks_a")), "doc_a")
+      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_b", "toks" -> "toks_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(fns.jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
   }
 
