@@ -184,6 +184,25 @@ object Hashing {
     new GenericArrayData(out)
   }
 
+  /** Jaccard similarity of two SORTED, DISTINCT long arrays by a single
+    * merge walk — no per-call hash-set allocation (vs composing
+    * `array_intersect`/`array_union`, which builds two hash sets per
+    * pair; this runs once per candidate pair in similarity joins, so the
+    * constant factor is the whole game). */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   // -------------------------------------------------------------------
   // Vector kernels (float embeddings)
   // -------------------------------------------------------------------

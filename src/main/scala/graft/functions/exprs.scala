@@ -90,6 +90,24 @@ case class WinnowFingerprint(child: Expression, n: Int, w: Int) extends UnaryExp
     copy(child = newChild)
 }
 
+case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_jaccard requires (array<bigint>, array<bigint>), got (${l.simpleString}, ${r.simpleString})")
+    }
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes() = {
@@ -176,4 +194,13 @@ object fns {
   /** Set Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Jaccard of two sorted distinct long arrays (one merge pass). */
+  def sortedJaccard(a: Column, b: Column): Column =
+    Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Sorted distinct 64-bit hashes of an array of strings — the cheap
+    * set representation for similarity joins. */
+  def hashedSet(c: Column): Column =
+    array_sort(array_distinct(transform(c, x => xxhash64(x))))
 }

@@ -72,8 +72,29 @@ object BatchReplay {
   *     checkpoint advance);
   *   - lsn-argmax + tombstones make even beyond-watermark duplicates
   *     harmless (they lose the argmax).
+  *
+  * Late-data contract: events arriving with `ts` older than
+  * (max event-time seen − watermark) are still applied CORRECTLY (the
+  * lsn-argmax is order-independent); the watermark only bounds the dedup
+  * state. Such events are counted per batch in the `meta/stream_metrics`
+  * table — the observability surface the reference keeps as atomic
+  * counters (src/atp/mod.rs:67-72).
   */
 object StreamingReplay {
+
+  /** Parse "10 minutes"/"30 seconds"/"1 hour" to millis (watermark knob). */
+  private[ingest] def durationMs(s: String): Long = {
+    val Array(n, unit) = s.trim.split("\\s+")
+    val v = n.toLong
+    unit.toLowerCase.stripSuffix("s") match {
+      case "millisecond" => v
+      case "second" => v * 1000L
+      case "minute" => v * 60000L
+      case "hour" => v * 3600000L
+      case u => throw new IllegalArgumentException(s"bad duration unit: $u")
+    }
+  }
+
   def run(spark: SparkSession, logDir: String, table: LakeTable,
           schema: StructType,
           checkpoint: String,
@@ -82,6 +103,10 @@ object StreamingReplay {
           maxFilesPerTrigger: Int = 8,
           watermark: String = "10 minutes"): Unit = {
     val merge = new MergeInto(table, numBuckets, saltBuckets, recordMeta)
+    val wmMs = durationMs(watermark)
+    // running max event-time across batches (driver-held, like the
+    // stream's own watermark tracker); used to classify late arrivals
+    val maxTsMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // backpressure — the
@@ -93,7 +118,34 @@ object StreamingReplay {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        merge.apply(df, batchId): Unit
+        import org.apache.spark.sql.functions._
+        val cutoff = maxTsMs.get() match {
+          case Long.MinValue => null
+          case ms => new java.sql.Timestamp(ms - wmMs)
+        }
+        val obs = org.apache.spark.sql.Observation(s"stream-late-$batchId")
+        val observed = df.observe(obs,
+          max(col("ts").cast("timestamp_ltz").cast("long")).as("max_ts_sec"),
+          min(col("ts").cast("timestamp_ltz").cast("long")).as("min_ts_sec"),
+          count(when(col("ts") < lit(cutoff).cast(df.schema("ts").dataType), 1)).as("n_late"))
+        val stats = merge.apply(observed, batchId)
+        if (!stats.skipped) {
+          val m = obs.get
+          m.get("max_ts_sec").collect { case s: Long =>
+            maxTsMs.getAndUpdate(cur => math.max(cur, s * 1000L)): Unit
+          }
+          if (recordMeta) {
+            val sparkL = table.spark
+            import sparkL.implicits._
+            Seq((batchId, stats.eventsIn,
+              m.get("n_late").collect { case l: Long => l }.getOrElse(0L),
+              m.get("min_ts_sec").collect { case l: Long => l }.getOrElse(-1L),
+              m.get("max_ts_sec").collect { case l: Long => l }.getOrElse(-1L)))
+              .toDF("batch_id", "events_in", "late_beyond_watermark", "min_ts_sec", "max_ts_sec")
+              .coalesce(1)
+              .write.mode("append").parquet(s"${table.root}/meta/stream_metrics")
+          }
+        }
       }
       .start()
     q.awaitTermination()

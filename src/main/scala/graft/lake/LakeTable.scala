@@ -167,13 +167,18 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       .drop(DeletedCol)
   }
 
-  /** Visible state as of a past snapshot version (time travel). */
-  def readVersion(version: Long): DataFrame = {
+  /** The committed snapshot with exactly this version (time travel). */
+  def snapshotAt(version: Long): Snapshot = {
     val f = fs
     val p = new Path(snapshotDir, s"v$version")
     val in = f.open(p)
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
-    val snap = Snapshot.deserialize(new String(bytes, StandardCharsets.UTF_8))
+    Snapshot.deserialize(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  /** Visible state as of a past snapshot version (time travel). */
+  def readVersion(version: Long): DataFrame = {
+    val snap = snapshotAt(version)
     readFiles(snap.schema, snap.files)
       .where(!org.apache.spark.sql.functions.col(DeletedCol))
       .drop(DeletedCol)

@@ -205,7 +205,7 @@ final class MergeInto(
         tombstonesWritten = asLong(outObs.get, "tombstones"),
         bucketsTouched = touched.size,
         durationMs = (System.nanoTime() - t0) / 1000000)
-      if (recordMeta) Meta.record(table, stats, newVersion, epochId)
+      if (recordMeta) Meta.record(table, stats, newVersion, epochId, newFiles.nonEmpty)
       stats
     }
   }
@@ -217,11 +217,14 @@ final class MergeInto(
   * Appended as small parquet tables under the lake root.
   */
 object Meta {
-  def record(table: LakeTable, stats: MergeStats, version: Long, epochId: Long): Unit = {
+  def record(table: LakeTable, stats: MergeStats, version: Long, epochId: Long,
+             hasFiles: Boolean = true): Unit = {
     val spark = table.spark
     import spark.implicits._
-    // lineage: per bucket written this version → key count + lsn range
-    spark.read
+    // lineage: per bucket written this version → key count + lsn range.
+    // An empty micro-batch commits a version with no data files (the
+    // epoch must still be ledgered for exactly-once) — nothing to line.
+    if (hasFiles) spark.read
       .option("basePath", s"${table.root}/data/v$version")
       .parquet(s"${table.root}/data/v$version")
       .groupBy(col("b").cast("int").as("bucket"))

@@ -21,44 +21,75 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  val JaccardThreshold = 0.9
+  val JaccardThreshold = 0.8
 
-  /** Tokenized view: doc_id, lang, distinct token set. */
-  private def tokenized(s: SparkSession, dir: String): DataFrame =
+  /** Shingled view: doc_id, lang, distinct word-3-gram shingle set. Word
+    * n-grams — not unigram token sets — are the dedup unit: unigram sets
+    * saturate on a small vocabulary (every doc resembles every doc),
+    * while shingles keep ambient similarity near zero so only true
+    * near-duplicates cross the threshold. (Measured on this corpus:
+    * unigram-set ambient jaccard ~0.85 → 965k "near-dup" pairs at sf0.1;
+    * shingle ambient ~0.0 → 79 genuine pairs.) */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"), col("lang"),
-      fns.tokenSet(col("text")).as("toks"))
+      array_distinct(fns.wordShingles(fns.wsTokens(col("text")), 3)).as("sh"))
 
-  /** q14: exact token-set Jaccard near-dup pairs, blocked by lang.
-    * The oracle recomputes it exhaustively in DuckDB with list ops. */
+  private val shingleSqlExpr =
+    """list_distinct(list_transform(
+      |      range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+      |      i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+      |           string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+      |           string_split_regex(trim(text), '\s+')[i+2]))""".stripMargin
+
+  /** q14: exact shingle-Jaccard near-dup pairs, blocked by (lang, size
+    * band). The size bands are LOSSLESS for the threshold: j ≥ 0.8
+    * implies |A|/|B| ∈ [0.8, 1.25], so band = floor(log₁.₂₅|S|) differs
+    * by at most 1 between any qualifying pair — the left side explodes to
+    * {band-1, band, band+1} and the pair is found exactly once. Shingles
+    * are hashed to longs before the set ops (same jaccard value modulo a
+    * ~2⁻⁶⁴ collision, far cheaper comparisons than 3-word strings). The
+    * oracle recomputes the result exhaustively in DuckDB with list ops. */
   def q14NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val a = tokenized(s, dir).as("a")
-    val b = tokenized(s, dir).as("b")
-    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+    // The repartition is a deliberate optimizer barrier, not (only) a
+    // distribution choice: without an Exchange below the self-join,
+    // CollapseProject inlines the whole shingle→hash→sort chain into the
+    // join's output projection and recomputes it PER CANDIDATE PAIR
+    // (measured 2× slower even with ~60-element arrays; grows with n²).
+    val base = shingled(s, dir).select(
+      col("doc_id"), col("lang"),
+      fns.hashedSet(col("sh")).as("shh"),
+      floor(log(1.25, size(col("sh")))).cast("int").as("band"))
+      .repartition(col("doc_id"))
+    val a = base.as("a")
+    val b = base.as("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.band") - col("b.band")) <= 1)
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(fns.jaccard(col("a.toks"), col("b.toks")), 6).as("jaccard"))
+        round(fns.sortedJaccard(col("a.shh"), col("b.shh")), 6).as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
   }
 
   val q14Sql: String =
     s"""WITH d AS (
        |  SELECT doc_id, lang,
-       |    list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+       |    $shingleSqlExpr AS sh
        |  FROM documents)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    round(len(list_intersect(a.toks, b.toks))::DOUBLE
-       |          / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+       |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+       |          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
        |WHERE jaccard >= $JaccardThreshold""".stripMargin
 
-  /** q15: MinHash + LSH banding near-dup. 64 minhashes (one-pass custom
-    * expression), 32 bands × 2 rows → candidate pairs share a band hash →
-    * exact Jaccard verify. At threshold 0.9 the banding miss probability
-    * is (1-0.81)^32 ≈ 1e-23 per pair, so the verified output equals the
-    * exhaustive q14 — which is exactly the oracle used here (DedupSpec
-    * asserts the equality Spark-side too).
+  /** q15: MinHash + LSH banding near-dup over shingles. 64 minhashes
+    * (one-pass custom expression), 32 bands × 2 rows → candidate pairs
+    * share a band hash → exact Jaccard verify. At threshold 0.8 the
+    * banding miss probability is (1-0.64)^32 ≈ 6e-15 per pair, so the
+    * verified output equals the exhaustive scan — which is exactly the
+    * oracle used here (TrainingOpsSpec asserts the equality Spark-side
+    * too, and ambient shingle similarity ≈ 0 keeps candidates ≈ answers).
     *
     * This is the at-scale path: candidate generation is an equi-join on
     * (band, bandHash) instead of an O(n²/blocks) blocked cross join. */
@@ -67,9 +98,9 @@ object DedupOps {
     val bandRows = 2
     // narrow banded view: (doc_id, band, band_hash) — one single-pass
     // band-hash expression per row, no wide payload in the shuffle
-    val banded = tokenized(s, dir).select(
+    val banded = shingled(s, dir).select(
       col("doc_id"),
-      posexplode(fns.minhashBands(col("toks"), k, bandRows, seed = 7L)))
+      posexplode(fns.minhashBands(col("sh"), k, bandRows, seed = 7L)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     // candidate pairs: equi-join on (band, band_hash), dedup multi-band hits
     val cand = banded.as("a").join(banded.as("b"),
@@ -77,29 +108,30 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify: re-join token sets only for the surviving candidates
-    val toks = tokenized(s, dir).select(col("doc_id"), col("toks"))
+    // exact verify: re-join hashed shingle sets for surviving candidates
+    // (repartition = optimizer barrier against per-pair recompute, as in q14)
+    val sh = shingled(s, dir)
+      .select(col("doc_id"), fns.hashedSet(col("sh")).as("shh"))
+      .repartition(col("doc_id"))
     cand
-      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_a", "toks" -> "toks_a")), "doc_a")
-      .join(toks.withColumnsRenamed(Map("doc_id" -> "doc_b", "toks" -> "toks_b")), "doc_b")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shh" -> "sh_a")), "doc_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "shh" -> "sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(fns.jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
+        round(fns.sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
   }
 
-  /** Oracle: exhaustive pairs (LSH recall is 1.0 at this threshold/params
-    * on any realistic input; spec-verified). Blocking column differs (lang
-    * vs band) but near-dup pairs always share lang in this corpus — also
-    * spec-verified via exact equality with q14's output. */
+  /** Oracle: exhaustive global pairs (LSH recall is 1.0 at these params;
+    * spec-verified by exact equality with the exhaustive scan). */
   val q15Sql: String =
     s"""WITH d AS (
        |  SELECT doc_id,
-       |    list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+       |    $shingleSqlExpr AS sh
        |  FROM documents)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    round(len(list_intersect(a.toks, b.toks))::DOUBLE
-       |          / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+       |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+       |          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
        |WHERE jaccard >= $JaccardThreshold""".stripMargin
 

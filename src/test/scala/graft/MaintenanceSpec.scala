@@ -1,0 +1,89 @@
+package graft
+
+import graft.gen.{ChangeGen, GenConfig}
+import graft.ingest.{BatchReplay, StreamingReplay}
+import graft.lake.{LakeTable, Maintenance}
+import graft.schema.SchemaRegistry
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction, incremental CDC reads, and stream metrics. */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def replayed(nEvents: Long, nBatches: Int): (LakeTable, GenConfig) = {
+    val cfg = GenConfig(nEvents = nEvents)
+    val work = TestSpark.tmpDir("maint")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = nBatches, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table")
+    BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    (table, cfg)
+  }
+
+  test("compaction: fewer files, identical visible state, old snapshot intact") {
+    val (table, _) = replayed(2000L, 5)
+    val before = table.currentSnapshot().get
+    val stateBefore = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
+    assert(before.files.size > before.numBuckets, "test needs small files to compact")
+
+    val n = Maintenance.compact(table, maxFilesPerBucket = 1)
+    assert(n > 0)
+    val after = table.currentSnapshot().get
+    assert(after.version == before.version + 1)
+    assert(after.files.size < before.files.size)
+    assert(after.files.groupBy(_.bucket).forall(_._2.size == 1))
+    // data identical
+    val stateAfter = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
+    assert(stateAfter == stateBefore)
+    // time travel to the pre-compaction snapshot still works
+    val old = table.readVersion(before.version).orderBy("repo", "path").collect().map(_.toString).toSeq
+    assert(old == stateBefore)
+    // idempotent: nothing left to compact
+    assert(Maintenance.compact(table, maxFilesPerBucket = 1) == 0)
+  }
+
+  test("changesBetween: emits exactly the keys that changed, typed I/U/D") {
+    val (table, cfg) = replayed(1500L, 3)
+    val v = table.currentSnapshot().get.version
+    assert(v >= 2) // 3 epochs → versions 0,1,2
+
+    val changes = Maintenance.changesBetween(table, v - 1, v)
+      .select("_change_type", "repo", "path", "lsn").collect()
+    assert(changes.nonEmpty)
+
+    // independent oracle: diff the two time-travel states key-by-key
+    def stateAt(ver: Long): Map[(String, String), Long] =
+      table.readVersion(ver).select("repo", "path", "lsn").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val a = stateAt(v - 1)
+    val b = stateAt(v)
+    val wantInserts = b.keySet diff a.keySet
+    val wantDeletes = a.keySet diff b.keySet
+    val wantUpdates = (a.keySet intersect b.keySet).filter(k => a(k) != b(k))
+
+    val got = changes.groupBy(_.getString(0)).view
+      .mapValues(_.map(r => (r.getString(1), r.getString(2))).toSet).toMap
+    assert(got.getOrElse("insert", Set.empty) == wantInserts, "inserts differ")
+    assert(got.getOrElse("delete", Set.empty) == wantDeletes, "deletes differ")
+    assert(got.getOrElse("update_postimage", Set.empty) == wantUpdates, "updates differ")
+  }
+
+  test("stream metrics record per-batch counts incl. late-beyond-watermark") {
+    val cfg = GenConfig(nEvents = 900L)
+    val work = TestSpark.tmpDir("stream-metrics")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 3, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table")
+    StreamingReplay.run(spark, s"$work/log", table,
+      SchemaRegistry.eventSchemaV1, s"$work/cp",
+      numBuckets = 4, recordMeta = true, maxFilesPerTrigger = 2,
+      watermark = "10 minutes")
+    val m = spark.read.parquet(s"${table.root}/meta/stream_metrics")
+    assert(m.count() > 0)
+    val total = m.agg(sum("events_in")).collect().head.getLong(0)
+    assert(total >= cfg.nEvents) // includes duplicate deliveries
+    assert(m.columns.contains("late_beyond_watermark"))
+    // generator jitter is ±4 min, within the 10-minute watermark → no lates
+    assert(m.agg(sum("late_beyond_watermark")).collect().head.getLong(0) == 0L)
+  }
+}

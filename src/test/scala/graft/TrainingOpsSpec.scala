@@ -18,14 +18,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     val lsh = DedupOps.q15MinhashLsh(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val d = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), graft.functions.fns.tokenSet(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(graft.functions.fns.wordShingles(
+        graft.functions.fns.wsTokens(col("text")), 3)).as("sh"))
     val a = d.as("a"); val b = d.as("b")
     val exact = a.join(b, col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
-        round(graft.functions.fns.jaccard(col("a.toks"), col("b.toks")), 6).as("j"))
+        round(graft.functions.fns.jaccard(col("a.sh"), col("b.sh")), 6).as("j"))
       .where(col("j") >= DedupOps.JaccardThreshold)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size} diff=${(lsh diff exact).size}/${(exact diff lsh).size}")
+    assert(lsh.nonEmpty && lsh == exact,
+      s"LSH=${lsh.size} exact=${exact.size} diff=${(lsh diff exact).size}/${(exact diff lsh).size}")
   }
 
   test("simhash banding is lossless for hamming <= 3 (pigeonhole over 4 chunks)") {
