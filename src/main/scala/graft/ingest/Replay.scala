@@ -83,7 +83,7 @@ object BatchReplay {
 object StreamingReplay {
 
   /** Parse "10 minutes"/"30 seconds"/"1 hour" to millis (watermark knob). */
-  private[ingest] def durationMs(s: String): Long = {
+  def durationMs(s: String): Long = {
     val Array(n, unit) = s.trim.split("\\s+")
     val v = n.toLong
     unit.toLowerCase.stripSuffix("s") match {

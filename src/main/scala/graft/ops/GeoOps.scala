@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship computation re-expressed Spark-first: the
+  * spatial best-match range join (SURVEY J1/J2 — for each query point,
+  * cover its search radius with grid cells, equi-join candidates on the
+  * cell key, filter by category mask and true distance, keep the argmax).
+  * Reference: src/pipeline/conflate/mod.rs:125-190, src/pipeline/edits.rs:92-161.
+  *
+  * Points are synthesized deterministically from customer/supplier keys
+  * (lat ∈ [-60, 60] so a fixed ±2-lng-cell probe covers the radius at
+  * the worst-case latitude; lng ∈ [-150, 150] so no candidate pair can
+  * straddle the antimeridian, which flat cell ids cannot see). The covering explode turns the O(n·m) distance
+  * join into an equi-join on cell ids — at 100 TB both sides shuffle once
+  * on the cell key and no cross product ever materializes; skew-prone
+  * hot cells ride AQE + the cell granularity choice.
+  */
+object GeoOps {
+
+  private val RadiusKm = 500.0
+  private val CellDeg = 5.0 // ≥ radius in lat-degrees (5° ≈ 556 km)
+
+  private def lat(key: Column): Column = (key * 37 % 120 - 60).cast("double") + 0.5
+  private def lng(key: Column): Column = (key * 73 % 300 - 150).cast("double") + 0.5
+
+  /** Haversine distance in km — same formula as q26 (portable math). */
+  private def distKm(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {
+    val dlat = (radians(lat1) - radians(lat2)) / 2
+    val dlng = (radians(lng1) - radians(lng2)) / 2
+    val a = pow(sin(dlat), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dlng), 2)
+    lit(2 * 6371.0088) * asin(sqrt(a))
+  }
+
+  private def latCell(c: Column): Column = floor((c + 90.0) / CellDeg).cast("int")
+  private def lngCell(c: Column): Column = floor((c + 180.0) / CellDeg).cast("int")
+
+  /** q29: best-match join — for each customer point, the nearest supplier
+    * point of the SAME category within 500 km (category equality is the
+    * J2 brand-gate analogue; the argmax is A1). */
+  def q29BestMatchJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet").select(
+      col("c_custkey"),
+      lat(col("c_custkey")).as("clat"), lng(col("c_custkey")).as("clng"),
+      (col("c_custkey") % 3).as("cat"))
+    val supp = s.read.parquet(s"$dir/supplier.parquet").select(
+      col("s_suppkey"),
+      lat(col("s_suppkey")).as("slat"), lng(col("s_suppkey")).as("slng"),
+      (col("s_suppkey") % 3).as("cat"),
+      latCell(lat(col("s_suppkey"))).as("cell_lat"),
+      lngCell(lng(col("s_suppkey"))).as("cell_lng"))
+
+    // covering: probe the 3×5 cell neighborhood (±1 lat, ±2 lng — enough
+    // for 500 km at |lat| ≤ 60.5° where 5° of longitude ≥ 274 km)
+    val probes = cust
+      .withColumn("dlat", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("dlng", explode(array((-2 to 2).map(lit): _*)))
+      .select(col("c_custkey"), col("clat"), col("clng"), col("cat"),
+        (latCell(col("clat")) + col("dlat")).as("cell_lat"),
+        (lngCell(col("clng")) + col("dlng")).as("cell_lng"))
+
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("d").asc, col("s_suppkey").asc)
+    probes.join(supp, Seq("cell_lat", "cell_lng", "cat"))
+      .withColumn("d", distKm(col("clat"), col("clng"), col("slat"), col("slng")))
+      .where(col("d") <= RadiusKm)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("c_custkey"), col("s_suppkey"), round(col("d"), 4).as("dist_km"))
+  }
+
+  /** Oracle: the exhaustive cross-product formulation (no covering). */
+  val q29Sql: String =
+    s"""WITH c AS (
+       |  SELECT c_custkey,
+       |    CAST(c_custkey * 37 % 120 - 60 AS DOUBLE) + 0.5 AS clat,
+       |    CAST(c_custkey * 73 % 300 - 150 AS DOUBLE) + 0.5 AS clng,
+       |    c_custkey % 3 AS cat
+       |  FROM customer),
+       |sp AS (
+       |  SELECT s_suppkey,
+       |    CAST(s_suppkey * 37 % 120 - 60 AS DOUBLE) + 0.5 AS slat,
+       |    CAST(s_suppkey * 73 % 300 - 150 AS DOUBLE) + 0.5 AS slng,
+       |    s_suppkey % 3 AS cat
+       |  FROM supplier),
+       |pairs AS (
+       |  SELECT c.c_custkey, sp.s_suppkey,
+       |    2 * 6371.0088 * asin(sqrt(
+       |      pow(sin((radians(clat) - radians(slat)) / 2), 2)
+       |      + cos(radians(clat)) * cos(radians(slat))
+       |        * pow(sin((radians(clng) - radians(slng)) / 2), 2))) AS d
+       |  FROM c JOIN sp ON c.cat = sp.cat)
+       |SELECT c_custkey, s_suppkey, round(d, 4) AS dist_km FROM (
+       |  SELECT c_custkey, s_suppkey, d,
+       |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY d ASC, s_suppkey ASC) AS rn
+       |  FROM pairs WHERE d <= $RadiusKm)
+       |WHERE rn = 1""".stripMargin
+
+  /** q30: JSONL feature export (SURVEY S15/C13 — one JSON feature per
+    * line, rendered with deterministic string building so the DuckDB
+    * oracle can reproduce the exact bytes). */
+  def q30JsonlExport(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"),
+        concat(
+          lit("""{"type":"Feature","id":"""), col("n_nationkey"),
+          lit(""","properties":{"name":""""), col("n_name"),
+          lit("""","region":"""), col("n_regionkey"),
+          lit("}}")).as("feature_json"))
+
+  val q30Sql: String =
+    """SELECT n_nationkey,
+      |  '{"type":"Feature","id":' || n_nationkey ||
+      |  ',"properties":{"name":"' || n_name || '","region":' || n_regionkey ||
+      |  '}}' AS feature_json
+      |FROM nation""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_best_match_join" -> (q29BestMatchJoin _),
+    "q30_jsonl_export" -> (q30JsonlExport _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q29_best_match_join" -> q29Sql,
+    "q30_jsonl_export" -> q30Sql
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.Sessionize
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom streaming state (flatMapGroupsWithState sessionization) against
+  * the batch window-lag reference implementation. */
+class SessionizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  // file streams read directories: stage the driver's single parquet file
+  lazy val events: String = {
+    val dir = TestSpark.tmpDir("sess-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    dir
+  }
+  val gap = "1 hour"
+
+  test("streamed sessions equal batch sessions for all watermark-sealedSess sessions") {
+    val work = TestSpark.tmpDir("sessionize")
+    Sessionize.run(spark, events, s"$work/out", s"$work/cp", gap = gap)
+    val streamed = spark.read.parquet(s"$work/out")
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(streamed.nonEmpty)
+
+    val batch = Sessionize.batchSessions(spark, events, gap)
+    val maxTs = batch.agg(max("session_end_ms")).collect().head.getLong(0)
+    val gapMs = 3600000L
+    val sealedSess = batch
+      .where(col("session_end_ms") + gapMs <= maxTs)
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    // every watermark-sealedSess session must be streamed exactly; streamed
+    // output may not contain anything else except possibly trailing
+    // sessions the final no-data batch managed to seal
+    assert(sealedSess subsetOf streamed,
+      s"missing ${(sealedSess diff streamed).size} of ${sealedSess.size} sealedSess sessions")
+    val batchAll = batch
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(streamed subsetOf batchAll, "streamed emitted a session batch mode doesn't have")
+  }
+
+  test("sessionization is deterministic across runs") {
+    val w1 = TestSpark.tmpDir("sess-d1")
+    val w2 = TestSpark.tmpDir("sess-d2")
+    Sessionize.run(spark, events, s"$w1/out", s"$w1/cp", gap = gap)
+    Sessionize.run(spark, events, s"$w2/out", s"$w2/cp", gap = gap)
+    val a = spark.read.parquet(s"$w1/out").collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(s"$w2/out").collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+}
