@@ -184,6 +184,81 @@ object Hashing {
     new GenericArrayData(out)
   }
 
+  /** Sorted distinct 64-bit hashes of the word n-gram shingles of `text`,
+    * in ONE pass (tokenize + chain token hashes + sort + dedup). The
+    * composed-builtins version (`transform(sequence(...), i ->
+    * concat_ws(element_at(tokens, i)...))`) re-evaluates the token split
+    * per ELEMENT of the lambda — ~300 splits per row, measured 2 ms/row;
+    * this runs in ~µs. Shingle identity is the ordered token-hash chain,
+    * which preserves set cardinalities (all jaccard math is count-based).
+    */
+  def wordShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    // tokenize on whitespace runs (same split semantics as \s+)
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        var h = 0xcbf29ce484222325L
+        var j = start
+        while (j < i) { h = (h ^ s.charAt(j)) * 0x100000001b3L; j += 1 }
+        tokenHashes += mix64(h)
+      }
+    }
+    val m = tokenHashes.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val sh = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) { h = mix64(h ^ tokenHashes(k + j)); j += 1 }
+      sh(k) = h
+      k += 1
+    }
+    java.util.Arrays.sort(sh)
+    var out = sh
+    var uniq = 1
+    var p = 1
+    while (p < m) { if (sh(p) != sh(p - 1)) { sh(uniq) = sh(p); uniq += 1 }; p += 1 }
+    if (uniq < m) out = java.util.Arrays.copyOf(sh, uniq)
+    new GenericArrayData(out)
+  }
+
+  /** MinHash band hashes over an already-hashed shingle set (long array)
+    * — same banding as [[minhashBands]], skipping the string hashing. */
+  def minhashBandsL(hashes: ArrayData, k: Int, rowsPerBand: Int, seed: Long): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val base = mix64(hashes.getLong(i) ^ seed)
+      var j = 0
+      while (j < k) {
+        val h = mix64(base ^ (j * 0xff51afd7ed558ccdL))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    val nBands = k / rowsPerBand
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 0x87c37b91114253d5L ^ b
+      var r = 0
+      while (r < rowsPerBand) { h = mix64(h ^ mins(b * rowsPerBand + r)); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Jaccard similarity of two SORTED, DISTINCT long arrays by a single
     * merge walk — no per-call hash-set allocation (vs composing
     * `array_intersect`/`array_union`, which builds two hash sets per

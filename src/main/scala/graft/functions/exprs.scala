@@ -90,6 +90,44 @@ case class WinnowFingerprint(child: Expression, n: Int, w: Int) extends UnaryExp
     copy(child = newChild)
 }
 
+case class HashedWordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0 && n <= 16, s"shingle n out of range: $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hashed_word_shingles requires string, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(s: Any): Any =
+    Hashing.wordShingleHashes(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.wordShingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): HashedWordShingles =
+    copy(child = newChild)
+}
+
+case class MinHashBandsL(child: Expression, k: Int, rowsPerBand: Int, seed: Long)
+    extends UnaryExpression {
+  require(k > 0 && k <= 512 && rowsPerBand > 0 && k % rowsPerBand == 0,
+    s"bad minhash banding: k=$k rowsPerBand=$rowsPerBand")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_bands_l requires array<bigint>, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(arr: Any): Any =
+    Hashing.minhashBandsL(arr.asInstanceOf[ArrayData], k, rowsPerBand, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.minhashBandsL($c, $k, $rowsPerBand, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsL =
+    copy(child = newChild)
+}
+
 case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes() = {
@@ -156,6 +194,13 @@ object fns {
 
   def minhashBands(c: Column, k: Int, rowsPerBand: Int, seed: Long = 0L): Column =
     Bridge.column(MinHashBands(Bridge.expression(c), k, rowsPerBand, seed))
+
+  /** One-pass sorted distinct word-n-gram shingle hashes of a text. */
+  def hashedWordShingles(c: Column, n: Int): Column =
+    Bridge.column(HashedWordShingles(Bridge.expression(c), n))
+
+  def minhashBandsFromHashes(c: Column, k: Int, rowsPerBand: Int, seed: Long = 0L): Column =
+    Bridge.column(MinHashBandsL(Bridge.expression(c), k, rowsPerBand, seed))
 
   def winnowFingerprint(c: Column, n: Int = 8, w: Int = 4): Column =
     Bridge.column(WinnowFingerprint(Bridge.expression(c), n, w))

@@ -56,10 +56,10 @@ object DedupOps {
     // CollapseProject inlines the whole shingle→hash→sort chain into the
     // join's output projection and recomputes it PER CANDIDATE PAIR
     // (measured 2× slower even with ~60-element arrays; grows with n²).
-    val base = shingled(s, dir).select(
+    val base = docs(s, dir).select(
       col("doc_id"), col("lang"),
-      fns.hashedSet(col("sh")).as("shh"),
-      floor(log(1.25, size(col("sh")))).cast("int").as("band"))
+      fns.hashedWordShingles(col("text"), 3).as("shh"))
+      .withColumn("band", floor(log(1.25, size(col("shh")))).cast("int"))
       .repartition(col("doc_id"))
     val a = base.as("a")
     val b = base.as("b")
@@ -98,9 +98,10 @@ object DedupOps {
     val bandRows = 2
     // narrow banded view: (doc_id, band, band_hash) — one single-pass
     // band-hash expression per row, no wide payload in the shuffle
-    val banded = shingled(s, dir).select(
+    val banded = docs(s, dir).select(
       col("doc_id"),
-      posexplode(fns.minhashBands(col("sh"), k, bandRows, seed = 7L)))
+      posexplode(fns.minhashBandsFromHashes(
+        fns.hashedWordShingles(col("text"), 3), k, bandRows, seed = 7L)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     // candidate pairs: equi-join on (band, band_hash), dedup multi-band hits
     val cand = banded.as("a").join(banded.as("b"),
@@ -110,8 +111,8 @@ object DedupOps {
       .distinct()
     // exact verify: re-join hashed shingle sets for surviving candidates
     // (repartition = optimizer barrier against per-pair recompute, as in q14)
-    val sh = shingled(s, dir)
-      .select(col("doc_id"), fns.hashedSet(col("sh")).as("shh"))
+    val sh = docs(s, dir)
+      .select(col("doc_id"), fns.hashedWordShingles(col("text"), 3).as("shh"))
       .repartition(col("doc_id"))
     cand
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shh" -> "sh_a")), "doc_a")
