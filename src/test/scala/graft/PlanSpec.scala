@@ -1,0 +1,97 @@
+package graft
+
+import graft.gen.{ChangeGen, GenConfig}
+import graft.lake.LakeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the "is this the plan you'd want at
+  * 100 TB" checks: shuffle counts, broadcast choices, filter/column
+  * pushdown into the parquet scans. A regression here is a performance
+  * bug even when results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectAll) ++ p.subqueries.flatMap(collectAll)
+  }
+
+  private def countNodes(p: SparkPlan, pred: SparkPlan => Boolean): Int =
+    collectAll(p).count(pred)
+
+  test("merge epoch plan has exactly one shuffle (repartition doubles as agg distribution)") {
+    val work = TestSpark.tmpDir("planspec")
+    val cfg = GenConfig(nEvents = 2000L)
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 1, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table")
+    ingest.BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4,
+      saltBuckets = 2, recordMeta = false)
+    // replay a second epoch and capture the plan of the final state read —
+    // the merge's write already ran; assert on the state-read side plus a
+    // re-built merge-shaped query
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val events = spark.read.parquet(s"$work/log/batch-00000")
+    val b = pmod(xxhash64(col("repo")), lit(4)).cast("int")
+    val slt = pmod(xxhash64(col("path")), lit(2)).cast("int")
+    val w = Window.partitionBy(col("b"), col("s"), col("repo"), col("path"))
+      .orderBy(col("lsn").desc)
+    val merged = events
+      .withColumn("b", b).withColumn("s", slt)
+      .repartition(8, col("b"), col("s"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    val plan = executed(merged)
+    assert(countNodes(plan, _.isInstanceOf[ShuffleExchangeExec]) == 1,
+      s"expected exactly 1 exchange, plan:\n${plan.toString.take(2000)}")
+  }
+
+  test("small-dimension join broadcasts (q2)") {
+    val plan = executed(SparkEntry.queries("q2_revenue_by_nation")(spark, sf))
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastHashJoin")) >= 1,
+      s"nation/customer join should broadcast:\n${plan.toString.take(1500)}")
+  }
+
+  test("filter and column pruning reach the parquet scan (q8-style projection)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 40.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scans = collectAll(executed(df)).filter(_.getClass.getSimpleName.contains("FileSourceScan"))
+    assert(scans.nonEmpty)
+    val s = scans.head.toString
+    assert(s.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)"),
+      s"filter not pushed: ${s.take(600)}")
+    assert(s.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned: ${s.take(600)}")
+  }
+
+  test("whole-stage codegen covers the custom expressions (no interpreted fallback)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.fns.hashedWordShingles(col("text"), 3).as("sh"),
+        graft.functions.fns.simhash64(graft.functions.fns.wsTokens(col("text"))).as("sim"))
+    val plan = executed(df)
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("WholeStageCodegen")) >= 1,
+      s"custom expressions fell out of codegen:\n${plan.toString.take(1200)}")
+  }
+
+  test("ANN query broadcasts the query side, not the corpus") {
+    val plan = executed(SparkEntry.queries("q18_ann_bruteforce")(spark, sf))
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastHashJoin")) +
+      countNodes(plan, _.getClass.getSimpleName.contains("BroadcastNestedLoop")) >= 1)
+  }
+}

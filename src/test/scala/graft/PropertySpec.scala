@@ -1,0 +1,112 @@
+package graft
+
+import graft.gen.{ChangeGen, GenConfig}
+import graft.lake.LakeTable
+import graft.merge.MergeInto
+import graft.schema.ChangeEvent
+import org.scalacheck.{Gen => SGen}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY §5): the replay invariants that must hold for
+  * ANY event log, not just the seeded fixtures —
+  *  1. replaying any permutation / any batch split of distinct-lsn events
+  *     yields the lsn-max state;
+  *  2. duplicating any subset of events changes nothing;
+  *  3. the hashing kernels' algebraic properties.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Deterministic scalacheck sampling (no scalatestplus bridge offline):
+    * draw `n` cases from fixed seeds and run the assertion on each. */
+  private def forSamples[T](gen: SGen[T], n: Int)(check: (T, scala.util.Random) => Unit): Unit =
+    (1 to n).foreach { i =>
+      val v = gen.pureApply(SGen.Parameters.default, Seed(1000L + i))
+      check(v, new scala.util.Random(5000L + i))
+    }
+
+  private def ts(i: Long) = new java.sql.Timestamp(1700000000000L + i * 1000)
+
+  private val genEvents: SGen[List[ChangeEvent]] = for {
+    n <- SGen.choose(1, 60)
+    evs <- SGen.sequence[List[ChangeEvent], ChangeEvent]((0 until n).map { i =>
+      for {
+        repo <- SGen.oneOf("r1", "r2", "r3")
+        path <- SGen.oneOf("a", "b", "c", "d")
+        op <- SGen.frequency(4 -> SGen.const("U"), 1 -> SGen.const("D"), 2 -> SGen.const("I"))
+        body <- SGen.alphaNumStr.map(_.take(12))
+      } yield ChangeEvent(i.toLong, op, ts(i.toLong), repo, path,
+        f"c$i%040d", "scala", if (op == "D") null else s"$repo/$path:$body")
+    })
+  } yield evs
+
+  private def expected(evs: Seq[ChangeEvent]): Map[(String, String), Long] = {
+    val state = scala.collection.mutable.Map.empty[(String, String), ChangeEvent]
+    evs.sortBy(_.lsn).foreach { e =>
+      if (e.op == "D") state.remove((e.repo, e.path)) else state((e.repo, e.path)) = e
+    }
+    state.view.mapValues(_.lsn).toMap
+  }
+
+  private def replayPermutation(evs: Seq[ChangeEvent], nBatches: Int): Map[(String, String), Long] = {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("prop")
+    val table = new LakeTable(spark, s"$work/table")
+    val merge = new MergeInto(table, numBuckets = 2, saltBuckets = 2, recordMeta = false)
+    val groups = evs.zipWithIndex.groupBy(_._2 % nBatches).toSeq.sortBy(_._1)
+    groups.foreach { case (epoch, batch) =>
+      merge.apply(batch.map(_._1).toDF(), epoch.toLong)
+    }
+    table.read().select("repo", "path", "lsn").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  }
+
+  test("replay of any permutation and batch split yields the lsn-max state") {
+    forSamples(genEvents, 8) { (evs, rnd) =>
+      val shuffled = rnd.shuffle(evs)
+      val nBatches = 1 + rnd.nextInt(3)
+      assert(replayPermutation(shuffled, nBatches) == expected(evs))
+    }
+  }
+
+  test("duplicating any subset of events changes nothing") {
+    forSamples(genEvents, 5) { (evs, rnd) =>
+      val dups = evs.filter(_ => rnd.nextBoolean())
+      assert(replayPermutation(rnd.shuffle(evs ++ dups), 2) == expected(evs))
+    }
+  }
+
+  test("sortedJaccard equals set-definition jaccard on arbitrary long sets") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val pairGen = for {
+      a <- SGen.listOf(SGen.choose(-50L, 50L))
+      b <- SGen.listOf(SGen.choose(-50L, 50L))
+    } yield (a, b)
+    forSamples(pairGen, 200) { case ((a, b), _) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val got = graft.functions.Hashing.sortedJaccard(
+        new GenericArrayData(sa.toArray), new GenericArrayData(sb.toArray))
+      val inter = sa.toSet.intersect(sb.toSet).size
+      val union = sa.toSet.union(sb.toSet).size
+      val want = if (union == 0) 0.0 else inter.toDouble / union
+      assert(got == want)
+    }
+  }
+
+  test("generator fold oracle is permutation-independent (sanity of the test oracle itself)") {
+    val cfg = GenConfig(nEvents = 300L)
+    val evs = ChangeGen.eventsLocal(cfg)
+    val byLsnFirst = ChangeGen.expectedState(cfg)
+    // re-fold a shuffled copy (dedup by lsn first, then lsn order)
+    val rnd = new scala.util.Random(1)
+    val shuffled = rnd.shuffle(evs)
+    val byLsn = shuffled.groupBy(_.lsn).map(_._2.head).toSeq.sortBy(_.lsn)
+    val state = scala.collection.mutable.Map.empty[(String, String), ChangeEvent]
+    byLsn.foreach { e =>
+      if (e.op == "D") state.remove((e.repo, e.path)) else state((e.repo, e.path)) = e
+    }
+    assert(state.toMap == byLsnFirst)
+  }
+}
