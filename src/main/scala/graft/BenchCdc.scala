@@ -181,7 +181,7 @@ object BenchCdc {
     }
     val coreList = sys.env.getOrElse("SPARK_GRAFT_CORES_LIST", "2,8")
       .split(',').map(_.trim.toInt).toSeq
-    val reps = envInt("SPARK_GRAFT_BENCH_REPS", 3)
+    val reps = envInt("SPARK_GRAFT_BENCH_REPS", 4)
     val r = runScaling(coreList, reps)
     coreList.foreach { cpus =>
       println(f"""{"cores":$cpus,"secs":${r.bestSecs(cpus)}%.2f,"events_per_sec":${r.throughput(cpus)},"rows":${r.rows}}""")

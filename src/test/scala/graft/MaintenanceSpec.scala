@@ -69,6 +69,65 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got.getOrElse("update_postimage", Set.empty) == wantUpdates, "updates differ")
   }
 
+  test("crash between data write and snapshot commit: retry converges") {
+    // the dangerous window (SURVEY §7.4.3): data files for version N are
+    // on disk but the snapshot pointer never landed. A retry of the same
+    // epoch must overwrite the orphaned files and commit exactly once.
+    val (table, _) = replayed(1000L, 2)
+    val v = table.currentSnapshot().get.version
+    val stateBefore = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
+
+    // simulate the crash: delete the LAST snapshot file, keep its data dir
+    val fs = new org.apache.hadoop.fs.Path(table.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"${table.root}/_snapshots/v$v"), false))
+    assert(table.currentSnapshot().get.version == v - 1)
+
+    // retry the epoch that produced version v (epoch id = v here)
+    val work = table.root.stripSuffix("/table")
+    BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    assert(table.currentSnapshot().get.version == v)
+    val stateAfter = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
+    assert(stateAfter == stateBefore)
+  }
+
+  test("concurrent snapshot commit of the same version is rejected") {
+    val (table, _) = replayed(200L, 1)
+    val snap = table.currentSnapshot().get
+    val clash = snap.copy(epochs = snap.epochs + 999L)
+    intercept[IllegalStateException](table.commitSnapshot(clash))
+  }
+
+  test("hot-repo skew: salting fans the hot bucket out across files") {
+    // half of all events hit one repo → one bucket would be pathological;
+    // the salt dimension must spread it over multiple files/tasks
+    val cfg = GenConfig(nEvents = 4000L, hotRepoPct = 50)
+    val work = TestSpark.tmpDir("skew")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 1, partitions = 4)
+    val table = new LakeTable(spark, s"$work/table")
+    BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4, saltBuckets = 4,
+      recordMeta = false)
+    val snap = table.currentSnapshot().get
+    // find the hot repo's bucket
+    val hotBucket = table.read()
+      .groupBy(col("repo")).count().orderBy(col("count").desc)
+      .limit(1).select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("repo")), lit(4)).cast("int"))
+      .collect().head.getInt(0)
+    val hotFiles = snap.files.count(_.bucket == hotBucket)
+    assert(hotFiles >= 2, s"hot bucket $hotBucket written as $hotFiles file(s) — salting inert")
+    // and the spread is real: no single file holds everything
+    val spark2 = spark
+    val counts = spark2.read
+      .parquet(snap.files.filter(_.bucket == hotBucket)
+        .map(f => s"${table.root}/${f.relPath}"): _*)
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(counts.length >= 2 && counts.max < counts.sum,
+      s"salt did not spread rows: ${counts.mkString(",")}")
+  }
+
   test("stream metrics record per-batch counts incl. late-beyond-watermark") {
     val cfg = GenConfig(nEvents = 900L)
     val work = TestSpark.tmpDir("stream-metrics")

@@ -45,6 +45,25 @@ class SessionizeSpec extends AnyFunSuite {
     assert(streamed subsetOf batchAll, "streamed emitted a session batch mode doesn't have")
   }
 
+  test("streaming windowed metrics: sealed windows equal the batch aggregation") {
+    import graft.streaming.WindowedMetrics
+    val work = TestSpark.tmpDir("winmetrics")
+    WindowedMetrics.run(spark, events, s"$work/out", s"$work/cp",
+      window = "1 hour", watermark = "30 minutes")
+    val streamed = spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty)
+    val all = WindowedMetrics.batch(spark, events)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // append-mode emits only watermark-sealed windows: a subset of batch,
+    // and every sealed window value must be exact
+    assert(streamed subsetOf all, "streamed window disagrees with batch value")
+    val maxStart = all.map(_._1).max
+    val surelySealed = all.filter(_._1 < maxStart - 2 * 3600)
+    assert(surelySealed subsetOf streamed,
+      s"missing ${(surelySealed diff streamed).size} sealed windows")
+  }
+
   test("sessionization is deterministic across runs") {
     val w1 = TestSpark.tmpDir("sess-d1")
     val w2 = TestSpark.tmpDir("sess-d2")
