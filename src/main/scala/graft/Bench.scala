@@ -44,7 +44,7 @@ object Bench {
     // ---- part 2: CDC replay scaling protocol ---------------------------
     val coreList = sys.env.getOrElse("SPARK_GRAFT_CORES_LIST", "2,8")
       .split(',').map(_.trim.toInt).toSeq
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
     val r = BenchCdc.runScaling(coreList, reps)
     val (nC, mC) = (coreList.head, coreList.last)
     val eff = r.efficiency(nC, mC)
