@@ -15,8 +15,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private def querySession(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val b0 = SparkSession.builder()
+    val b1 = if (sys.props.contains("spark.master") || sys.env.contains("MASTER")) b0
+             else b0.master(s"local[$cpus]")
+    val s = b1
       .appName(s"graft-bench-queries")
       .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")

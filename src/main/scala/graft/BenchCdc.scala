@@ -31,8 +31,13 @@ object BenchCdc {
   }
 
   def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // honor an externally-provided master (spark-submit --master) so the
+    // same mains run unchanged on a real cluster; local[cpus] is the
+    // sandbox default
+    val b0 = SparkSession.builder()
+    val b1 = if (sys.props.contains("spark.master") || sys.env.contains("MASTER")) b0
+             else b0.master(s"local[$cpus]")
+    val s = b1
       .appName(s"graft-cdc-bench-$cpus")
       .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")

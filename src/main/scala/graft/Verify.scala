@@ -7,8 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val b0 = SparkSession.builder()
+    val b1 = if (sys.props.contains("spark.master") || sys.env.contains("MASTER")) b0
+             else b0.master(s"local[$cpus]")
+    val spark = b1
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
