@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-name registration of graft's Catalyst expressions, so they are
+  * callable from `spark.sql("...")` text as well as the Column API:
+  *
+  *   - `new GraftExtensions` via `spark.sql.extensions=graft.GraftExtensions`
+  *     (the spark-submit / cluster path, SURVEY §7.3), or
+  *   - `GraftFunctions.register(spark)` on an already-built session
+  *     (e.g. the driver-owned session handed to SparkEntry.queries).
+  *
+  * Parameterized expressions take their static knobs as literal arguments
+  * (`minhash_bands(arr, 64, 2, 7)`), folded at registration time.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Number, _) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Number, _) => v.longValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> { args => SimHash64(args.head) },
+    "minhash_sig" -> { args =>
+      MinHashSig(args(0), intLit(args(1), "k"), longLit(args(2), "seed")) },
+    "minhash_bands" -> { args =>
+      MinHashBands(args(0), intLit(args(1), "k"), intLit(args(2), "rowsPerBand"),
+        longLit(args(3), "seed")) },
+    "minhash_bands_l" -> { args =>
+      MinHashBandsL(args(0), intLit(args(1), "k"), intLit(args(2), "rowsPerBand"),
+        longLit(args(3), "seed")) },
+    "hashed_word_shingles" -> { args =>
+      HashedWordShingles(args(0), intLit(args(1), "n")) },
+    "winnow_fingerprint" -> { args =>
+      WinnowFingerprint(args(0), intLit(args(1), "n"), intLit(args(2), "w")) },
+    "cosine_sim" -> { args => CosineSim(args(0), args(1)) },
+    "sorted_jaccard" -> { args => SortedJaccard(args(0), args(1)) },
+    "hyperplane_bucket" -> { args =>
+      HyperplaneBucket(args(0), intLit(args(1), "nbits"), longLit(args(2), "seed")) }
+  )
+
+  /** Register all graft functions on a live session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }
+}
