@@ -35,6 +35,12 @@ object Bench {
 
     // ---- part 1: operator queries --------------------------------------
     val sq = querySession(cpus)
+    // untimed warmup: JIT/codegen/session bring-up otherwise lands on the
+    // alphabetically-first query (~3s of pure warmup measured)
+    Seq("q8_text_stats", "q1_pricing_summary").foreach { w =>
+      try SparkEntry.queries(w)(sq, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(sq, sfDir).write.format("noop").mode("overwrite").save() }
