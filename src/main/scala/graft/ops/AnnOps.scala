@@ -60,8 +60,12 @@ object AnnOps {
 
   /** q19: LSH-bucketed ANN. Corpus hashed once into 2^6 buckets; queries
     * multiprobe their bucket + 6 single-bit flips. Top-k within probed
-    * candidates. No SQL oracle (graft-specific hash); AnnSpec measures
-    * recall against q18 and checks determinism. */
+    * candidates. The DuckDB oracle reproduces the hyperplane buckets
+    * exactly: the Rademacher plane signs depend only on (bit, dim) —
+    * mix64(seed ^ b<<32 ^ i) & 1 — so a 384-row planes CTE + in-order
+    * double dot products rebuild every bucket, then the same multiprobe
+    * join + rounded cosine + rank. TrainingOpsSpec additionally measures
+    * recall against q18. */
   def q19AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val nbits = 6
     val corpus = emb(s, dir)
@@ -83,12 +87,47 @@ object AnnOps {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  val q19Sql: String = {
+    import SqlKernels._
+    s"""WITH pl0 AS (
+       |  SELECT b, i, ${u64("xor(xor(11::BIGINT, b << 32), i)")} AS h0
+       |  FROM unnest(generate_series(0, 5)) AS t1(b),
+       |       unnest(generate_series(0, 63)) AS t2(i)),
+       |planes AS (
+       |  SELECT b, list(CASE WHEN hu % 2 = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY i) AS signs
+       |  FROM ${mix64Select("pl0", "h0", "hu")} AS mx GROUP BY b),
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, p.b,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> p.signs[i] * e.embedding[i]::DOUBLE)) AS dot
+       |  FROM emb e CROSS JOIN planes p),
+       |bkt AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << b) ELSE 0 END) AS INT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |c AS (SELECT e.vec_id, e.embedding, b.bucket FROM emb e JOIN bkt b USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM c WHERE vec_id % 50 = 0),
+       |probes AS (
+       |  SELECT query_id, qe, CAST(xor(bucket::BIGINT, f) AS INT) AS bucket
+       |  FROM q, unnest([0, 1, 2, 4, 8, 16, 32]) AS t(f)),
+       |scored AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id,
+       |    round(${cosineSql("p.qe", "c.embedding")}, 6) AS cos
+       |  FROM probes p JOIN c ON p.bucket = c.bucket AND c.vec_id <> p.query_id)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_ann_bruteforce" -> (q18AnnBruteForce _),
     "q19_ann_lsh" -> (q19AnnLsh _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q18_ann_bruteforce" -> q18Sql
+    "q18_ann_bruteforce" -> q18Sql,
+    "q19_ann_lsh" -> q19Sql
   )
 }

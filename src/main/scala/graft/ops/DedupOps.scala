@@ -162,6 +162,40 @@ object DedupOps {
         coalesce(col("nearest_ham"), lit(-1)).as("nearest_ham"))
   }
 
+  /** Exact DuckDB oracle for q16: per-token FNV-1a+splitmix64, 64 bit
+    * votes, chunk-equality candidates, min Hamming via bit_count(xor). */
+  val q16Sql: String = {
+    import SqlKernels._
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |th0 AS (
+       |  SELECT doc_id, ${fnv1aFold(charCodes("tok"))} AS h0 FROM toks),
+       |th AS (
+       |  SELECT doc_id, ${i64("hu")} AS hv
+       |  FROM ${mix64Select("th0", "h0", "hu")} AS mx),
+       |votes AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th, unnest(generate_series(0, 63)) AS t(b)
+       |  GROUP BY doc_id, b),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN
+       |      CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END
+       |      ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |ch AS (
+       |  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 16)) & 65535 AS chunk_val
+       |  FROM sh, unnest(generate_series(0, 3)) AS t(c)),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_id, min(bit_count(xor(a.simhash, b.simhash))) AS nearest_ham
+       |  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       |                     AND a.doc_id <> b.doc_id
+       |  GROUP BY a.doc_id)
+       |SELECT s.doc_id, s.simhash, coalesce(c.nearest_ham, -1) AS nearest_ham
+       |FROM sh s LEFT JOIN cand c ON s.doc_id = c.doc_id""".stripMargin
+  }
+
   val CosineThreshold = 0.4
 
   /** q17: embedding-cosine near-dup pairs (custom codegen'd cosine over
@@ -203,6 +237,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "q14_ngram_jaccard" -> q14Sql,
     "q15_minhash_lsh" -> q15Sql,
+    "q16_simhash" -> q16Sql,
     "q17_embedding_neardup" -> q17Sql
   )
 }

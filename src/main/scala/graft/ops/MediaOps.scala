@@ -56,8 +56,9 @@ object MediaOps {
   /** q28: binary media pipeline — documents' text bytes standing in for
     * media payloads (binary column + metadata struct), decoded per
     * partition in one narrow pass (no shuffle), features rounded for
-    * stable output. Rows-only driver check (decode hash is graft-local);
-    * MediaSpec covers values. */
+    * stable output. The DuckDB oracle recomputes the byte statistics
+    * (mean, histogram entropy, fake geometry) from the same bytes
+    * (ASCII text ⇒ codepoints == UTF-8 bytes). */
   def q28MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val blobs = s.read.parquet(s"$dir/documents.parquet")
@@ -72,9 +73,30 @@ object MediaOps {
         round(col("byte_entropy"), 6).as("byte_entropy"))
   }
 
+  val q28Sql: String = {
+    import SqlKernels._
+    s"""WITH base AS (SELECT doc_id, length(text) AS n FROM documents),
+       |codes AS (SELECT doc_id, unnest(${charCodes("text")}) AS c FROM documents),
+       |stats AS (SELECT doc_id, sum(c) AS sumc FROM codes GROUP BY doc_id),
+       |byc AS (SELECT doc_id, c, count(*) AS cnt FROM codes GROUP BY doc_id, c),
+       |ent AS (
+       |  SELECT doc_id,
+       |    sum(-(cnt::DOUBLE / b.n) * ln(cnt::DOUBLE / b.n) / ln(2::DOUBLE)) AS e
+       |  FROM byc JOIN base b USING (doc_id) GROUP BY doc_id)
+       |SELECT b.doc_id, 'txt-raw' AS fmt, b.n AS n_bytes,
+       |  16 + b.n % 64 AS width,
+       |  greatest(1, b.n // (16 + b.n % 64)) AS height,
+       |  b.n // 256 + 1 AS n_frames,
+       |  round(s.sumc::DOUBLE / b.n, 6) AS mean_byte,
+       |  round(ent.e, 6) AS byte_entropy
+       |FROM base b JOIN stats s USING (doc_id) JOIN ent USING (doc_id)""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_media_features" -> (q28MediaFeatures _)
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q28_media_features" -> q28Sql
+  )
 }

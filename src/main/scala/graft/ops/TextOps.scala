@@ -114,8 +114,11 @@ object TextOps {
       |FROM documents""".stripMargin
 
   /** q13: winnowed rolling-hash fingerprints (custom codegen'd Catalyst
-    * expression). No SQL oracle — the hash is graft-specific; correctness
-    * is covered by FunctionsSpec golden values + determinism tests. */
+    * expression). The DuckDB oracle recomputes the identical Rabin–Karp
+    * (direct polynomial form — equal to the rolling form in the mod-2^64
+    * ring) + splitmix64 + window-min selection via SqlKernels; the
+    * winnow's distinct VALUE set only needs per-window min values (the
+    * ties→rightmost position rule affects positions, not values). */
   def q13Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), fns.winnowFingerprint(col("text"), n = 8, w = 4).as("fp"))
@@ -124,6 +127,37 @@ object TextOps {
         size(col("fp")).as("n_fp"),
         element_at(col("fp"), 1).as("min_fp"),
         element_at(col("fp"), -1).as("max_fp"))
+
+  val q13Sql: String = {
+    import SqlKernels._
+    // n = 8 (char n-grams), w = 4 (winnow window); window-min runs in the
+    // SIGNED domain to match java.util.Arrays.sort / Long.compare.
+    s"""WITH codes AS (
+       |  SELECT doc_id, length(text) AS n_chars, ${charCodes("text")} AS cs
+       |  FROM documents),
+       |grams0 AS (
+       |  SELECT doc_id, i, ${polyFold("list_slice(cs, i, i + 7)", 1000003L)} AS h0
+       |  FROM codes, unnest(generate_series(1, n_chars - 7)) AS t(i)),
+       |grams AS (
+       |  SELECT doc_id, i, ${i64("hu")} AS gh
+       |  FROM ${mix64Select("grams0", "h0", "hu")} AS mx),
+       |cnt AS (SELECT doc_id, count(*) AS m FROM grams GROUP BY doc_id),
+       |wins AS (
+       |  SELECT doc_id, i,
+       |    min(gh) OVER (PARTITION BY doc_id ORDER BY i
+       |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       |  FROM grams),
+       |sel AS (
+       |  SELECT DISTINCT w.doc_id, w.wmin
+       |  FROM wins w JOIN cnt ON w.doc_id = cnt.doc_id
+       |  WHERE w.i <= greatest(1, cnt.m - 3))
+       |SELECT d.doc_id,
+       |  count(s.wmin) AS n_fp,
+       |  min(s.wmin) AS min_fp,
+       |  max(s.wmin) AS max_fp
+       |FROM documents d LEFT JOIN sel s ON d.doc_id = s.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_lang_id" -> (q10LangId _),
@@ -135,6 +169,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q10_lang_id" -> q10Sql,
     "q11_quality_score" -> q11Sql,
-    "q12_token_count" -> q12Sql
+    "q12_token_count" -> q12Sql,
+    "q13_fingerprint" -> q13Sql
   )
 }
