@@ -25,14 +25,23 @@ object AnnOps {
   /** Query subset: every 50th vector — deterministic, sf-proportional. */
   private def queryFilter = col("vec_id") % 50 === 0
 
-  /** q18: exact brute-force cosine top-k per query (tie-break on vec_id). */
+  /** q18: exact brute-force cosine top-k per query (tie-break on vec_id).
+    * The query side is processed in NB bounded batches — each batch
+    * broadcasts only its chunk and the corpus streams once per batch with
+    * no corpus shuffle — so the broadcast never grows with the corpus (at
+    * scale NB = ceil(nQueries / maxBroadcastRows)); the union feeds one
+    * window shuffle keyed by query_id. */
   def q18AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val corpus = emb(s, dir)
-    val queries = corpus.where(queryFilter)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(fns.cosineSim(col("qe"), col("embedding")), 6).as("cos"))
+    val NB = 4
+    val scored = (0 until NB).map { b =>
+      val queries = corpus
+        .where(queryFilter && (col("vec_id") / 50).cast("long") % NB === b)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(fns.cosineSim(col("qe"), col("embedding")), 6).as("cos"))
+    }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
@@ -89,23 +98,8 @@ object AnnOps {
 
   val q19Sql: String = {
     import SqlKernels._
-    s"""WITH pl0 AS (
-       |  SELECT b, i, ${u64("xor(xor(11::BIGINT, b << 32), i)")} AS h0
-       |  FROM unnest(generate_series(0, 5)) AS t1(b),
-       |       unnest(generate_series(0, 63)) AS t2(i)),
-       |planes AS (
-       |  SELECT b, list(CASE WHEN hu % 2 = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY i) AS signs
-       |  FROM ${mix64Select("pl0", "h0", "hu")} AS mx GROUP BY b),
-       |emb AS (SELECT vec_id, embedding FROM embeddings),
-       |dots AS (
-       |  SELECT e.vec_id, p.b,
-       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-       |      i -> p.signs[i] * e.embedding[i]::DOUBLE)) AS dot
-       |  FROM emb e CROSS JOIN planes p),
-       |bkt AS (
-       |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << b) ELSE 0 END) AS INT) AS bucket
-       |  FROM dots GROUP BY vec_id),
-       |c AS (SELECT e.vec_id, e.embedding, b.bucket FROM emb e JOIN bkt b USING (vec_id)),
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |${hyperplaneCtes("emb", "c", nbits = 6, dim = 64, seed = 11L)},
        |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM c WHERE vec_id % 50 = 0),
        |probes AS (
        |  SELECT query_id, qe, CAST(xor(bucket::BIGINT, f) AS INT) AS bucket

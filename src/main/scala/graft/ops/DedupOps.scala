@@ -196,36 +196,76 @@ object DedupOps {
        |FROM sh s LEFT JOIN cand c ON s.doc_id = c.doc_id""".stripMargin
   }
 
-  val CosineThreshold = 0.4
+  /** True near-dups sit at cos ≥ ~0.99; the corpus' ambient pair maximum
+    * is ~0.51, so this threshold separates planted dups from noise with
+    * a wide margin — and at this angle (~18°/π per hyperplane bit) the
+    * 6-bit Hamming≤1 multiprobe has ~0.98 per-pair recall. */
+  val NearDupCosine = 0.95
+  private val NearDupBits = 6
 
-  /** q17: embedding-cosine near-dup pairs (custom codegen'd cosine over
-    * float vectors, double accumulation in index order → bit-stable and
-    * SQL-mirrorable). Small table self-join here; the at-scale variant is
-    * q19's LSH bucketing. */
-  def q17EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
-    val a = e.as("a")
-    val b = e.as("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
+  /** q17: embedding near-dup pairs, at-scale formulation — candidates
+    * from a hyperplane-LSH bucket equi-join (bucket equal or 1 bit off),
+    * exact cosine only on candidates. No all-pairs join anywhere: the
+    * corpus shuffles once on the bucket key (≈n²/2^nbits ambient
+    * candidates), vs the previous `vec_id < vec_id` cross join.
+    *
+    * The corpus carries planted near-duplicates — every 10th vector gets
+    * a copy perturbed by 10% of another vector (deterministic double
+    * math, cast back to float) — modeling re-crawled/near-identical
+    * documents; cos(original, copy) ≈ 0.995. The DuckDB oracle rebuilds
+    * the same corpus, the same buckets (SqlKernels.hyperplaneCtes), the
+    * same probes, so the gate is exact; TrainingOpsSpec measures recall
+    * against the exhaustive scan. */
+  /** The q17 corpus: embeddings plus planted near-duplicates (every 10th
+    * vector copied with a 10% perturbation toward another vector). */
+  def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+    val pert = base.as("a")
+      .join(base.as("b"), col("b.vec_id") === col("a.vec_id") + 7)
+      .where(col("a.vec_id") % 10 === 0)
       .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(fns.cosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos"))
-      .where(col("cos") >= CosineThreshold)
+        (col("a.vec_id") + 1000000).as("vec_id"),
+        zip_with(col("a.embedding"), col("b.embedding"),
+          (x, y) => (x.cast("double") + lit(0.1) * y.cast("double")).cast("float"))
+          .as("embedding"))
+    base.unionByName(pert)
   }
 
-  val q17Sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
-       |SELECT vec_a, vec_b, cos FROM (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    round(
-       |      list_sum(list_transform(range(1, len(a.embedding) + 1),
-       |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-       |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-       |           i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-       |       * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-       |           i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos
-       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-       |WHERE cos >= $CosineThreshold""".stripMargin
+  def q17EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+    val withB = corpus.withColumn("bucket",
+      fns.hyperplaneBucket(col("embedding"), NearDupBits, seed = 11L))
+    val probes = withB.select(col("vec_id"), col("embedding"),
+      explode(array((col("bucket") +: (0 until NearDupBits).map(b =>
+        col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
+    probes.as("a").join(withB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(fns.cosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .dropDuplicates("vec_a", "vec_b")
+      .where(col("cos") >= NearDupCosine)
+  }
+
+  val q17Sql: String = {
+    import SqlKernels._
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |pert AS (
+       |  SELECT a.vec_id + 1000000 AS vec_id,
+       |    list_transform(range(1, len(a.embedding) + 1),
+       |      i -> CAST(a.embedding[i]::DOUBLE + 0.1 * b.embedding[i]::DOUBLE AS FLOAT)) AS embedding
+       |  FROM base a JOIN base b ON b.vec_id = a.vec_id + 7
+       |  WHERE a.vec_id % 10 = 0),
+       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+       |${hyperplaneCtes("corpus", "wb", nbits = NearDupBits, dim = 64, seed = 11L)},
+       |probes AS (
+       |  SELECT vec_id, embedding, CAST(xor(bucket::BIGINT, f) AS INT) AS bucket
+       |  FROM wb, unnest([0, 1, 2, 4, 8, 16, 32]) AS t(f)),
+       |scored AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+       |  FROM probes a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= $NearDupCosine""".stripMargin
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_ngram_jaccard" -> (q14NgramJaccard _),

@@ -10,21 +10,34 @@ import org.apache.spark.sql.functions._
   * cell key, filter by category mask and true distance, keep the argmax).
   * Reference: src/pipeline/conflate/mod.rs:125-190, src/pipeline/edits.rs:92-161.
   *
-  * Points are synthesized deterministically from customer/supplier keys
-  * (lat ∈ [-60, 60] so a fixed ±2-lng-cell probe covers the radius at
-  * the worst-case latitude; lng ∈ [-150, 150] so no candidate pair can
-  * straddle the antimeridian, which flat cell ids cannot see). The covering explode turns the O(n·m) distance
-  * join into an equi-join on cell ids — at 100 TB both sides shuffle once
-  * on the cell key and no cross product ever materializes; skew-prone
-  * hot cells ride AQE + the cell granularity choice.
+  * The covering is RADIUS-ADAPTIVE (SURVEY C5+C15, reference
+  * `matchers/mod.rs:206-232` picks the radius per feature from its mask;
+  * `conflate/mod.rs:131-136` covers the cap adaptively): each row's
+  * category selects a 50/200/500 km radius, and the per-row cell fan-out
+  * is derived from that radius and the row's latitude — wider longitude
+  * spans near the poles (conservative over-covering; false candidates
+  * die on the exact-distance filter), capped at the full ring when the
+  * search cap contains a pole. Longitude cells wrap modulo 360° (pmod),
+  * so antimeridian-straddling caps are covered correctly; points span
+  * the full |lat| ≤ 88.5° range (no generator crutch).
+  *
+  * The covering explode turns the O(n·m) distance join into an equi-join
+  * on cell ids — at 100 TB both sides shuffle once on the cell key and
+  * no cross product ever materializes; the per-row fan-out stays O(1)
+  * except for the vanishing pole-adjacent fraction; skew-prone hot cells
+  * ride AQE + the cell granularity choice.
   */
 object GeoOps {
 
-  private val RadiusKm = 500.0
-  private val CellDeg = 5.0 // ≥ radius in lat-degrees (5° ≈ 556 km)
+  private val CellDeg = 5.0
+  private val LngCells = 72 // 360 / CellDeg
 
-  private def lat(key: Column): Column = (key * 37 % 120 - 60).cast("double") + 0.5
+  private def lat(key: Column): Column = (key * 37 % 178 - 89).cast("double") + 0.5
   private def lng(key: Column): Column = (key * 73 % 300 - 150).cast("double") + 0.5
+
+  /** C5 analogue: search radius picked by category (km). */
+  private def radiusKm(cat: Column): Column =
+    when(cat === 0, 50.0).when(cat === 1, 200.0).otherwise(500.0)
 
   /** Haversine distance in km — same formula as q26 (portable math). */
   private def distKm(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {
@@ -38,8 +51,9 @@ object GeoOps {
   private def lngCell(c: Column): Column = floor((c + 180.0) / CellDeg).cast("int")
 
   /** q29: best-match join — for each customer point, the nearest supplier
-    * point of the SAME category within 500 km (category equality is the
-    * J2 brand-gate analogue; the argmax is A1). */
+    * point of the SAME category within that category's radius (category
+    * equality is the J2 brand-gate analogue; the argmax is A1; the
+    * per-row covering is C5+C15). */
   def q29BestMatchJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = s.read.parquet(s"$dir/customer.parquet").select(
       col("c_custkey"),
@@ -52,40 +66,52 @@ object GeoOps {
       latCell(lat(col("s_suppkey"))).as("cell_lat"),
       lngCell(lng(col("s_suppkey"))).as("cell_lng"))
 
-    // covering: probe the 3×5 cell neighborhood (±1 lat, ±2 lng — enough
-    // for 500 km at |lat| ≤ 60.5° where 5° of longitude ≥ 274 km)
+    // adaptive covering: lat span from the radius (≥110 km/deg is a safe
+    // under-estimate of km-per-lat-degree → over-covers); lng span from
+    // the radius at the cap's worst-case |lat| edge (cos shrinks km/deg →
+    // span grows), capped at the full ring when the cap nears a pole.
+    val r = radiusKm(col("cat"))
+    val latSpan = ceil(r / 110.0 / CellDeg).cast("int")
+    val maxAbsLatEdge = least(abs(col("clat")) + r / 110.0, lit(89.9))
+    val lngSpan = least(
+      lit(LngCells / 2),
+      ceil(r / (lit(111.32) * cos(radians(maxAbsLatEdge))) / CellDeg).cast("int"))
     val probes = cust
-      .withColumn("dlat", explode(array((-1 to 1).map(lit): _*)))
-      .withColumn("dlng", explode(array((-2 to 2).map(lit): _*)))
+      .withColumn("dlat", explode(sequence(-latSpan, latSpan)))
+      .withColumn("dlng", explode(sequence(-lngSpan, lngSpan)))
       .select(col("c_custkey"), col("clat"), col("clng"), col("cat"),
         (latCell(col("clat")) + col("dlat")).as("cell_lat"),
-        (lngCell(col("clng")) + col("dlng")).as("cell_lng"))
+        pmod(lngCell(col("clng")) + col("dlng"), lit(LngCells)).as("cell_lng"))
+      // the pole-capped full ring wraps onto itself; dedupe probe cells
+      .dropDuplicates("c_custkey", "cell_lat", "cell_lng")
 
     val w = Window.partitionBy(col("c_custkey")).orderBy(col("d").asc, col("s_suppkey").asc)
     probes.join(supp, Seq("cell_lat", "cell_lng", "cat"))
       .withColumn("d", distKm(col("clat"), col("clng"), col("slat"), col("slng")))
-      .where(col("d") <= RadiusKm)
+      .where(col("d") <= radiusKm(col("cat")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("c_custkey"), col("s_suppkey"), round(col("d"), 4).as("dist_km"))
   }
 
-  /** Oracle: the exhaustive cross-product formulation (no covering). */
+  /** Oracle: the exhaustive cross-product formulation (no covering),
+    * with the same per-category radius. */
   val q29Sql: String =
     s"""WITH c AS (
        |  SELECT c_custkey,
-       |    CAST(c_custkey * 37 % 120 - 60 AS DOUBLE) + 0.5 AS clat,
+       |    CAST(c_custkey * 37 % 178 - 89 AS DOUBLE) + 0.5 AS clat,
        |    CAST(c_custkey * 73 % 300 - 150 AS DOUBLE) + 0.5 AS clng,
        |    c_custkey % 3 AS cat
        |  FROM customer),
        |sp AS (
        |  SELECT s_suppkey,
-       |    CAST(s_suppkey * 37 % 120 - 60 AS DOUBLE) + 0.5 AS slat,
+       |    CAST(s_suppkey * 37 % 178 - 89 AS DOUBLE) + 0.5 AS slat,
        |    CAST(s_suppkey * 73 % 300 - 150 AS DOUBLE) + 0.5 AS slng,
        |    s_suppkey % 3 AS cat
        |  FROM supplier),
        |pairs AS (
        |  SELECT c.c_custkey, sp.s_suppkey,
+       |    CASE c.cat WHEN 0 THEN 50.0 WHEN 1 THEN 200.0 ELSE 500.0 END AS r,
        |    2 * 6371.0088 * asin(sqrt(
        |      pow(sin((radians(clat) - radians(slat)) / 2), 2)
        |      + cos(radians(clat)) * cos(radians(slat))
@@ -94,7 +120,7 @@ object GeoOps {
        |SELECT c_custkey, s_suppkey, round(d, 4) AS dist_km FROM (
        |  SELECT c_custkey, s_suppkey, d,
        |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY d ASC, s_suppkey ASC) AS rn
-       |  FROM pairs WHERE d <= $RadiusKm)
+       |  FROM pairs WHERE d <= r)
        |WHERE rn = 1""".stripMargin
 
   /** q30: JSONL feature export (SURVEY S15/C13 — one JSON feature per

@@ -182,7 +182,7 @@ object Queries {
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
-    TextOps.all ++ DedupOps.all ++ AnnOps.all ++ RelOps.all ++ MediaOps.all ++ GeoOps.all ++ Map(
+    TextOps.all ++ DedupOps.all ++ AnnOps.all ++ RelOps.all ++ MediaOps.all ++ GeoOps.all ++ TagOps.all ++ PathOps.all ++ Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_top_parts_per_brand" -> (q3TopPartsPerBrand _),
@@ -195,7 +195,7 @@ object Queries {
   )
 
   val oracles: Map[String, String] =
-    TextOps.oracles ++ DedupOps.oracles ++ AnnOps.oracles ++ RelOps.oracles ++ MediaOps.oracles ++ GeoOps.oracles ++ Map(
+    TextOps.oracles ++ DedupOps.oracles ++ AnnOps.oracles ++ RelOps.oracles ++ MediaOps.oracles ++ GeoOps.oracles ++ TagOps.oracles ++ PathOps.oracles ++ Map(
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_parts_per_brand" -> q3Sql,

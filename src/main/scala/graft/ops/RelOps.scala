@@ -126,28 +126,56 @@ object RelOps {
   // tree). Depth is bounded by log2(maxKey) ≈ 15-18, matching the
   // reference's bounded relation-graph depth.
   // -------------------------------------------------------------------
-  def q23Closure(s: SparkSession, dir: String): DataFrame = {
-    val part = s.read.parquet(s"$dir/part.parquet")
-    val edges = part.select(col("p_partkey").as("child"),
-        shiftright(col("p_partkey"), 1).as("parent"))
-      .where(col("child") >= 2)
-    var frontier = part
-      .where(col("p_partkey") % 50 === 0 && col("p_partkey") >= 2)
-      .select(col("p_partkey").as("node"),
-        shiftright(col("p_partkey"), 1).as("ancestor"), lit(1).as("depth"))
-    var acc = frontier
+  /** Generic cycle-safe transitive closure: BFS to fixpoint with a
+    * visited-set anti-join each iteration, mirroring the reference's
+    * `parent_chain` visited-set cycle detection (`osm/mod.rs:391-435`) —
+    * on a cyclic parent graph the frontier empties once every reachable
+    * (node, ancestor) pair has been seen, instead of livelocking or
+    * duplicating rows. `depth` is the FIRST (minimal) depth a pair is
+    * reached at — BFS order guarantees minimality.
+    *
+    * `edges(child, parent)`, `seeds(node, ancestor, depth)`. Each
+    * iteration is one equi-join + one anti-join; localCheckpoint
+    * truncates the growing plan. Iterations are bounded by graph depth
+    * (≤ log₂(maxKey) for q23's binary tree) — the driver loop carries no
+    * data, only plan handles. */
+  def closure(edges: DataFrame, seeds: DataFrame, maxIter: Int = 40): DataFrame = {
+    // visited carries renamed columns (fresh attribute ids per alias) so
+    // the anti-join never self-overlaps with the frontier's lineage
+    def asVisited(df: DataFrame): DataFrame =
+      df.select(col("node").as("vnode"), col("ancestor").as("vanc"))
+    var frontier = seeds
+    var acc = seeds
+    var visited = asVisited(seeds).localCheckpoint()
     var iter = 0
-    // fixpoint: ≤ log2(maxKey) iterations; frontier shrinks monotonically
-    while (iter < 40 && !frontier.isEmpty) {
-      frontier = frontier.where(col("ancestor") >= 2).as("f")
+    while (iter < maxIter && !frontier.isEmpty) {
+      val next = frontier.as("f")
         .join(edges.as("e"), col("f.ancestor") === col("e.child"))
         .select(col("f.node").as("node"), col("e.parent").as("ancestor"),
           (col("f.depth") + 1).as("depth"))
-        .localCheckpoint() // truncate the growing plan each iteration
+      frontier = next
+        .join(visited, col("node") === col("vnode") && col("ancestor") === col("vanc"),
+          "left_anti") // cycle safety
+        .localCheckpoint()
+      visited = visited.unionByName(asVisited(frontier)).localCheckpoint()
       acc = acc.unionByName(frontier)
       iter += 1
     }
     acc
+  }
+
+  def q23Closure(s: SparkSession, dir: String): DataFrame = {
+    val part = s.read.parquet(s"$dir/part.parquet")
+    // child ≥ 2 ⇒ ancestor-1 frontier rows simply find no edge and stop,
+    // exactly the oracle's `WHERE ancestor >= 2` recursion guard
+    val edges = part.select(col("p_partkey").as("child"),
+        shiftright(col("p_partkey"), 1).as("parent"))
+      .where(col("child") >= 2)
+    val seeds = part
+      .where(col("p_partkey") % 50 === 0 && col("p_partkey") >= 2)
+      .select(col("p_partkey").as("node"),
+        shiftright(col("p_partkey"), 1).as("ancestor"), lit(1).as("depth"))
+    closure(edges, seeds)
   }
 
   val q23Sql: String =

@@ -77,6 +77,29 @@ object SqlKernels {
   def charCodes(text: String): String =
     s"list_transform(string_split($text, ''), c -> unicode(c))"
 
+  /** CTE chain reproducing Hashing.hyperplaneBucket for every row of a
+    * CTE `src(vec_id, embedding)`: the Rademacher plane signs depend only
+    * on (bit, dim) — mix64(seed ^ b<<32 ^ i) & 1 — so an nbits×dim
+    * planes CTE + in-order double dot products rebuild every bucket.
+    * Defines `<out>(vec_id, embedding, bucket)`; splice into a WITH list. */
+  def hyperplaneCtes(src: String, out: String, nbits: Int, dim: Int, seed: Long): String =
+    s"""pl0 AS (
+       |  SELECT b, i, ${u64(s"xor(xor($seed::BIGINT, b << 32), i)")} AS h0
+       |  FROM unnest(generate_series(0, ${nbits - 1})) AS t1(b),
+       |       unnest(generate_series(0, ${dim - 1})) AS t2(i)),
+       |planes AS (
+       |  SELECT b, list(CASE WHEN hu % 2 = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY i) AS signs
+       |  FROM ${mix64Select("pl0", "h0", "hu")} AS mx GROUP BY b),
+       |dots AS (
+       |  SELECT e.vec_id, p.b,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> p.signs[i] * e.embedding[i]::DOUBLE)) AS dot
+       |  FROM $src e CROSS JOIN planes p),
+       |bkt AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << b) ELSE 0 END) AS INT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |$out AS (SELECT e.vec_id, e.embedding, b.bucket FROM $src e JOIN bkt b USING (vec_id))""".stripMargin
+
   /** Exact cosine over FLOAT list columns, double accumulation in index
     * order — mirrors Hashing.cosine (and the q17/q18 oracle formula). */
   def cosineSql(a: String, b: String): String =

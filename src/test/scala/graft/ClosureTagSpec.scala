@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.{DedupOps, PathOps, RelOps, TagOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the round-2 operators: cycle-safe transitive closure
+  * (reference `osm/mod.rs:391-435` visited-set walk), tag-map mask
+  * classification (wildcard / negative / precedence arms,
+  * `matchers/mod.rs:60-199`), LSH near-dup recall, and representative-
+  * point geometry bounds. */
+class ClosureTagSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("closure terminates on a cyclic parent graph with no duplicate pairs") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("child", "parent")
+    val seeds = Seq((1L, 2L, 1)).toDF("node", "ancestor", "depth")
+    // without the visited-set anti-join this would run to maxIter and
+    // emit (1,2) / (1,3) / (1,1) once per lap around the cycle
+    val out = RelOps.closure(edges, seeds, maxIter = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == out.toSet.size, "duplicate (node, ancestor, depth) rows")
+    assert(out.toSet == Set((1L, 2L, 1), (1L, 3L, 2), (1L, 1L, 3)))
+  }
+
+  test("closure keeps the minimal depth per pair (BFS order)") {
+    import spark.implicits._
+    // two seeds converging on the same ancestor chain at different depths
+    val edges = Seq((10L, 20L), (20L, 30L)).toDF("child", "parent")
+    val seeds = Seq((1L, 10L, 1), (1L, 20L, 1)).toDF("node", "ancestor", "depth")
+    val out = RelOps.closure(edges, seeds, maxIter = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // (1,20) is a seed at depth 1; the depth-2 rediscovery via 10→20 must
+    // not re-add it; (1,30) is reached first at depth 2 (from seed 20)
+    assert(out == Map((1L, 10L) -> 1, (1L, 20L) -> 1, (1L, 30L) -> 2))
+  }
+
+  test("q31 masks match an independent Scala recomputation (wildcard + negative + unmatched)") {
+    import TagOps._
+    def expectedMask(pk: Long): Option[(Int, Int)] = {
+      val e1 = (keys1((pk % 8).toInt), vals1(((pk % 8) * 4 + (pk / 8) % 4).toInt))
+      val extra =
+        if (pk % 3 == 0) {
+          val i2 = ((pk / 3) % 3).toInt
+          Seq((keys2(i2), vals2(i2 * 3 + ((pk / 9) % 3).toInt)))
+        } else Nil
+      val entries = Seq(e1) ++ extra // the free-text "name" entry never matches
+      val matched = entries.flatMap { case (k, v) =>
+        val specific = arms.collectFirst { case (ak, Some(av), bits) if ak == k && av == v => bits }
+        val wild = arms.collectFirst { case (ak, None, bits) if ak == k => bits }
+        specific.orElse(wild) // specific-beats-wildcard, like Rust arm order
+      }
+      val mask = matched.foldLeft(0)(_ | _)
+      if (matched.isEmpty || mask == 0) None else Some((2 + extra.size, mask))
+    }
+    val got = TagOps.q31TagMask(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val keys = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey").collect().map(_.getLong(0))
+    val want = keys.flatMap(pk => expectedMask(pk).map(pk -> _)).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    // the scenario actually exercises all three arm kinds
+    assert(keys.exists(pk => pk % 8 == 0), "no wildcard-arm rows in data")
+    assert(keys.exists(pk => expectedMask(pk).isEmpty), "no maskless rows in data")
+  }
+
+  test("q17 LSH near-dup recall >= 0.9 vs exhaustive on the planted-dup corpus") {
+    val corpus = DedupOps.nearDupCorpus(spark, sf)
+    val a = corpus.as("a"); val b = corpus.as("b")
+    val exact = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(graft.functions.fns.cosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .where(col("cos") >= DedupOps.NearDupCosine)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.q17EmbeddingNearDup(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair below the threshold")
+    assert(exact.nonEmpty, "no planted near-dup pairs — corpus construction broken")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("q33 representative points stay inside the path patch") {
+    val rows = PathOps.q33RepPoint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ml = r.getAs[Double]("mid_lat"); val mg = r.getAs[Double]("mid_lng")
+      val cl = r.getAs[Double]("cen_lat"); val cg = r.getAs[Double]("cen_lng")
+      assert(ml >= 40.0 && ml <= 42.0 && cl >= 40.0 && cl <= 42.0, s"lat out of patch: $r")
+      assert(mg >= -5.0 && mg <= -2.0 && cg >= -5.0 && cg <= -2.0, s"lng out of patch: $r")
+      assert(r.getAs[Long]("n_pts") >= 2)
+    }
+  }
+
+  test("q33 midpoint of a 2-point path is the spherical midpoint") {
+    // pick any 2-point path and check mid ≈ arithmetic mean (short,
+    // well-conditioned segments → great-circle midpoint ≈ planar)
+    val two = PathOps.q33RepPoint(spark, sf).where(col("n_pts") === 2).collect()
+    assume(two.nonEmpty)
+    two.take(5).foreach { r =>
+      val cl = r.getAs[Double]("cen_lat"); val ml = r.getAs[Double]("mid_lat")
+      assert(math.abs(cl - ml) < 0.01, s"2-pt midpoint vs centroid diverged: $r")
+    }
+  }
+}

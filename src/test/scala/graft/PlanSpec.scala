@@ -94,4 +94,12 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastHashJoin")) +
       countNodes(plan, _.getClass.getSimpleName.contains("BroadcastNestedLoop")) >= 1)
   }
+
+  test("q17 near-dup candidates come from equi-joins — no cross join anywhere") {
+    val plan = executed(SparkEntry.queries("q17_embedding_neardup")(spark, sf))
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("CartesianProduct")) == 0,
+      s"cartesian product in q17:\n${plan.toString.take(1500)}")
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastNestedLoop")) == 0,
+      s"nested-loop join in q17:\n${plan.toString.take(1500)}")
+  }
 }
