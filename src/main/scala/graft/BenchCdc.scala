@@ -142,6 +142,15 @@ object BenchCdc {
       .map(_.split(' ').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", javaBin) ++ jvmArgs ++ extra ++
       Seq(s"-XX:ActiveProcessorCount=$cpus", "-cp", cp, "graft.BenchCdc", "child", cpus.toString)
+    // fall back to an unpinned in-process run whenever the pinned child
+    // can't produce a result: taskset missing (IOException), child exit
+    // nonzero (cgroup cpuset denies the mask, OOM, …), or a crashed child
+    // that printed no CHILD_RESULT line — an aborted bench run helps
+    // nobody; the fallback is labeled so the numbers stay interpretable.
+    def fallback(reason: String): (Double, Long) = {
+      System.err.println(s"pinned child failed ($reason); running in-process unpinned")
+      measure(cpus, cfg)
+    }
     try {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
@@ -149,17 +158,17 @@ object BenchCdc {
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
-      p.waitFor()
-      val line = out.linesIterator.find(_.startsWith("CHILD_RESULT ")).getOrElse {
-        System.err.println(out.takeRight(2000))
-        throw new IllegalStateException("child produced no result")
+      val exit = p.waitFor()
+      out.linesIterator.find(_.startsWith("CHILD_RESULT ")) match {
+        case Some(line) if exit == 0 =>
+          val Array(s, r) = line.stripPrefix("CHILD_RESULT ").split(',')
+          (s.toDouble, r.toLong)
+        case _ =>
+          System.err.println(out.takeRight(2000))
+          fallback(if (exit != 0) s"exit code $exit" else "no CHILD_RESULT line")
       }
-      val Array(s, r) = line.stripPrefix("CHILD_RESULT ").split(',')
-      (s.toDouble, r.toLong)
     } catch {
-      case e: java.io.IOException => // no taskset (non-Linux): run unpinned
-        System.err.println(s"pinned child failed (${e.getMessage}); running in-process")
-        measure(cpus, cfg)
+      case e: java.io.IOException => fallback(e.getMessage) // no taskset (non-Linux)
     }
   }
 
@@ -219,6 +228,9 @@ object BenchCdc {
     }
     val coreList = sys.env.getOrElse("SPARK_GRAFT_CORES_LIST", "2,8")
       .split(',').map(_.trim.toInt).toSeq
+    val avail = Runtime.getRuntime.availableProcessors
+    require(coreList.forall(c => c >= 1 && c <= avail),
+      s"SPARK_GRAFT_CORES_LIST $coreList exceeds available processors ($avail)")
     val reps = envInt("SPARK_GRAFT_BENCH_REPS", 6)
     val r = runScaling(coreList, reps)
     coreList.foreach { cpus =>

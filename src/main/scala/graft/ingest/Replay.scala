@@ -82,16 +82,24 @@ object BatchReplay {
   */
 object StreamingReplay {
 
-  /** Parse "10 minutes"/"30 seconds"/"1 hour" to millis (watermark knob). */
+  /** Parse "10 minutes"/"30 seconds"/"1 hour" to millis (watermark knob,
+    * also consumed by Sessionize and WindowedMetrics). Any other shape —
+    * "10m", "600", "10minutes" — gets the same clear error instead of a
+    * bare MatchError. */
   def durationMs(s: String): Long = {
-    val Array(n, unit) = s.trim.split("\\s+")
-    val v = n.toLong
-    unit.toLowerCase.stripSuffix("s") match {
-      case "millisecond" => v
-      case "second" => v * 1000L
-      case "minute" => v * 60000L
-      case "hour" => v * 3600000L
-      case u => throw new IllegalArgumentException(s"bad duration unit: $u")
+    def bad() = throw new IllegalArgumentException(
+      s"bad duration: '$s' (expected '<n> <milliseconds|seconds|minutes|hours>')")
+    s.trim.split("\\s+") match {
+      case Array(n, unit) =>
+        val v = try n.toLong catch { case _: NumberFormatException => bad() }
+        unit.toLowerCase.stripSuffix("s") match {
+          case "millisecond" => v
+          case "second" => v * 1000L
+          case "minute" => v * 60000L
+          case "hour" => v * 3600000L
+          case _ => bad()
+        }
+      case _ => bad()
     }
   }
 

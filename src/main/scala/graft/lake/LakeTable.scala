@@ -135,17 +135,41 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** List the parquet part-files Spark wrote under `dir`, as (bucket, rel). */
-  def listDataFiles(version: Long): Seq[FileEntry] = {
+  /** List the parquet part-files Spark wrote under `data/<dirName>`, as
+    * (bucket, rel). Writers use unique version-uuid dir names so
+    * concurrent/crashed writers never share a directory; the snapshot
+    * manifest records the paths, so physical dir naming is free. */
+  def listDataFiles(dirName: String): Seq[FileEntry] = {
     val f = fs
-    val base = new Path(root, s"data/v$version")
+    val base = new Path(root, s"data/$dirName")
     if (!f.exists(base)) return Seq.empty
     f.listStatus(base).filter(_.isDirectory).flatMap { bdir =>
       val bucket = bdir.getPath.getName.stripPrefix("b=").toInt
       f.listStatus(bdir.getPath)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => FileEntry(bucket, s"data/v$version/b=$bucket/${s.getPath.getName}"))
+        .map(s => FileEntry(bucket, s"data/$dirName/b=$bucket/${s.getPath.getName}"))
     }.toSeq
+  }
+
+  /** Data directory names currently present under `data/`. */
+  def dataDirNames(): Seq[String] = {
+    val f = fs
+    val base = new Path(root, "data")
+    if (!f.exists(base)) Seq.empty
+    else f.listStatus(base).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
+  /** All committed snapshot versions (ascending). */
+  def snapshotVersions(): Seq[Long] = {
+    val f = fs
+    if (!f.exists(snapshotDir)) Seq.empty
+    else f.listStatus(snapshotDir).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted.toSeq
+  }
+
+  /** Delete a data directory (vacuum support). */
+  private[graft] def deleteDataDir(dirName: String): Unit = {
+    fs.delete(new Path(root, s"data/$dirName"), true): Unit
   }
 
   private def absolute(e: FileEntry): String = s"$root/${e.relPath}"

@@ -26,29 +26,72 @@ object Maintenance {
 
   /** Rewrite buckets having more than `maxFilesPerBucket` files into one
     * file each; returns the number of compacted buckets (0 → no new
-    * snapshot committed). */
+    * snapshot committed). Also compacts the appended meta tables on the
+    * same trigger — they accrete one small file per epoch otherwise. */
   def compact(table: LakeTable, maxFilesPerBucket: Int = 4): Int = {
-    val spark = table.spark
+    compactMeta(table, maxFilesPerBucket * 4)
     val snap = table.currentSnapshot().getOrElse(return 0)
     val byBucket = snap.files.groupBy(_.bucket)
     val oversized = byBucket.filter(_._2.size > maxFilesPerBucket).keySet
     if (oversized.isEmpty) return 0
 
     val newVersion = snap.version + 1
-    val outDir = s"${table.root}/data/v$newVersion"
+    // unique writer-suffixed dir, same protocol as MergeInto: never
+    // overwrite a directory a concurrent committer may already own
+    val writeDir = s"v$newVersion-${java.util.UUID.randomUUID().toString.take(8)}"
     // one output file per oversized bucket: tombstones and winners are
     // already resolved in the stored rows — this is a pure rewrite
     table.readFiles(snap.schema, snap.filesIn(oversized))
       .withColumn("b", pmod(xxhash64(col("repo")), lit(snap.numBuckets)).cast("int"))
       .repartition(oversized.size, col("b"))
       .write.mode("overwrite").option("compression", "zstd")
-      .partitionBy("b").parquet(outDir)
+      .partitionBy("b").parquet(s"${table.root}/data/$writeDir")
 
-    val newFiles = table.listDataFiles(newVersion)
+    val newFiles = table.listDataFiles(writeDir)
     table.commitSnapshot(snap.copy(
       version = newVersion,
       files = snap.filesNotIn(oversized) ++ newFiles))
     oversized.size
+  }
+
+  /** Compact the per-epoch appended meta tables (lineage / metrics /
+    * stream_metrics) down to one file each once they exceed `maxFiles`
+    * parts — at 10⁵ epochs an uncompacted metrics read degrades linearly
+    * in file count. Single-maintainer operation (like compact itself):
+    * rewrite to a tmp dir, swap via delete + rename. */
+  def compactMeta(table: LakeTable, maxFiles: Int = 16): Int = {
+    val spark = table.spark
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq("lineage", "metrics", "stream_metrics").count { name =>
+      val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/$name")
+      val fs = dir.getFileSystem(hconf)
+      val nParts =
+        if (!fs.exists(dir)) 0
+        else fs.listStatus(dir).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (nParts <= maxFiles) false
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.$name.compact")
+        spark.read.parquet(dir.toString).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dir, true)
+        require(fs.rename(tmp, dir), s"meta compaction swap failed for $name")
+        true
+      }
+    }
+  }
+
+  /** Remove orphaned data directories — left by writers that crashed (or
+    * lost a commit race) between writing data files and committing the
+    * snapshot. A directory is an orphan iff NO committed snapshot
+    * references any file inside it; time travel keeps every referenced
+    * version alive. Returns the directories removed. */
+  def vacuum(table: LakeTable): Seq[String] = {
+    val referenced: Set[String] = table.snapshotVersions()
+      .flatMap(v => table.snapshotAt(v).files)
+      .map(_.relPath.stripPrefix("data/").takeWhile(_ != '/')).toSet
+    val orphans = table.dataDirNames().filterNot(referenced)
+    orphans.foreach(table.deleteDataDir)
+    orphans
   }
 
   /** Incremental changes between two committed versions as CDC rows:
@@ -74,9 +117,14 @@ object Maintenance {
     // shuffle is bounded by changed buckets, not table size
     val joined = newDf.as("n").join(o.as("o"),
       col("n.repo") === col("o.repo") && col("n.path") === col("o.path"), "full_outer")
+    // the insert branch requires a PRESENT new side: a key existing only
+    // as an old tombstone (absent from `to`) must not surface as a
+    // spurious all-null "insert" (latent with writers that drop keys,
+    // even though current writers always rewrite buckets whole)
     val changeType =
       when(col("_old_lsn").isNull || col("_old_del"),
-        when(col(s"n.$DeletedCol"), lit(null)).otherwise(lit("insert")))
+        when(col("n.repo").isNull || col(s"n.$DeletedCol"), lit(null))
+          .otherwise(lit("insert")))
         .otherwise(
           when(col(s"n.$DeletedCol"), lit("delete"))
             .when(col("n.lsn") =!= col("_old_lsn"), lit("update_postimage"))

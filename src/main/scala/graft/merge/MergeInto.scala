@@ -40,7 +40,10 @@ final case class MergeStats(
     tableVersion: Long,
     skipped: Boolean,
     eventsIn: Long,
-    afterLsnDedup: Long,
+    /** HLL estimate (~2% rsd) of distinct lsns in the batch — an
+      * observability metric, NOT an exact duplicate-delivery count;
+      * exactness would cost a dedicated distinct exchange. */
+    approxDistinctLsn: Long,
     keysWritten: Long,
     tombstonesWritten: Long,
     bucketsTouched: Int,
@@ -174,8 +177,14 @@ final class MergeInto(
           sum(when(col(DeletedCol), 1L).otherwise(0L)).as("tombstones"))
 
       // --- write touched buckets --------------------------------------------
+      // Unique writer-suffixed directory: data files never collide with a
+      // concurrent writer racing toward the same version — the loser's
+      // commitSnapshot rename fails AFTER writing only its own orphan dir
+      // (cleaned by Maintenance.vacuum), never after clobbering committed
+      // data. A crashed write before commit leaves the same harmless orphan.
       val newVersion = snapOpt.map(_.version + 1).getOrElse(0L)
-      val outDir = s"${table.root}/data/v$newVersion"
+      val writeDir = s"v$newVersion-${java.util.UUID.randomUUID().toString.take(8)}"
+      val outDir = s"${table.root}/data/$writeDir"
       timed("write")(result
         .write
         .mode("overwrite")
@@ -184,7 +193,7 @@ final class MergeInto(
         .parquet(outDir))
 
       // --- commit -----------------------------------------------------------
-      val newFiles = timed("list")(table.listDataFiles(newVersion))
+      val newFiles = timed("list")(table.listDataFiles(writeDir))
       val carried = snapOpt.map(_.filesNotIn(touched)).getOrElse(Seq.empty)
       val schemaVersion = snapOpt.map { s =>
         if (s.schema == physicalSchema) s.schemaVersion else s.schemaVersion + 1
@@ -200,12 +209,13 @@ final class MergeInto(
 
       val stats = MergeStats(epochId, newVersion, skipped = false,
         eventsIn = asLong(inObs.get, "n"),
-        afterLsnDedup = asLong(inObs.get, "n_lsn"),
+        approxDistinctLsn = asLong(inObs.get, "n_lsn"),
         keysWritten = asLong(outObs.get, "keys"),
         tombstonesWritten = asLong(outObs.get, "tombstones"),
         bucketsTouched = touched.size,
         durationMs = (System.nanoTime() - t0) / 1000000)
-      if (recordMeta) Meta.record(table, stats, newVersion, epochId, newFiles.nonEmpty)
+      if (recordMeta) Meta.record(table, stats, newVersion, epochId,
+        if (newFiles.nonEmpty) Some(writeDir) else None)
       stats
     }
   }
@@ -218,24 +228,26 @@ final class MergeInto(
   */
 object Meta {
   def record(table: LakeTable, stats: MergeStats, version: Long, epochId: Long,
-             hasFiles: Boolean = true): Unit = {
+             dataDir: Option[String]): Unit = {
     val spark = table.spark
     import spark.implicits._
     // lineage: per bucket written this version → key count + lsn range.
     // An empty micro-batch commits a version with no data files (the
     // epoch must still be ledgered for exactly-once) — nothing to line.
-    if (hasFiles) spark.read
-      .option("basePath", s"${table.root}/data/v$version")
-      .parquet(s"${table.root}/data/v$version")
-      .groupBy(col("b").cast("int").as("bucket"))
-      .agg(count(lit(1)).as("n_keys"), min("lsn").as("min_lsn"), max("lsn").as("max_lsn"))
-      .withColumn("version", lit(version))
-      .withColumn("epoch", lit(epochId))
-      .coalesce(1)
-      .write.mode("append").parquet(s"${table.root}/meta/lineage")
-    Seq((epochId, version, stats.eventsIn, stats.afterLsnDedup, stats.keysWritten,
+    dataDir.foreach { d =>
+      spark.read
+        .option("basePath", s"${table.root}/data/$d")
+        .parquet(s"${table.root}/data/$d")
+        .groupBy(col("b").cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_keys"), min("lsn").as("min_lsn"), max("lsn").as("max_lsn"))
+        .withColumn("version", lit(version))
+        .withColumn("epoch", lit(epochId))
+        .coalesce(1)
+        .write.mode("append").parquet(s"${table.root}/meta/lineage")
+    }
+    Seq((epochId, version, stats.eventsIn, stats.approxDistinctLsn, stats.keysWritten,
       stats.tombstonesWritten, stats.bucketsTouched, stats.durationMs))
-      .toDF("epoch", "version", "events_in", "after_lsn_dedup", "keys_written",
+      .toDF("epoch", "version", "events_in", "approx_distinct_lsn", "keys_written",
         "tombstones_written", "buckets_touched", "duration_ms")
       .coalesce(1)
       .write.mode("append").parquet(s"${table.root}/meta/metrics")

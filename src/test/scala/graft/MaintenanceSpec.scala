@@ -99,6 +99,51 @@ class MaintenanceSpec extends AnyFunSuite {
     intercept[IllegalStateException](table.commitSnapshot(clash))
   }
 
+  test("meta tables stay bounded: compaction folds per-epoch files into one") {
+    val cfg = GenConfig(nEvents = 600L)
+    val work = TestSpark.tmpDir("metacompact")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 6, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table")
+    BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4, recordMeta = true)
+    val fs = new org.apache.hadoop.fs.Path(table.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(name: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"${table.root}/meta/$name")
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val before = graft.merge.Meta.metrics(table).collect().map(_.toString).sorted.toSeq
+    assert(parts("metrics") >= 6, "expected one metrics file per epoch before compaction")
+    assert(Maintenance.compactMeta(table, maxFiles = 2) >= 2) // metrics + lineage
+    assert(parts("metrics") == 1 && parts("lineage") == 1)
+    val after = graft.merge.Meta.metrics(table).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "meta compaction changed the metrics rows")
+    assert(Maintenance.compactMeta(table, maxFiles = 2) == 0) // idempotent
+  }
+
+  test("vacuum removes exactly the orphaned data dirs of a crashed writer") {
+    val (table, _) = replayed(800L, 2)
+    val v = table.currentSnapshot().get.version
+    val fs = new org.apache.hadoop.fs.Path(table.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash: last snapshot pointer lost, its data dir stays behind
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"${table.root}/_snapshots/v$v"), false))
+    val dirsBefore = table.dataDirNames().toSet
+    // retry writes a NEW uuid dir for version v and commits it
+    val work = table.root.stripSuffix("/table")
+    BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val state = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
+    val removed = Maintenance.vacuum(table)
+    // exactly the crashed writer's dir goes; every referenced version stays
+    assert(removed.toSet.subsetOf(dirsBefore))
+    assert(removed.nonEmpty, "expected the crashed writer's dir to be orphaned")
+    val stateAfter = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
+    assert(stateAfter == state)
+    (0L to v).foreach(ver => assert(table.readVersion(ver).count() > 0))
+    assert(Maintenance.vacuum(table).isEmpty) // idempotent
+  }
+
   test("hot-repo skew: salting fans the hot bucket out across files") {
     // half of all events hit one repo → one bucket would be pathological;
     // the salt dimension must spread it over multiple files/tasks
