@@ -4,9 +4,10 @@ import graft.functions.fns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Near-duplicate detection over `documents`: exact-pairwise Jaccard with
-  * blocking, MinHash+LSH banding, SimHash banding, and embedding-cosine
-  * near-dup — the standard dedup ladder of a training-data pipeline.
+/** Near-duplicate detection over `documents`/`embeddings`: exact-pairwise
+  * Jaccard with blocking, MinHash+LSH banding, SimHash banding, and
+  * hyperplane-LSH embedding near-dup — the standard dedup ladder of a
+  * training-data pipeline.
   *
   * Scale design (100 TB): never a blind cross join. Every pairwise
   * operator first reduces the candidate space with an equi-joinable
@@ -49,7 +50,14 @@ object DedupOps {
     * {band-1, band, band+1} and the pair is found exactly once. Shingles
     * are hashed to longs before the set ops (same jaccard value modulo a
     * ~2⁻⁶⁴ collision, far cheaper comparisons than 3-word strings). The
-    * oracle recomputes the result exhaustively in DuckDB with list ops. */
+    * oracle recomputes the result exhaustively in DuckDB with list ops.
+    *
+    * SCALE LABEL: this is the EXACT, oracle-checkable baseline — within a
+    * (lang, band) block it is still all-pairs, and blocks grow with the
+    * corpus, so the block join is quadratic at 100 TB. The production
+    * path at scale is q15 (MinHash+LSH candidate equi-join, measured
+    * recall 1.0 at these parameters); run q14 only on bounded slices
+    * (per-tenant / per-shard) where an exact answer is worth n²/blocks. */
   def q14NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // The repartition is a deliberate optimizer barrier, not (only) a
     // distribution choice: without an Exchange below the self-join,

@@ -142,13 +142,98 @@ object GeoOps {
       |  '}}' AS feature_json
       |FROM nation""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q35: HIERARCHICAL cell ids (C1/C2/C14 at fidelity — the reference's
+  // S2 ids are hierarchical: level-k parent = high bits of the child,
+  // coverage.rs:10-21 coarsens by shiftright). Scheme: Morton-interleave
+  // the quantized (lng, lat) at `level` bits each and prepend a 1 marker
+  // bit, so id@L ∈ [4^L, 2·4^L) and parent(id) = id >> 2 — exactly the
+  // shift-coarsening the reference uses. Pure codegen'd column math
+  // (bit tests + shifts), identically reproducible in DuckDB.
+  // -------------------------------------------------------------------
+  private val FineLevel = 12
+  private val CoarseLevel = 6
+
+  private def quantize(c: Column, lo: Double, span: Double, level: Int): Column =
+    least(floor((c - lo) / span * (1L << level)).cast("long"), lit((1L << level) - 1))
+
+  private def morton(ix: Column, iy: Column, level: Int): Column =
+    (0 until level).map { b =>
+      shiftright(ix, b).bitwiseAND(1) * (1L << (2 * b)) +
+        shiftright(iy, b).bitwiseAND(1) * (1L << (2 * b + 1))
+    }.reduce(_ + _)
+
+  private def deinterleave(m: Column, level: Int, odd: Boolean): Column =
+    (0 until level).map { b =>
+      shiftright(m, 2 * b + (if (odd) 1 else 0)).bitwiseAND(1) * (1L << b)
+    }.reduce(_ + _)
+
+  /** q35: leaf cell per point, rolled up to the level-6 ancestor by pure
+    * bit-shift (the hierarchy property), with the ancestor's decoded
+    * center — counts per coarse cell. */
+  def q35HierarchicalCells(s: SparkSession, dir: String): DataFrame = {
+    val pts = s.read.parquet(s"$dir/customer.parquet").select(
+      col("c_custkey"),
+      lat(col("c_custkey")).as("plat"), lng(col("c_custkey")).as("plng"))
+    val ix = quantize(col("plng"), -180.0, 360.0, FineLevel)
+    val iy = quantize(col("plat"), -90.0, 180.0, FineLevel)
+    val fine = (lit(1L << (2 * FineLevel)) + morton(ix, iy, FineLevel)).as("fine_cell")
+    val coarse = shiftright(col("fine_cell"), 2 * (FineLevel - CoarseLevel)).as("coarse_cell")
+    val cm = col("coarse_cell") - (1L << (2 * CoarseLevel)) // strip marker bit
+    val cx = deinterleave(cm, CoarseLevel, odd = false)
+    val cy = deinterleave(cm, CoarseLevel, odd = true)
+    pts.select(col("c_custkey"), fine)
+      .select(col("c_custkey"), col("fine_cell"), coarse)
+      .groupBy(col("coarse_cell"))
+      .agg(count(lit(1)).as("n"), min(col("fine_cell")).as("min_fine_cell"))
+      .select(col("coarse_cell"), col("n"), col("min_fine_cell"),
+        round((cx + 0.5) / (1L << CoarseLevel) * 360.0 - 180.0, 6).as("center_lng"),
+        round((cy + 0.5) / (1L << CoarseLevel) * 180.0 - 90.0, 6).as("center_lat"))
+  }
+
+  private def mortonSql(ix: String, iy: String, level: Int): String =
+    (0 until level).map { b =>
+      s"((($ix) >> $b) & 1) * ${1L << (2 * b)} + ((($iy) >> $b) & 1) * ${1L << (2 * b + 1)}"
+    }.mkString("(", " + ", ")")
+
+  private def deinterleaveSql(m: String, level: Int, off: Int): String =
+    (0 until level).map { b =>
+      s"((($m) >> ${2 * b + off}) & 1) * ${1L << b}"
+    }.mkString("(", " + ", ")")
+
+  val q35Sql: String = {
+    val fineBias = 1L << (2 * FineLevel)
+    val coarseBias = 1L << (2 * CoarseLevel)
+    s"""WITH p AS (
+       |  SELECT c_custkey,
+       |    CAST(c_custkey * 37 % 178 - 89 AS DOUBLE) + 0.5 AS plat,
+       |    CAST(c_custkey * 73 % 300 - 150 AS DOUBLE) + 0.5 AS plng
+       |  FROM customer),
+       |q AS (
+       |  SELECT c_custkey,
+       |    least(CAST(floor((plng - (-180.0)) / 360.0 * ${1L << FineLevel}) AS BIGINT), ${(1L << FineLevel) - 1}) AS ix,
+       |    least(CAST(floor((plat - (-90.0)) / 180.0 * ${1L << FineLevel}) AS BIGINT), ${(1L << FineLevel) - 1}) AS iy
+       |  FROM p),
+       |f AS (SELECT c_custkey, $fineBias + ${mortonSql("ix", "iy", FineLevel)} AS fine_cell FROM q),
+       |g AS (
+       |  SELECT fine_cell >> ${2 * (FineLevel - CoarseLevel)} AS coarse_cell,
+       |    count(*) AS n, min(fine_cell) AS min_fine_cell
+       |  FROM f GROUP BY 1)
+       |SELECT coarse_cell, n, min_fine_cell,
+       |  round((${deinterleaveSql(s"coarse_cell - $coarseBias", CoarseLevel, 0)} + 0.5) / ${1L << CoarseLevel}.0 * 360.0 - 180.0, 6) AS center_lng,
+       |  round((${deinterleaveSql(s"coarse_cell - $coarseBias", CoarseLevel, 1)} + 0.5) / ${1L << CoarseLevel}.0 * 180.0 - 90.0, 6) AS center_lat
+       |FROM g""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_best_match_join" -> (q29BestMatchJoin _),
-    "q30_jsonl_export" -> (q30JsonlExport _)
+    "q30_jsonl_export" -> (q30JsonlExport _),
+    "q35_hierarchical_cells" -> (q35HierarchicalCells _)
   )
 
   val oracles: Map[String, String] = Map(
     "q29_best_match_join" -> q29Sql,
-    "q30_jsonl_export" -> q30Sql
+    "q30_jsonl_export" -> q30Sql,
+    "q35_hierarchical_cells" -> q35Sql
   )
 }

@@ -159,17 +159,52 @@ object TextOps {
        |GROUP BY d.doc_id""".stripMargin
   }
 
+  /** q34: dataset-license filter at reference fidelity (F1,
+    * `atp/mod.rs:160-213`): the license check is DATASET-level — one doc
+    * with a denied license rejects the whole dataset (the reference
+    * rejects the entire FeatureCollection file early), unless the
+    * dataset carries the override marker (the `use:openstreetmap`
+    * analog). Spark-first: the bad-dataset set is a tiny distinct →
+    * broadcast LEFT ANTI join, so the reject never shuffles the corpus —
+    * the file-level early-exit reborn as a broadcast anti-join. */
+  def q34LicenseFilter(s: SparkSession, dir: String): DataFrame = {
+    val lics = Seq("CC0", "CC-BY", "ODbL-denied", "proprietary", "CC-BY-SA")
+    val denied = Seq("ODbL-denied", "proprietary")
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      (col("doc_id") % 25).as("dataset_id"),
+      element_at(array(lics.map(lit): _*), (col("doc_id") * 13 % 5 + 1).cast("int")).as("license"))
+    val overridden = col("dataset_id") % 7 === 0 // use:openstreetmap analog
+    val bad = d.where(col("license").isin(denied.map(x => x: Any): _*) && !overridden)
+      .select(col("dataset_id")).distinct()
+    d.join(broadcast(bad), Seq("dataset_id"), "left_anti")
+      .select(col("doc_id"), col("dataset_id"), col("license"))
+  }
+
+  val q34Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 25 AS dataset_id,
+      |    ['CC0', 'CC-BY', 'ODbL-denied', 'proprietary', 'CC-BY-SA'][CAST(doc_id * 13 % 5 + 1 AS INT)] AS license
+      |  FROM documents),
+      |bad AS (
+      |  SELECT DISTINCT dataset_id FROM d
+      |  WHERE license IN ('ODbL-denied', 'proprietary') AND dataset_id % 7 <> 0)
+      |SELECT doc_id, dataset_id, license FROM d
+      |WHERE dataset_id NOT IN (SELECT dataset_id FROM bad)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_lang_id" -> (q10LangId _),
     "q11_quality_score" -> (q11Quality _),
     "q12_token_count" -> (q12TokenCount _),
-    "q13_fingerprint" -> (q13Fingerprint _)
+    "q13_fingerprint" -> (q13Fingerprint _),
+    "q34_license_filter" -> (q34LicenseFilter _)
   )
 
   val oracles: Map[String, String] = Map(
     "q10_lang_id" -> q10Sql,
     "q11_quality_score" -> q11Sql,
     "q12_token_count" -> q12Sql,
-    "q13_fingerprint" -> q13Sql
+    "q13_fingerprint" -> q13Sql,
+    "q34_license_filter" -> q34Sql
   )
 }
