@@ -76,14 +76,16 @@ object GeoOps {
     val lngSpan = least(
       lit(LngCells / 2),
       ceil(r / (lit(111.32) * cos(radians(maxAbsLatEdge))) / CellDeg).cast("int"))
+    // the capped full ring spans exactly one period (−36..35) so the pmod
+    // wrap never lands on the same cell twice — probe cells are distinct
+    // by construction and no dedup shuffle is needed
+    val lngHi = when(lngSpan === LngCells / 2, lit(LngCells / 2 - 1)).otherwise(lngSpan)
     val probes = cust
       .withColumn("dlat", explode(sequence(-latSpan, latSpan)))
-      .withColumn("dlng", explode(sequence(-lngSpan, lngSpan)))
+      .withColumn("dlng", explode(sequence(-lngSpan, lngHi)))
       .select(col("c_custkey"), col("clat"), col("clng"), col("cat"),
         (latCell(col("clat")) + col("dlat")).as("cell_lat"),
         pmod(lngCell(col("clng")) + col("dlng"), lit(LngCells)).as("cell_lng"))
-      // the pole-capped full ring wraps onto itself; dedupe probe cells
-      .dropDuplicates("c_custkey", "cell_lat", "cell_lng")
 
     val w = Window.partitionBy(col("c_custkey")).orderBy(col("d").asc, col("s_suppkey").asc)
     probes.join(supp, Seq("cell_lat", "cell_lng", "cat"))

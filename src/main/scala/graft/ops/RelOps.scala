@@ -144,9 +144,12 @@ object RelOps {
     // the anti-join never self-overlaps with the frontier's lineage
     def asVisited(df: DataFrame): DataFrame =
       df.select(col("node").as("vnode"), col("ancestor").as("vanc"))
-    var frontier = seeds
-    var acc = seeds
-    var visited = asVisited(seeds).localCheckpoint()
+    // one localCheckpoint per iteration (the new frontier); visited/acc
+    // stay cheap unions over already-checkpointed leaves, so plan growth
+    // is linear in iterations with no extra jobs
+    var frontier = seeds.localCheckpoint()
+    var acc: DataFrame = frontier
+    var visited = asVisited(frontier)
     var iter = 0
     while (iter < maxIter && !frontier.isEmpty) {
       val next = frontier.as("f")
@@ -157,7 +160,7 @@ object RelOps {
         .join(visited, col("node") === col("vnode") && col("ancestor") === col("vanc"),
           "left_anti") // cycle safety
         .localCheckpoint()
-      visited = visited.unionByName(asVisited(frontier)).localCheckpoint()
+      visited = visited.unionByName(asVisited(frontier))
       acc = acc.unionByName(frontier)
       iter += 1
     }
