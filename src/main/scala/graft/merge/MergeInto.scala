@@ -54,7 +54,16 @@ final class MergeInto(
     table: LakeTable,
     numBuckets: Int = 16,
     saltBuckets: Int = 4,
-    recordMeta: Boolean = true
+    recordMeta: Boolean = true,
+    /** Cache the aligned source for the epoch so the touched-bucket scan
+      * and the merge evaluate the source once, not twice. MEASURED SLOWER
+      * on the local JSON WAL bench (8 cores, 8M events: 29.0s cached vs
+      * 18.0s re-parsed; 2 cores: 75.7 vs 55.4): the touched-bucket scan
+      * is column-pruned to `repo` (a cheap skip-parse), while caching
+      * materializes every row. Worth enabling only when the source is
+      * genuinely expensive twice — a remote/decompressing source, or a
+      * multi-consumer epoch. */
+    cacheSource: Boolean = false
 ) {
   import LakeTable.DeletedCol
 
@@ -125,11 +134,12 @@ final class MergeInto(
     // still report the distinct-lsn count via an HLL sketch riding the
     // same pass, rather than paying an exact-distinct exchange.
     val inObs = Observation(s"merge-in-$epochId")
-    val source = align(events, evolvedWithOp)
+    val source0 = align(events, evolvedWithOp)
       .observe(inObs, count(lit(1)).as("n"),
         approx_count_distinct(col("lsn")).as("n_lsn"))
+    val source = if (cacheSource) source0.persist() else source0
 
-    {
+    try {
       // --- bucket pruning -------------------------------------------------
       // Touched buckets: tiny distinct over the batch (≤ numBuckets values).
       // Dedup cannot change the bucket set (a dropped duplicate shares its
@@ -217,6 +227,8 @@ final class MergeInto(
       if (recordMeta) Meta.record(table, stats, newVersion, epochId,
         if (newFiles.nonEmpty) Some(writeDir) else None)
       stats
+    } finally {
+      if (cacheSource) source.unpersist(blocking = false): Unit
     }
   }
 }

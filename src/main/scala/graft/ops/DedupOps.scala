@@ -209,7 +209,11 @@ object DedupOps {
     * a wide margin — and at this angle (~18°/π per hyperplane bit) the
     * 6-bit Hamming≤1 multiprobe has ~0.98 per-pair recall. */
   val NearDupCosine = 0.95
-  private val NearDupBits = 6
+  /** Bucket bits scale ~log(corpus): 2^8 buckets for the ~5k-vector sf0.1
+    * corpus keeps ambient bucket collisions (n²·(nbits+1)/2^nbits) low
+    * while per-pair recall at cos ≥ 0.95 stays ≈ 0.975 (p_bit ≈ 0.032,
+    * Hamming ≤ 1 over 8 bits). */
+  private val NearDupBits = 8
 
   /** q17: embedding near-dup pairs, at-scale formulation — candidates
     * from a hyperplane-LSH bucket equi-join (bucket equal or 1 bit off),
@@ -267,7 +271,7 @@ object DedupOps {
        |${hyperplaneCtes("corpus", "wb", nbits = NearDupBits, dim = 64, seed = 11L)},
        |probes AS (
        |  SELECT vec_id, embedding, CAST(xor(bucket::BIGINT, f) AS INT) AS bucket
-       |  FROM wb, unnest([0, 1, 2, 4, 8, 16, 32]) AS t(f)),
+       |  FROM wb, unnest([${(0L +: (0 until NearDupBits).map(1L << _)).mkString(", ")}]) AS t(f)),
        |scored AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos

@@ -95,6 +95,20 @@ class PlanSpec extends AnyFunSuite {
       countNodes(plan, _.getClass.getSimpleName.contains("BroadcastNestedLoop")) >= 1)
   }
 
+  test("q31 mask classification broadcasts the arms table") {
+    val plan = executed(SparkEntry.queries("q31_tag_mask")(spark, sf))
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastHashJoin")) +
+      countNodes(plan, _.getClass.getSimpleName.contains("BroadcastNestedLoop")) >= 1,
+      s"arms join should broadcast:\n${plan.toString.take(1500)}")
+  }
+
+  test("q34 license early-reject is a broadcast anti-join (no corpus shuffle)") {
+    val plan = executed(SparkEntry.queries("q34_license_filter")(spark, sf))
+    assert(countNodes(plan, p => p.getClass.getSimpleName.contains("BroadcastHashJoin") &&
+      p.toString.contains("LeftAnti")) >= 1,
+      s"expected broadcast LEFT ANTI:\n${plan.toString.take(1500)}")
+  }
+
   test("q17 near-dup candidates come from equi-joins — no cross join anywhere") {
     val plan = executed(SparkEntry.queries("q17_embedding_neardup")(spark, sf))
     assert(countNodes(plan, _.getClass.getSimpleName.contains("CartesianProduct")) == 0,
