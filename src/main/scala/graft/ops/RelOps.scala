@@ -146,14 +146,16 @@ object RelOps {
       df.select(col("node").as("vnode"), col("ancestor").as("vanc"))
     // one localCheckpoint per iteration (the new frontier); visited/acc
     // stay cheap unions over already-checkpointed leaves, so plan growth
-    // is linear in iterations with no extra jobs
+    // is linear in iterations with no extra jobs. Edges are materialized
+    // ONCE — otherwise every iteration re-runs the edge scan/derivation.
+    val e = edges.localCheckpoint()
     var frontier = seeds.localCheckpoint()
     var acc: DataFrame = frontier
     var visited = asVisited(frontier)
     var iter = 0
     while (iter < maxIter && !frontier.isEmpty) {
       val next = frontier.as("f")
-        .join(edges.as("e"), col("f.ancestor") === col("e.child"))
+        .join(e.as("e"), col("f.ancestor") === col("e.child"))
         .select(col("f.node").as("node"), col("e.parent").as("ancestor"),
           (col("f.depth") + 1).as("depth"))
       frontier = next
