@@ -40,7 +40,9 @@ final case class Snapshot(
 object Snapshot {
   private val Header = "graft-snapshot v1"
 
-  def serialize(s: Snapshot): String = {
+  /** Root fields without the file list (shared by the inline and
+    * manifest-split serializations). */
+  private[lake] def serializeHeader(s: Snapshot): String = {
     val sb = new StringBuilder
     sb.append(Header).append('\n')
     sb.append("version=").append(s.version).append('\n')
@@ -48,11 +50,33 @@ object Snapshot {
     sb.append("numBuckets=").append(s.numBuckets).append('\n')
     sb.append("epochs=").append(s.epochs.toSeq.sorted.mkString(",")).append('\n')
     sb.append("schema=").append(s.schema.json).append('\n')
-    s.files.sortBy(f => (f.bucket, f.relPath)).foreach { f =>
+    sb.toString
+  }
+
+  private[lake] def serializeFileLines(files: Seq[FileEntry]): String = {
+    val sb = new StringBuilder
+    files.sortBy(f => (f.bucket, f.relPath)).foreach { f =>
       sb.append("file=").append(f.bucket).append('\t').append(f.relPath).append('\n')
     }
     sb.toString
   }
+
+  def serialize(s: Snapshot): String =
+    serializeHeader(s) + serializeFileLines(s.files)
+
+  private[lake] def parseFileLines(text: String): Seq[FileEntry] =
+    text.split('\n').filter(_.startsWith("file=")).toSeq.map { ln =>
+      val v = ln.stripPrefix("file=")
+      val t = v.indexOf('\t')
+      FileEntry(v.substring(0, t).toInt, v.substring(t + 1))
+    }
+
+  private[lake] def manifestRefs(text: String): Seq[(Int, String)] =
+    text.split('\n').filter(_.startsWith("manifest=")).toSeq.map { ln =>
+      val v = ln.stripPrefix("manifest=")
+      val t = v.indexOf('\t')
+      (v.substring(0, t).toInt, v.substring(t + 1))
+    }
 
   def deserialize(text: String): Snapshot = {
     val lines = text.split('\n')
@@ -93,13 +117,47 @@ object Snapshot {
   * bucket pruning. At 100 TB / 1000 executors, numBuckets is sized so one
   * bucket ≈ a few GB; here it defaults small for local testing.
   */
-final class LakeTable(val spark: SparkSession, val root: String) {
+final class LakeTable(
+    val spark: SparkSession,
+    val root: String,
+    /** Split the file list into per-bucket-group manifest files once it
+      * exceeds this many entries. Manifests are CONTENT-ADDRESSED
+      * (g<group>-<sha16>.manifest): a commit touching k buckets rewrites
+      * only the ≤k affected groups' manifests — every other group's
+      * manifest already exists under the same name and is referenced for
+      * free. Commit IO therefore tracks CHANGE volume, not table size
+      * (the Iceberg manifest-list idea; SURVEY §9's B≫10⁵ limit). The
+      * default keeps small tables on the simpler inline form. */
+    val manifestSplitThreshold: Int = 4096,
+    /** Bucket-group count for split manifests (group = bucket % this).
+      * Size so one group ≈ a few thousand file entries at the target
+      * bucket count. */
+    val manifestGroupCount: Int = 64) {
   import LakeTable._
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
 
   def snapshotDir: Path = new Path(root, "_snapshots")
+  def manifestDir: Path = new Path(root, "_snapshots/manifests")
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  /** Parse a snapshot root; a split root (manifest= lines) loads its
+    * group manifests to rebuild the full file list. */
+  private def readSnapshotFile(f: FileSystem, p: Path): Snapshot = {
+    val text = readText(f, p)
+    val base = Snapshot.deserialize(text) // ignores manifest= lines
+    val refs = Snapshot.manifestRefs(text)
+    if (refs.isEmpty) base
+    else base.copy(files = refs.flatMap { case (_, name) =>
+      Snapshot.parseFileLines(readText(f, new Path(manifestDir, name)))
+    })
+  }
 
   /** Highest committed snapshot, or None if the table is empty. */
   def currentSnapshot(): Option[Snapshot] = {
@@ -109,13 +167,36 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val versions = f.listStatus(dir).map(_.getPath.getName)
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
     if (versions.isEmpty) None
-    else {
-      val v = versions.max
-      val p = new Path(dir, s"v$v")
-      val in = f.open(p)
-      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
-      Some(Snapshot.deserialize(new String(bytes, StandardCharsets.UTF_8)))
+    else Some(readSnapshotFile(f, new Path(dir, s"v${versions.max}")))
+  }
+
+  /** Serialize with per-group content-addressed manifests; writes any
+    * missing manifest files, returns the root text. */
+  private def serializeSplit(snap: Snapshot, f: FileSystem): String = {
+    f.mkdirs(manifestDir)
+    val groups = snap.files.groupBy(_.bucket % manifestGroupCount)
+    val refs = groups.toSeq.sortBy(_._1).map { case (gid, entries) =>
+      val body = Snapshot.serializeFileLines(entries)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(body.getBytes(StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val name = s"g$gid-$digest.manifest"
+      val dst = new Path(manifestDir, name)
+      if (!f.exists(dst)) {
+        val tmp = new Path(manifestDir,
+          s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = f.create(tmp, true)
+        try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        if (!f.rename(tmp, dst)) {
+          // a concurrent writer landed the identical content first — fine
+          f.delete(tmp, false)
+          require(f.exists(dst), s"manifest write failed for $name")
+        }
+      }
+      (gid, name)
     }
+    Snapshot.serializeHeader(snap) +
+      refs.map { case (gid, name) => s"manifest=$gid\t$name" }.mkString("", "\n", "\n")
   }
 
   /** Atomically publish `snap` as version `snap.version`.
@@ -123,16 +204,37 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   def commitSnapshot(snap: Snapshot): Unit = {
     val f = fs
     f.mkdirs(snapshotDir)
+    val body =
+      if (snap.files.size <= manifestSplitThreshold) Snapshot.serialize(snap)
+      else serializeSplit(snap, f)
     val tmp = new Path(snapshotDir, s".v${snap.version}.tmp")
     val dst = new Path(snapshotDir, s"v${snap.version}")
     val out = f.create(tmp, true)
-    try out.write(Snapshot.serialize(snap).getBytes(StandardCharsets.UTF_8))
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, dst)) {
       f.delete(tmp, false)
       throw new IllegalStateException(
         s"snapshot commit conflict: ${dst} already exists (concurrent writer?)")
     }
+  }
+
+  /** The manifest names referenced by the given committed version. */
+  private[graft] def manifestRefsOf(version: Long): Seq[String] = {
+    val f = fs
+    Snapshot.manifestRefs(readText(f, new Path(snapshotDir, s"v$version"))).map(_._2)
+  }
+
+  /** All manifest file names present on disk. */
+  private[graft] def manifestFileNames(): Seq[String] = {
+    val f = fs
+    if (!f.exists(manifestDir)) Seq.empty
+    else f.listStatus(manifestDir).filter(_.isFile).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest")).toSeq
+  }
+
+  private[graft] def deleteManifest(name: String): Unit = {
+    fs.delete(new Path(manifestDir, name), false): Unit
   }
 
   /** List the parquet part-files Spark wrote under `data/<dirName>`, as
@@ -192,13 +294,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   }
 
   /** The committed snapshot with exactly this version (time travel). */
-  def snapshotAt(version: Long): Snapshot = {
-    val f = fs
-    val p = new Path(snapshotDir, s"v$version")
-    val in = f.open(p)
-    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
-    Snapshot.deserialize(new String(bytes, StandardCharsets.UTF_8))
-  }
+  def snapshotAt(version: Long): Snapshot =
+    readSnapshotFile(fs, new Path(snapshotDir, s"v$version"))
 
   /** Visible state as of a past snapshot version (time travel). */
   def readVersion(version: Long): DataFrame = {

@@ -80,18 +80,22 @@ object Maintenance {
     }
   }
 
-  /** Remove orphaned data directories — left by writers that crashed (or
-    * lost a commit race) between writing data files and committing the
-    * snapshot. A directory is an orphan iff NO committed snapshot
-    * references any file inside it; time travel keeps every referenced
-    * version alive. Returns the directories removed. */
+  /** Remove orphaned data directories and manifest files — left by
+    * writers that crashed (or lost a commit race) between writing and
+    * committing the snapshot root. An artifact is an orphan iff NO
+    * committed snapshot references it; time travel keeps every
+    * referenced version alive. Returns the artifacts removed. */
   def vacuum(table: LakeTable): Seq[String] = {
-    val referenced: Set[String] = table.snapshotVersions()
+    val versions = table.snapshotVersions()
+    val referenced: Set[String] = versions
       .flatMap(v => table.snapshotAt(v).files)
       .map(_.relPath.stripPrefix("data/").takeWhile(_ != '/')).toSet
     val orphans = table.dataDirNames().filterNot(referenced)
     orphans.foreach(table.deleteDataDir)
-    orphans
+    val refManifests: Set[String] = versions.flatMap(table.manifestRefsOf).toSet
+    val orphanManifests = table.manifestFileNames().filterNot(refManifests)
+    orphanManifests.foreach(table.deleteManifest)
+    orphans ++ orphanManifests
   }
 
   /** Incremental changes between two committed versions as CDC rows:

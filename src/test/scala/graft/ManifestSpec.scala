@@ -1,0 +1,96 @@
+package graft
+
+import graft.gen.{ChangeGen, GenConfig}
+import graft.ingest.BatchReplay
+import graft.lake.{LakeTable, Maintenance}
+import graft.merge.MergeInto
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Manifest-list splitting: once the file list passes the threshold, the
+  * snapshot root holds per-bucket-group pointers to CONTENT-ADDRESSED
+  * manifest files; untouched groups reuse their manifest across commits,
+  * so commit IO tracks change volume, not table size (SURVEY §9's
+  * B≫10⁵ metadata limit, Iceberg-manifest-list style). */
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def rootText(table: LakeTable, version: Long): String = {
+    val p = new org.apache.hadoop.fs.Path(s"${table.root}/_snapshots/v$version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  test("split mode: root holds manifest pointers, state identical to inline mode") {
+    val work = TestSpark.tmpDir("manifest")
+    val cfg = GenConfig(nEvents = 1500L)
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 2, partitions = 2)
+    val split = new LakeTable(spark, s"$work/split", manifestSplitThreshold = 0)
+    BatchReplay.replay(spark, s"$work/log", split, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val inline = new LakeTable(spark, s"$work/inline")
+    BatchReplay.replay(spark, s"$work/log", inline, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+
+    val v = split.currentSnapshot().get.version
+    val text = rootText(split, v)
+    assert(text.contains("manifest="), "split root should reference manifests")
+    assert(!text.contains("file="), "split root should not inline file entries")
+    assert(text.linesIterator.size < 12, "split root should stay small")
+
+    val a = split.read().orderBy("repo", "path").collect().map(_.toString).toSeq
+    val b = inline.read().orderBy("repo", "path").collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+    // time travel through split snapshots
+    (0L to v).foreach(ver => assert(split.readVersion(ver).count() > 0))
+  }
+
+  test("unchanged bucket-groups reuse the same content-addressed manifest") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("manifest-reuse")
+    val cfg = GenConfig(nEvents = 2000L)
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 1, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table", manifestSplitThreshold = 0)
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+    merge.apply(spark.read.parquet(s"$work/log/batch-00000"), 0L)
+    assert(table.currentSnapshot().get.files.map(_.bucket).distinct.size == 4,
+      "test needs all 4 buckets populated")
+
+    // epoch 1 touches exactly ONE bucket (a single repo)
+    val ts = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val one = Seq((999999L, "U", ts, "solo/repo", "src/a.txt", "c1", "text", "body"))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+    val stats = merge.apply(one, 1L)
+    assert(stats.bucketsTouched == 1)
+
+    val r0 = table.manifestRefsOf(0L).toSet
+    val r1 = table.manifestRefsOf(1L).toSet
+    // 3 untouched groups reuse their v0 manifest byte-for-byte (same
+    // content hash → same file); only the touched group gets a new one
+    assert((r0 intersect r1).size == 3, s"r0=$r0 r1=$r1")
+    assert((r1 diff r0).size == 1)
+  }
+
+  test("vacuum reclaims unreferenced manifest files, keeps referenced ones") {
+    val work = TestSpark.tmpDir("manifest-vacuum")
+    val cfg = GenConfig(nEvents = 800L)
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 1, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table", manifestSplitThreshold = 0)
+    BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    // plant an orphan (a crashed writer's manifest that no root references)
+    val dir = new org.apache.hadoop.fs.Path(s"${table.root}/_snapshots/manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(dir, "g9-deadbeefdeadbeef.manifest")
+    val out = fs.create(orphan, true)
+    out.write("file=9\tdata/v99-dead/b=9/x.parquet\n".getBytes("UTF-8")); out.close()
+
+    val before = table.manifestFileNames().toSet
+    val removed = Maintenance.vacuum(table)
+    assert(removed.contains("g9-deadbeefdeadbeef.manifest"))
+    assert(table.manifestFileNames().toSet == before - "g9-deadbeefdeadbeef.manifest")
+    assert(table.read().count() > 0) // table intact
+  }
+}
