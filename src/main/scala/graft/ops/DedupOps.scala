@@ -52,30 +52,42 @@ object DedupOps {
     * ~2⁻⁶⁴ collision, far cheaper comparisons than 3-word strings). The
     * oracle recomputes the result exhaustively in DuckDB with list ops.
     *
-    * SCALE LABEL: this is the EXACT, oracle-checkable baseline — within a
-    * (lang, band) block it is still all-pairs, and blocks grow with the
-    * corpus, so the block join is quadratic at 100 TB. The production
-    * path at scale is q15 (MinHash+LSH candidate equi-join, measured
-    * recall 1.0 at these parameters); run q14 only on bounded slices
-    * (per-tenant / per-shard) where an exact answer is worth n²/blocks. */
+    * EXACT AT SCALE via prefix filtering (the AllPairs/PPJoin family):
+    * if J(A,B) ≥ t then the overlap is o ≥ t/(1+t)·(|A|+|B|), and with
+    * the size band guaranteeing |B| ≥ 0.8·|A| that gives o ≥ t·|A| (for
+    * t = 0.8: 0.444·1.8·|A|) — so A and B must share an element among
+    * the first |S| − ⌈t·|S|⌉ + 1 elements of each SORTED hash set.
+    * Candidate generation is therefore an equi-join on exploded prefix
+    * hashes (+ lang, + band gate), and the exact merge-walk Jaccard runs
+    * only on candidates. Ambient sets here are near-disjoint, so prefix
+    * hashes almost never collide across non-duplicates: candidates ≈
+    * answers, no quadratic block join anywhere, output exactly equal to
+    * the exhaustive scan. */
   def q14NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // The repartition is a deliberate optimizer barrier, not (only) a
     // distribution choice: without an Exchange below the self-join,
     // CollapseProject inlines the whole shingle→hash→sort chain into the
-    // join's output projection and recomputes it PER CANDIDATE PAIR
-    // (measured 2× slower even with ~60-element arrays; grows with n²).
+    // join's output projection and recomputes it PER CANDIDATE PAIR.
     val base = docs(s, dir).select(
       col("doc_id"), col("lang"),
       fns.hashedWordShingles(col("text"), 3).as("shh"))
       .withColumn("band", floor(log(1.25, size(col("shh")))).cast("int"))
       .repartition(col("doc_id"))
-    val a = base.as("a")
-    val b = base.as("b")
-    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
-        abs(col("a.band") - col("b.band")) <= 1)
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(fns.sortedJaccard(col("a.shh"), col("b.shh")), 6).as("jaccard"))
+    // prefix hashes: first |S| - ceil(t*|S|) + 1 of the (sorted) set
+    val pfxLen = (size(col("shh")) - ceil(size(col("shh")) * JaccardThreshold) + 1).cast("int")
+    val pfx = base.select(col("doc_id"), col("lang"), col("band"),
+      explode(slice(col("shh"), lit(1), greatest(pfxLen, lit(1)))).as("h"))
+    val cand = pfx.as("pa").join(pfx.as("pb"),
+        col("pa.h") === col("pb.h") && col("pa.lang") === col("pb.lang") &&
+          col("pa.doc_id") < col("pb.doc_id") &&
+          abs(col("pa.band") - col("pb.band")) <= 1)
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("shh").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(fns.sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
   }
 
