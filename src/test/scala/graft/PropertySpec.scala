@@ -109,4 +109,45 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(state.toMap == byLsnFirst)
   }
+
+  test("closure matches a Scala BFS on arbitrary (possibly cyclic) parent graphs") {
+    import spark.implicits._
+    // random single-parent functional graphs over 1..n — every node has
+    // one outgoing edge, so cycles are common (rho-shaped components)
+    val genGraph: SGen[(Int, Map[Long, Long], Seq[Long])] = for {
+      n <- SGen.choose(3, 14)
+      parents <- SGen.sequence[List[Long], Long](
+        (1 to n).map(_ => SGen.choose(1L, n.toLong)))
+      nSeeds <- SGen.choose(1, 3)
+      seeds <- SGen.sequence[List[Long], Long](
+        (1 to nSeeds).map(_ => SGen.choose(1L, n.toLong)))
+    } yield (n, (1 to n).map(_.toLong).zip(parents).toMap, seeds.distinct)
+
+    def bfs(edges: Map[Long, Long], seeds: Seq[Long]): Set[(Long, Long, Int)] = {
+      // reference semantics: BFS over (node, ancestor) pairs, first
+      // (minimal) depth wins, stop on visited — osm/mod.rs:391-435
+      val out = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      var frontier = seeds.flatMap(s => edges.get(s).map(p => (s, p, 1)))
+        .filter { case (nd, anc, d) => out.getOrElseUpdate((nd, anc), d) == d }
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap { case (nd, anc, d) =>
+          edges.get(anc).map(p => (nd, p, d + 1))
+        }.filter { case (nd, anc, d) =>
+          if (out.contains((nd, anc))) false
+          else { out((nd, anc)) = d; true }
+        }
+      }
+      out.map { case ((nd, anc), d) => (nd, anc, d) }.toSet
+    }
+
+    forSamples(genGraph, 8) { case ((_, edges, seeds), _) =>
+      val edgesDf = edges.toSeq.toDF("child", "parent")
+      val seedsDf = seeds.flatMap(s => edges.get(s).map(p => (s, p, 1)))
+        .toDF("node", "ancestor", "depth")
+      val got = ops.RelOps.closure(edgesDf, seedsDf, maxIter = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(got.length == got.toSet.size, s"duplicate rows: ${got.toSeq}")
+      assert(got.toSet == bfs(edges, seeds), s"edges=$edges seeds=$seeds")
+    }
+  }
 }
