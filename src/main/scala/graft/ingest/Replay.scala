@@ -112,6 +112,14 @@ object StreamingReplay {
           watermark: String = "10 minutes"): Unit = {
     val merge = new MergeInto(table, numBuckets, saltBuckets, recordMeta)
     val wmMs = durationMs(watermark)
+    // Epoch ids are NAMESPACED per stream generation: a NEW stream (fresh
+    // checkpoint) against an existing table restarts batchId at 0, which
+    // would collide with the ledger entries of the previous generation and
+    // silently skip real data. The checkpoint path IS the generation
+    // identity — stable across crash-retries of the same run (idempotence
+    // preserved), distinct across generations. String.hashCode is
+    // JVM-stable by spec; mix64 spreads it across the long range.
+    val epochBase = graft.functions.Hashing.mix64(checkpoint.hashCode.toLong)
     // running max event-time across batches (driver-held, like the
     // stream's own watermark tracker); used to classify late arrivals
     val maxTsMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
@@ -136,7 +144,13 @@ object StreamingReplay {
           max(col("ts").cast("timestamp_ltz").cast("long")).as("max_ts_sec"),
           min(col("ts").cast("timestamp_ltz").cast("long")).as("min_ts_sec"),
           count(when(col("ts") < lit(cutoff).cast(df.schema("ts").dataType), 1)).as("n_late"))
-        val stats = merge.apply(observed, batchId)
+        val stats = merge.apply(observed, epochBase + batchId)
+        // A ledger-skipped batch (crash-retry of an already-committed
+        // epoch) must still EVALUATE the batch dataframe: the watermark /
+        // dedup state stores live inside this plan, and Spark validates
+        // that every state partition commits each micro-batch — an
+        // unevaluated batch would abort the stream.
+        if (stats.skipped) observed.write.format("noop").mode("overwrite").save()
         if (!stats.skipped) {
           val m = obs.get
           m.get("max_ts_sec").collect { case s: Long =>

@@ -29,6 +29,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateOf(table) == expectedOf(cfg))
   }
 
+  test("schema evolution through the streaming path: v2 stream restarts onto an evolved table") {
+    import spark.implicits._
+    // generation 1: a v1 stream replays to completion
+    val cfg = GenConfig(nEvents = 600L)
+    val work = TestSpark.tmpDir("stream-evo")
+    ChangeGen.writeLog(spark, cfg, s"$work/log1", nBatches = 2, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table")
+    StreamingReplay.run(spark, s"$work/log1", table,
+      SchemaRegistry.eventSchemaV1, s"$work/cp1",
+      numBuckets = 4, recordMeta = false)
+    val gen1 = stateOf(table)
+    assert(gen1 == expectedOf(cfg) && table.currentSnapshot().get.schemaVersion == 1)
+
+    // generation 2: the producer upgrades to schema v2 (adds `branch`);
+    // the realistic pattern is a NEW stream run with the evolved read
+    // schema (a file stream's schema is fixed per run) — the MERGE's
+    // registry evolves the table on first contact, old rows read as null
+    def ts(s: Long) = new java.sql.Timestamp(1767225600000L + s * 1000)
+    Seq(
+      (5000001L, "U", ts(1), "evo/repo", "a.txt", "e" * 40, "scala", "v2 body", "main"),
+      (5000002L, "I", ts(2), "evo/repo", "b.txt", "f" * 40, "scala", "v2 new", "dev"))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content", "branch")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$work/log2/batch-00000")
+    StreamingReplay.run(spark, s"$work/log2", table,
+      SchemaRegistry.eventSchemaV2, s"$work/cp2",
+      numBuckets = 4, recordMeta = false)
+
+    val snap = table.currentSnapshot().get
+    assert(snap.schemaVersion == 2 && snap.schema.fieldNames.contains("branch"))
+    val rows = table.read()
+    assert(rows.where($"repo" === "evo/repo" && $"branch" === "main").count() == 1)
+    // every generation-1 key survives with a null branch
+    assert(rows.where($"branch".isNull).count() == gen1.size)
+    assert(stateOf(table).size == gen1.size + 2)
+  }
+
   test("streaming resume: stop mid-log, restart from checkpoint, same state") {
     val cfg = GenConfig(nEvents = 1500L)
     val work = TestSpark.tmpDir("stream-resume")
