@@ -177,6 +177,32 @@ object Queries {
       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** q36: rollup subtotal lattice with grouping id — not in the reference
+    * (SURVEY §2.4 "not present: grouping sets/cube/rollup"), but table
+    * stakes for an analytics engine and free in Spark: the rollup
+    * expands to grouping sets BEFORE the exchange, so partial aggregation
+    * still collapses the shuffle; null group keys are coalesced to a
+    * sentinel so subtotal rows compare exactly. */
+  private def q36Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+        col("gid"), col("sum_qty"), col("n"))
+
+  private val q36Sql =
+    """SELECT coalesce(l_returnflag, '(all)') AS rflag,
+      |  coalesce(l_linestatus, '(all)') AS lstatus,
+      |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -191,7 +217,8 @@ object Queries {
     "q6_anti_join" -> (q6AntiJoin _),
     "q7_dedup_exact" -> (q7DedupExact _),
     "q8_text_stats" -> (q8TextStats _),
-    "q9_event_window_agg" -> (q9EventWindowAgg _)
+    "q9_event_window_agg" -> (q9EventWindowAgg _),
+    "q36_rollup" -> (q36Rollup _)
   )
 
   val oracles: Map[String, String] =
@@ -204,6 +231,7 @@ object Queries {
     "q6_anti_join" -> q6Sql,
     "q7_dedup_exact" -> q7Sql,
     "q8_text_stats" -> q8Sql,
-    "q9_event_window_agg" -> q9Sql
+    "q9_event_window_agg" -> q9Sql,
+    "q36_rollup" -> q36Sql
   )
 }
