@@ -4,9 +4,10 @@ import graft.ops.{AnnOps, DedupOps, MediaOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Semantics of the training-data operators that have no SQL oracle:
-  * LSH completeness vs the exhaustive computation, ANN recall, simhash
-  * banding completeness, media decode plumbing. */
+/** Semantic properties of the training-data operators that the (exact)
+  * DuckDB oracles cannot express: LSH completeness vs the exhaustive
+  * computation, ANN recall, simhash banding losslessness for the Hamming
+  * threshold, media decode plumbing. */
 class TrainingOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
