@@ -182,6 +182,30 @@ case class HyperplaneBucket(child: Expression, nbits: Int, seed: Long) extends U
     copy(child = newChild)
 }
 
+/** Cube-face hierarchical cell id of a lat/lng point (graft.ops.GeoCells
+  * — the reference's S2 cell id, C1). A dedicated expression rather than
+  * composed Column math because the face-chart whens would otherwise be
+  * re-inlined once per Morton bit (CollapseProject), exploding generated
+  * code past JVM limits; here codegen is one static call. */
+case class CubeCell(left: Expression, right: Expression, level: Int) extends BinaryExpression {
+  require(level > 0 && level <= 30, s"cell level out of range: $level")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    (left.dataType, right.dataType) match {
+      case (DoubleType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cube_cell requires (double, double), got (${l.simpleString}, ${r.simpleString})")
+    }
+  }
+  override def nullSafeEval(lat: Any, lng: Any): Any =
+    graft.ops.GeoCells.cellOf(lat.asInstanceOf[Double], lng.asInstanceOf[Double], level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.GeoCells.cellOf($a, $b, $level)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CubeCell =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Public Column API over the custom expressions + composed helpers. */
 object fns {
   import org.apache.spark.sql.functions._
@@ -210,6 +234,10 @@ object fns {
 
   def hyperplaneBucket(c: Column, nbits: Int, seed: Long = 0L): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(c), nbits, seed))
+
+  /** Cube-face hierarchical cell id (S2-style; parent = id >> 2). */
+  def cubeCell(lat: Column, lng: Column, level: Int): Column =
+    Bridge.column(CubeCell(Bridge.expression(lat), Bridge.expression(lng), level))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column =

@@ -117,9 +117,12 @@ object StreamingReplay {
     // would collide with the ledger entries of the previous generation and
     // silently skip real data. The checkpoint path IS the generation
     // identity — stable across crash-retries of the same run (idempotence
-    // preserved), distinct across generations. String.hashCode is
-    // JVM-stable by spec; mix64 spreads it across the long range.
-    val epochBase = graft.functions.Hashing.mix64(checkpoint.hashCode.toLong)
+    // preserved), distinct across generations. The id is a full 64-bit
+    // hash of the path bytes (String.hashCode's 32 bits would make
+    // two-generation collisions plausible at scale, silently re-enabling
+    // the ledger-skip bug this namespacing exists to prevent).
+    val cpBytes = checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val epochBase = graft.functions.Hashing.hashBytes(cpBytes, 0, cpBytes.length, 0L)
     // running max event-time across batches (driver-held, like the
     // stream's own watermark tracker); used to classify late arrivals
     val maxTsMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)

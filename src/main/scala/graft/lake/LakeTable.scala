@@ -23,7 +23,40 @@ import java.nio.charset.StandardCharsets
   * reference's per-stage "output exists → skip" check is the same idea at
   * stage granularity (src/pipeline/mod.rs:29-48).
   */
-final case class FileEntry(bucket: Int, relPath: String)
+final case class FileEntry(
+    bucket: Int,
+    relPath: String,
+    /** Per-file lsn range + row count, read from the parquet footer at
+      * commit time (the reference's row-group min/max statistics,
+      * src/places/place_index.rs:426-444, recorded in the manifest so
+      * readers prune without opening files). `nKeys = -1` marks a legacy
+      * entry without stats; the lsn sentinels are then conservative
+      * (never prunable). */
+    minLsn: Long = Long.MinValue,
+    maxLsn: Long = Long.MaxValue,
+    nKeys: Long = -1L
+) {
+  def hasStats: Boolean = nKeys >= 0L
+}
+
+/** How a snapshot's file list is stored and resolved.
+  *
+  * `Inline` keeps every entry in the snapshot root (small tables).
+  * `Split` holds per-bucket-group CONTENT-ADDRESSED manifest references;
+  * group entries load LAZILY through `load`, so an operation touching k
+  * buckets materializes only ⌈k / groups-per-bucket⌉ group manifests on
+  * the driver — driver memory tracks the TOUCHED set, not table size.
+  * `updated` carries in-memory replacements for groups modified by a
+  * pending commit; `carried` groups pass through by reference and are
+  * never read. */
+sealed trait FilesRef
+final case class InlineFiles(entries: Seq[FileEntry]) extends FilesRef
+final case class SplitFiles(
+    carried: Seq[(Int, String)],
+    updated: Map[Int, Seq[FileEntry]],
+    groupCount: Int,
+    load: String => Seq[FileEntry]
+) extends FilesRef
 
 final case class Snapshot(
     version: Long,
@@ -31,14 +64,43 @@ final case class Snapshot(
     schema: StructType,
     numBuckets: Int,
     epochs: Set[Long],
-    files: Seq[FileEntry]
+    filesRef: FilesRef,
+    /** Upper bound on every applied event's lsn: rows with
+      * `lsn <= highWaterLsn` are byte-identical to their state in this
+      * snapshot in every LATER snapshot (ordered-log delivery — the
+      * north rule's ordered change events — means any later change to a
+      * row carries a larger lsn). None when any committed file lacks
+      * stats; consumers must then fall back to unpruned reads. */
+    highWaterLsn: Option[Long] = None
 ) {
-  def filesIn(buckets: Set[Int]): Seq[FileEntry] = files.filter(f => buckets(f.bucket))
-  def filesNotIn(buckets: Set[Int]): Seq[FileEntry] = files.filterNot(f => buckets(f.bucket))
+  /** Entries for the given buckets; split listings load only the groups
+    * that can contain them. */
+  def filesIn(buckets: Set[Int]): Seq[FileEntry] = filesRef match {
+    case InlineFiles(es) => es.filter(f => buckets(f.bucket))
+    case SplitFiles(carried, updated, g, load) =>
+      val groups = buckets.map(b => b % g)
+      val fromCarried = carried.collect { case (gid, name) if groups(gid) => load(name) }.flatten
+      val fromUpdated = updated.collect { case (gid, es) if groups(gid) => es }.flatten
+      (fromCarried ++ fromUpdated).filter(f => buckets(f.bucket))
+  }
+
+  /** The complete file list — a full-table operation (read of the whole
+    * table, compaction, vacuum reachability). O(files) driver memory by
+    * nature: the caller is about to enumerate every file anyway. */
+  def allFiles: Seq[FileEntry] = filesRef match {
+    case InlineFiles(es) => es
+    case SplitFiles(carried, updated, _, load) =>
+      carried.flatMap { case (_, name) => load(name) } ++ updated.values.flatten
+  }
 }
 
 object Snapshot {
   private val Header = "graft-snapshot v1"
+
+  /** Convenience constructor with an inline file list. */
+  def apply(version: Long, schemaVersion: Int, schema: StructType, numBuckets: Int,
+            epochs: Set[Long], files: Seq[FileEntry]): Snapshot =
+    new Snapshot(version, schemaVersion, schema, numBuckets, epochs, InlineFiles(files), None)
 
   /** Root fields without the file list (shared by the inline and
     * manifest-split serializations). */
@@ -48,28 +110,32 @@ object Snapshot {
     sb.append("version=").append(s.version).append('\n')
     sb.append("schemaVersion=").append(s.schemaVersion).append('\n')
     sb.append("numBuckets=").append(s.numBuckets).append('\n')
+    s.highWaterLsn.foreach(h => sb.append("highWaterLsn=").append(h).append('\n'))
     sb.append("epochs=").append(s.epochs.toSeq.sorted.mkString(",")).append('\n')
     sb.append("schema=").append(s.schema.json).append('\n')
     sb.toString
   }
 
+  private def fileLine(f: FileEntry): String =
+    if (f.hasStats) s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\n"
+    else s"file=${f.bucket}\t${f.relPath}\n"
+
   private[lake] def serializeFileLines(files: Seq[FileEntry]): String = {
     val sb = new StringBuilder
-    files.sortBy(f => (f.bucket, f.relPath)).foreach { f =>
-      sb.append("file=").append(f.bucket).append('\t').append(f.relPath).append('\n')
-    }
+    files.sortBy(f => (f.bucket, f.relPath)).foreach(f => sb.append(fileLine(f)))
     sb.toString
   }
 
-  def serialize(s: Snapshot): String =
-    serializeHeader(s) + serializeFileLines(s.files)
+  private[lake] def parseFileLine(v: String): FileEntry = {
+    val parts = v.split('\t')
+    if (parts.length >= 5)
+      FileEntry(parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong, parts(4).toLong)
+    else FileEntry(parts(0).toInt, parts(1))
+  }
 
   private[lake] def parseFileLines(text: String): Seq[FileEntry] =
-    text.split('\n').filter(_.startsWith("file=")).toSeq.map { ln =>
-      val v = ln.stripPrefix("file=")
-      val t = v.indexOf('\t')
-      FileEntry(v.substring(0, t).toInt, v.substring(t + 1))
-    }
+    text.split('\n').filter(_.startsWith("file=")).toSeq
+      .map(ln => parseFileLine(ln.stripPrefix("file=")))
 
   private[lake] def manifestRefs(text: String): Seq[(Int, String)] =
     text.split('\n').filter(_.startsWith("manifest=")).toSeq.map { ln =>
@@ -78,12 +144,21 @@ object Snapshot {
       (v.substring(0, t).toInt, v.substring(t + 1))
     }
 
-  def deserialize(text: String): Snapshot = {
+  /** Root header + inline file lines (split roots handled by LakeTable,
+    * which owns the manifest directory). */
+  def serialize(s: Snapshot): String = s.filesRef match {
+    case InlineFiles(es) => serializeHeader(s) + serializeFileLines(es)
+    case _ => throw new IllegalArgumentException("split snapshots serialize via LakeTable")
+  }
+
+  /** Parse a root's header fields; `file=`/`manifest=` lines are resolved
+    * by the caller (LakeTable), which supplies the FilesRef. */
+  private[lake] def deserializeHeader(text: String): Snapshot = {
     val lines = text.split('\n')
     require(lines.nonEmpty && lines(0) == Header, s"bad snapshot header: ${lines.headOption}")
     var version = -1L; var schemaVersion = -1; var numBuckets = -1
     var epochs = Set.empty[Long]; var schema: StructType = null
-    val files = Seq.newBuilder[FileEntry]
+    var highWater: Option[Long] = None
     lines.drop(1).filter(_.nonEmpty).foreach { ln =>
       val i = ln.indexOf('=')
       val (k, v) = (ln.substring(0, i), ln.substring(i + 1))
@@ -91,16 +166,18 @@ object Snapshot {
         case "version" => version = v.toLong
         case "schemaVersion" => schemaVersion = v.toInt
         case "numBuckets" => numBuckets = v.toInt
+        case "highWaterLsn" => highWater = Some(v.toLong)
         case "epochs" => if (v.nonEmpty) epochs = v.split(',').map(_.toLong).toSet
         case "schema" => schema = DataType.fromJson(v).asInstanceOf[StructType]
-        case "file" =>
-          val t = v.indexOf('\t')
-          files += FileEntry(v.substring(0, t).toInt, v.substring(t + 1))
-        case _ => // forward-compatible: ignore unknown keys
+        case _ => // forward-compatible: ignore unknown keys (file=/manifest= included)
       }
     }
-    Snapshot(version, schemaVersion, schema, numBuckets, epochs, files.result())
+    Snapshot(version, schemaVersion, schema, numBuckets, epochs,
+      InlineFiles(Seq.empty), highWater)
   }
+
+  def deserialize(text: String): Snapshot =
+    deserializeHeader(text).copy(filesRef = InlineFiles(parseFileLines(text)))
 }
 
 /** The lake table: bucketed Parquet data files + snapshot manifests.
@@ -108,7 +185,7 @@ object Snapshot {
   * Layout:
   * {{{
   *   <root>/_snapshots/v{N}          snapshot manifests (highest N = current)
-  *   <root>/data/v{N}/b={bucket}/    data files written by commit N
+  *   <root>/data/v{N}-{uuid}/b={bucket}/   data files written by commit N
   * }}}
   *
   * Data is hash-bucketed by `pmod(xxhash64(repo), numBuckets)` so a MERGE
@@ -124,10 +201,11 @@ final class LakeTable(
       * exceeds this many entries. Manifests are CONTENT-ADDRESSED
       * (g<group>-<sha16>.manifest): a commit touching k buckets rewrites
       * only the ≤k affected groups' manifests — every other group's
-      * manifest already exists under the same name and is referenced for
-      * free. Commit IO therefore tracks CHANGE volume, not table size
-      * (the Iceberg manifest-list idea; SURVEY §9's B≫10⁵ limit). The
-      * default keeps small tables on the simpler inline form. */
+      * manifest already exists under the same name and is referenced AND
+      * CARRIED by name only, never loaded. Commit IO and driver memory
+      * therefore track CHANGE volume, not table size (the Iceberg
+      * manifest-list idea; SURVEY §9's B≫10⁵ limit). The default keeps
+      * small tables on the simpler inline form. */
     val manifestSplitThreshold: Int = 4096,
     /** Bucket-group count for split manifests (group = bucket % this).
       * Size so one group ≈ a few thousand file entries at the target
@@ -141,22 +219,30 @@ final class LakeTable(
   def snapshotDir: Path = new Path(root, "_snapshots")
   def manifestDir: Path = new Path(root, "_snapshots/manifests")
 
+  /** Group-manifest loads performed by this table handle — observability
+    * hook for specs asserting that untouched groups are never read. */
+  private[graft] val manifestLoads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def readText(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
     new String(bytes, StandardCharsets.UTF_8)
   }
 
-  /** Parse a snapshot root; a split root (manifest= lines) loads its
-    * group manifests to rebuild the full file list. */
+  private def loadManifest(name: String): Seq[FileEntry] = {
+    manifestLoads.incrementAndGet()
+    Snapshot.parseFileLines(readText(fs, new Path(manifestDir, name)))
+  }
+
+  /** Parse a snapshot root; a split root (manifest= lines) resolves its
+    * group manifests LAZILY — nothing is loaded here. */
   private def readSnapshotFile(f: FileSystem, p: Path): Snapshot = {
     val text = readText(f, p)
-    val base = Snapshot.deserialize(text) // ignores manifest= lines
+    val base = Snapshot.deserializeHeader(text)
     val refs = Snapshot.manifestRefs(text)
-    if (refs.isEmpty) base
-    else base.copy(files = refs.flatMap { case (_, name) =>
-      Snapshot.parseFileLines(readText(f, new Path(manifestDir, name)))
-    })
+    if (refs.isEmpty) base.copy(filesRef = InlineFiles(Snapshot.parseFileLines(text)))
+    else base.copy(filesRef =
+      SplitFiles(refs, Map.empty, manifestGroupCount, loadManifest))
   }
 
   /** Highest committed snapshot, or None if the table is empty. */
@@ -170,12 +256,32 @@ final class LakeTable(
     else Some(readSnapshotFile(f, new Path(dir, s"v${versions.max}")))
   }
 
-  /** Serialize with per-group content-addressed manifests; writes any
-    * missing manifest files, returns the root text. */
-  private def serializeSplit(snap: Snapshot, f: FileSystem): String = {
+  /** The successor file listing after a commit that rewrote `touched`
+    * buckets: every entry in a touched bucket is dropped, `newFiles` are
+    * added. For split listings the untouched groups' manifest references
+    * carry over VERBATIM (no load, no rewrite); only groups containing
+    * touched buckets are materialized — O(touched) driver work. */
+  def successorFiles(snap: Snapshot, touched: Set[Int], newFiles: Seq[FileEntry]): FilesRef =
+    snap.filesRef match {
+      case InlineFiles(es) =>
+        InlineFiles(es.filterNot(f => touched(f.bucket)) ++ newFiles)
+      case SplitFiles(carried, updated, g, load) =>
+        val touchedGroups = touched.map(b => b % g)
+        val stillCarried = carried.filterNot { case (gid, _) => touchedGroups(gid) }
+        val loaded: Map[Int, Seq[FileEntry]] =
+          carried.collect { case (gid, name) if touchedGroups(gid) => gid -> load(name) }.toMap
+        val merged = (loaded.keySet ++ updated.keySet ++ newFiles.map(_.bucket % g)).map { gid =>
+          val prior = updated.getOrElse(gid, loaded.getOrElse(gid, Seq.empty))
+          gid -> (prior.filterNot(f => touched(f.bucket)) ++
+            newFiles.filter(_.bucket % g == gid))
+        }.toMap
+        SplitFiles(stillCarried, merged, g, load)
+    }
+
+  private def writeGroupManifests(groups: Map[Int, Seq[FileEntry]],
+                                  f: FileSystem): Seq[(Int, String)] = {
     f.mkdirs(manifestDir)
-    val groups = snap.files.groupBy(_.bucket % manifestGroupCount)
-    val refs = groups.toSeq.sortBy(_._1).map { case (gid, entries) =>
+    groups.toSeq.sortBy(_._1).filter(_._2.nonEmpty).map { case (gid, entries) =>
       val body = Snapshot.serializeFileLines(entries)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(body.getBytes(StandardCharsets.UTF_8))
@@ -195,8 +301,6 @@ final class LakeTable(
       }
       (gid, name)
     }
-    Snapshot.serializeHeader(snap) +
-      refs.map { case (gid, name) => s"manifest=$gid\t$name" }.mkString("", "\n", "\n")
   }
 
   /** Atomically publish `snap` as version `snap.version`.
@@ -204,9 +308,18 @@ final class LakeTable(
   def commitSnapshot(snap: Snapshot): Unit = {
     val f = fs
     f.mkdirs(snapshotDir)
-    val body =
-      if (snap.files.size <= manifestSplitThreshold) Snapshot.serialize(snap)
-      else serializeSplit(snap, f)
+    val body = snap.filesRef match {
+      case InlineFiles(es) if es.size <= manifestSplitThreshold =>
+        Snapshot.serialize(snap)
+      case InlineFiles(es) => // crossing the threshold: split everything once
+        val refs = writeGroupManifests(es.groupBy(_.bucket % manifestGroupCount), f)
+        Snapshot.serializeHeader(snap) +
+          refs.map { case (gid, name) => s"manifest=$gid\t$name" }.mkString("", "\n", "\n")
+      case SplitFiles(carried, updated, _, _) =>
+        val refs = (carried ++ writeGroupManifests(updated, f)).sortBy(_._1)
+        Snapshot.serializeHeader(snap) +
+          refs.map { case (gid, name) => s"manifest=$gid\t$name" }.mkString("", "\n", "\n")
+    }
     val tmp = new Path(snapshotDir, s".v${snap.version}.tmp")
     val dst = new Path(snapshotDir, s"v${snap.version}")
     val out = f.create(tmp, true)
@@ -237,10 +350,17 @@ final class LakeTable(
     fs.delete(new Path(manifestDir, name), false): Unit
   }
 
+  private[graft] def manifestMtime(name: String): Long =
+    fs.getFileStatus(new Path(manifestDir, name)).getModificationTime
+
+  private[graft] def dataDirMtime(dirName: String): Long =
+    fs.getFileStatus(new Path(root, s"data/$dirName")).getModificationTime
+
   /** List the parquet part-files Spark wrote under `data/<dirName>`, as
-    * (bucket, rel). Writers use unique version-uuid dir names so
-    * concurrent/crashed writers never share a directory; the snapshot
-    * manifest records the paths, so physical dir naming is free. */
+    * (bucket, rel) WITHOUT stats (no file IO beyond the listing). Writers
+    * use unique version-uuid dir names so concurrent/crashed writers
+    * never share a directory; the snapshot manifest records the paths, so
+    * physical dir naming is free. */
   def listDataFiles(dirName: String): Seq[FileEntry] = {
     val f = fs
     val base = new Path(root, s"data/$dirName")
@@ -251,6 +371,47 @@ final class LakeTable(
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(s => FileEntry(bucket, s"data/$dirName/b=$bucket/${s.getPath.getName}"))
     }.toSeq
+  }
+
+  /** `listDataFiles` plus per-file (min_lsn, max_lsn, n_rows) read from
+    * the parquet FOOTERS — metadata-only IO, no Spark job, parallel
+    * across files. This is how the commit path records the stats readers
+    * later prune by (reference: footer statistics extraction,
+    * src/places/place_index.rs:107-145). Files without an lsn column
+    * keep the conservative no-stats sentinel. */
+  def listDataFilesWithStats(dirName: String): Seq[FileEntry] = {
+    import scala.jdk.CollectionConverters._
+    val entries = listDataFiles(dirName)
+    val conf = hconf
+    val rootPath = root
+    entries.asJava.parallelStream().map[FileEntry] { e =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(s"$rootPath/${e.relPath}"), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          val nRows = blocks.map(_.getRowCount).sum
+          var mn = Long.MaxValue; var mx = Long.MinValue; var ok = nRows > 0
+          blocks.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == "lsn") match {
+              case Some(c) =>
+                val st = c.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (lo: java.lang.Long, hi: java.lang.Long) =>
+                    mn = math.min(mn, lo); mx = math.max(mx, hi)
+                  case _ => ok = false
+                }
+              case None => ok = false
+            }
+          }
+          if (nRows == 0) e.copy(minLsn = Long.MaxValue, maxLsn = Long.MinValue, nKeys = 0)
+          else if (ok) e.copy(minLsn = mn, maxLsn = mx, nKeys = nRows)
+          else e
+        } finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => e }
+    }.collect(java.util.stream.Collectors.toList[FileEntry]).asScala.toSeq
   }
 
   /** Data directory names currently present under `data/`. */
@@ -288,7 +449,7 @@ final class LakeTable(
   def read(): DataFrame = {
     val snap = currentSnapshot().getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
-    readFiles(snap.schema, snap.files)
+    readFiles(snap.schema, snap.allFiles)
       .where(!org.apache.spark.sql.functions.col(DeletedCol))
       .drop(DeletedCol)
   }
@@ -300,7 +461,7 @@ final class LakeTable(
   /** Visible state as of a past snapshot version (time travel). */
   def readVersion(version: Long): DataFrame = {
     val snap = snapshotAt(version)
-    readFiles(snap.schema, snap.files)
+    readFiles(snap.schema, snap.allFiles)
       .where(!org.apache.spark.sql.functions.col(DeletedCol))
       .drop(DeletedCol)
   }

@@ -31,7 +31,9 @@ object Maintenance {
   def compact(table: LakeTable, maxFilesPerBucket: Int = 4): Int = {
     compactMeta(table, maxFilesPerBucket * 4)
     val snap = table.currentSnapshot().getOrElse(return 0)
-    val byBucket = snap.files.groupBy(_.bucket)
+    // full-table maintenance pass: enumerating every bucket's file count
+    // is O(files) by nature (and batched per manifest group)
+    val byBucket = snap.allFiles.groupBy(_.bucket)
     val oversized = byBucket.filter(_._2.size > maxFilesPerBucket).keySet
     if (oversized.isEmpty) return 0
 
@@ -47,22 +49,52 @@ object Maintenance {
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("b").parquet(s"${table.root}/data/$writeDir")
 
-    val newFiles = table.listDataFiles(writeDir)
+    // rows keep their lsns — the rewrite cannot move the high-water mark,
+    // and the recorded footer stats let later incremental reads skip the
+    // compacted files entirely (nothing in them exceeds the old mark)
+    val newFiles = table.listDataFilesWithStats(writeDir)
     table.commitSnapshot(snap.copy(
       version = newVersion,
-      files = snap.filesNotIn(oversized) ++ newFiles))
+      filesRef = table.successorFiles(snap, oversized, newFiles)))
     oversized.size
+  }
+
+  private[graft] val metaNames = Seq("lineage", "metrics", "stream_metrics")
+
+  /** Complete an interrupted `compactMeta` swap so every crash state is
+    * readable. States (tmp = `.name.compact`, old = `.name.old`):
+    *   - dir present → any tmp/old leftovers are stale (tmp was never
+    *     swapped in, or old was already superseded) — delete them;
+    *   - dir missing ∧ tmp present → the crash hit between the two swap
+    *     renames; tmp is complete (it is fully written before the first
+    *     rename) — rename it into place, then drop old. */
+  private[graft] def repairMeta(table: LakeTable, name: String): Unit = {
+    val hconf = table.spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/$name")
+    val fs = dir.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.$name.compact")
+    val old = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.$name.old")
+    if (!fs.exists(dir) && fs.exists(tmp))
+      require(fs.rename(tmp, dir), s"meta compaction repair failed for $name")
+    if (fs.exists(dir)) { // only then are the intermediates certainly stale
+      if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+      if (fs.exists(old)) fs.delete(old, true): Unit
+    }
   }
 
   /** Compact the per-epoch appended meta tables (lineage / metrics /
     * stream_metrics) down to one file each once they exceed `maxFiles`
     * parts — at 10⁵ epochs an uncompacted metrics read degrades linearly
-    * in file count. Single-maintainer operation (like compact itself):
-    * rewrite to a tmp dir, swap via delete + rename. */
+    * in file count. Single-maintainer operation (like compact itself).
+    * Crash-safe swap: write tmp → rename dir aside → rename tmp into
+    * place → drop the old dir; every intermediate state is repaired by
+    * `repairMeta` (run here and by the Meta readers), so no crash point
+    * leaves the table unreadable or loses committed rows. */
   def compactMeta(table: LakeTable, maxFiles: Int = 16): Int = {
     val spark = table.spark
     val hconf = spark.sparkContext.hadoopConfiguration
-    Seq("lineage", "metrics", "stream_metrics").count { name =>
+    metaNames.count { name =>
+      repairMeta(table, name)
       val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/$name")
       val fs = dir.getFileSystem(hconf)
       val nParts =
@@ -71,10 +103,12 @@ object Maintenance {
       if (nParts <= maxFiles) false
       else {
         val tmp = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.$name.compact")
+        val old = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.$name.old")
         spark.read.parquet(dir.toString).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dir, true)
+        require(fs.rename(dir, old), s"meta compaction rename-aside failed for $name")
         require(fs.rename(tmp, dir), s"meta compaction swap failed for $name")
+        fs.delete(old, true)
         true
       }
     }
@@ -83,60 +117,128 @@ object Maintenance {
   /** Remove orphaned data directories and manifest files — left by
     * writers that crashed (or lost a commit race) between writing and
     * committing the snapshot root. An artifact is an orphan iff NO
-    * committed snapshot references it; time travel keeps every
-    * referenced version alive. Returns the artifacts removed. */
-  def vacuum(table: LakeTable): Seq[String] = {
+    * committed snapshot references it AND it is older than `retentionMs`
+    * (modification-time cutoff, the Iceberg remove-orphan-files rule):
+    * an IN-FLIGHT writer's artifacts are unreferenced by construction
+    * until its commit lands, so an age gate — not reachability alone —
+    * is what keeps vacuum safe to run alongside live writers. Time
+    * travel keeps every referenced version alive regardless of age.
+    * Returns the artifacts removed. Pass `retentionMs = 0` only when no
+    * writer can be active (e.g. tests, single-writer maintenance
+    * windows). */
+  def vacuum(table: LakeTable, retentionMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val versions = table.snapshotVersions()
+    val cutoff = System.currentTimeMillis() - retentionMs
     val referenced: Set[String] = versions
-      .flatMap(v => table.snapshotAt(v).files)
+      .flatMap(v => table.snapshotAt(v).allFiles)
       .map(_.relPath.stripPrefix("data/").takeWhile(_ != '/')).toSet
-    val orphans = table.dataDirNames().filterNot(referenced)
+    val orphans = table.dataDirNames()
+      .filterNot(referenced)
+      .filter(d => table.dataDirMtime(d) <= cutoff)
     orphans.foreach(table.deleteDataDir)
     val refManifests: Set[String] = versions.flatMap(table.manifestRefsOf).toSet
-    val orphanManifests = table.manifestFileNames().filterNot(refManifests)
+    val orphanManifests = table.manifestFileNames()
+      .filterNot(refManifests)
+      .filter(m => table.manifestMtime(m) <= cutoff)
     orphanManifests.foreach(table.deleteManifest)
     orphans ++ orphanManifests
   }
 
+  /** Entries of the groups that can differ between two snapshots. For
+    * split listings, groups whose content-addressed manifest NAMES match
+    * are byte-identical and are skipped WITHOUT loading — change
+    * detection rides the content addressing for free. Inline (or
+    * mixed/legacy) listings fall back to the full lists. */
+  private def differingEntries(from: Snapshot, to: Snapshot): (Seq[FileEntry], Seq[FileEntry]) =
+    (from.filesRef, to.filesRef) match {
+      case (SplitFiles(cf, uf, gf, loadF), SplitFiles(ct, ut, gt, loadT))
+          if gf == gt && uf.isEmpty && ut.isEmpty =>
+        val fm = cf.toMap
+        val tm = ct.toMap
+        val gids = (fm.keySet ++ tm.keySet).filter(g => fm.get(g) != tm.get(g))
+        (gids.toSeq.flatMap(g => fm.get(g).map(loadF).getOrElse(Seq.empty)),
+          gids.toSeq.flatMap(g => tm.get(g).map(loadT).getOrElse(Seq.empty)))
+      case _ => (from.allFiles, to.allFiles)
+    }
+
   /** Incremental changes between two committed versions as CDC rows:
     * `_change_type` in {insert, update_postimage, delete} per (repo,
-    * path). Only buckets whose file sets differ between the snapshots are
-    * read. */
+    * path). Read pruning, coarse to fine:
+    *   1. manifest groups with identical content hashes are skipped
+    *      without loading (split snapshots);
+    *   2. buckets whose file sets are identical cannot contain changes
+    *      and are never read;
+    *   3. within changed buckets, files whose manifest `max_lsn` is at or
+    *      below `from`'s high-water mark are skipped — every row they
+    *      hold predates `from` (ordered-log delivery), so compaction- or
+    *      redelivery-only rewrites cost ZERO data IO here (the
+    *      reference's row-group stats pruning,
+    *      src/places/place_index.rs:217-221, at file granularity);
+    *   4. surviving files still push `lsn > highWater` into the parquet
+    *      scan, pruning row groups inside mixed files.
+    * The old side is read only for buckets with surviving new files, and
+    * only to classify insert-vs-update and suppress tombstone-only keys. */
   def changesBetween(table: LakeTable, fromVersion: Long, toVersion: Long): DataFrame = {
     val from = table.snapshotAt(fromVersion)
     val to = table.snapshotAt(toVersion)
     require(from.numBuckets == to.numBuckets,
       "changesBetween across a re-bucketing is not supported")
-    val fromByBucket = from.files.groupBy(_.bucket)
-    val toByBucket = to.files.groupBy(_.bucket)
+    val (fromEntries, toEntries) = differingEntries(from, to)
+    val fromByBucket = fromEntries.groupBy(_.bucket)
+    val toByBucket = toEntries.groupBy(_.bucket)
     val changedBuckets = (fromByBucket.keySet ++ toByBucket.keySet).filter { b =>
-      fromByBucket.getOrElse(b, Nil).toSet != toByBucket.getOrElse(b, Nil).toSet
+      fromByBucket.getOrElse(b, Nil).map(_.relPath).toSet !=
+        toByBucket.getOrElse(b, Nil).map(_.relPath).toSet
     }
+    val candidateNew = toEntries.filter(f => changedBuckets(f.bucket))
 
-    val oldDf = table.readFiles(from.schema, from.filesIn(changedBuckets))
-    val newDf = table.readFiles(to.schema, to.filesIn(changedBuckets))
-    val o = oldDf.select(col("repo"), col("path"), col("lsn").as("_old_lsn"),
-      col(DeletedCol).as("_old_del"))
-    // full outer join per key; bucket-partitioned on both sides so the
-    // shuffle is bounded by changed buckets, not table size
-    val joined = newDf.as("n").join(o.as("o"),
-      col("n.repo") === col("o.repo") && col("n.path") === col("o.path"), "full_outer")
-    // the insert branch requires a PRESENT new side: a key existing only
-    // as an old tombstone (absent from `to`) must not surface as a
-    // spurious all-null "insert" (latent with writers that drop keys,
-    // even though current writers always rewrite buckets whole)
-    val changeType =
-      when(col("_old_lsn").isNull || col("_old_del"),
-        when(col("n.repo").isNull || col(s"n.$DeletedCol"), lit(null))
-          .otherwise(lit("insert")))
-        .otherwise(
-          when(col(s"n.$DeletedCol"), lit("delete"))
-            .when(col("n.lsn") =!= col("_old_lsn"), lit("update_postimage"))
-            .otherwise(lit(null)))
-    joined
-      .withColumn("_change_type", changeType)
-      .where(col("_change_type").isNotNull)
-      .select(col("_change_type") +:
-        newDf.columns.filterNot(_ == DeletedCol).map(c => col(s"n.$c")).toIndexedSeq: _*)
+    from.highWaterLsn match {
+      case Some(hw) if candidateNew.forall(_.hasStats) =>
+        val readNew = candidateNew.filter(_.maxLsn > hw)
+        val liveBuckets = readNew.map(_.bucket).toSet
+        val newDf = table.readFiles(to.schema, readNew).where(col("lsn") > hw)
+        val o = table.readFiles(from.schema, from.filesIn(liveBuckets))
+          .select(col("repo"), col("path"), col("lsn").as("_old_lsn"),
+            col(DeletedCol).as("_old_del"))
+        val joined = newDf.as("n").join(o.as("o"),
+          col("n.repo") === col("o.repo") && col("n.path") === col("o.path"), "left")
+        val changeType =
+          when(col("_old_lsn").isNull || col("_old_del"),
+            when(col(s"n.$DeletedCol"), lit(null)).otherwise(lit("insert")))
+            .otherwise(when(col(s"n.$DeletedCol"), lit("delete"))
+              .otherwise(lit("update_postimage")))
+        joined
+          .withColumn("_change_type", changeType)
+          .where(col("_change_type").isNotNull)
+          .select(col("_change_type") +:
+            newDf.columns.filterNot(_ == DeletedCol).map(c => col(s"n.$c")).toIndexedSeq: _*)
+
+      case _ => // legacy/stat-less path: full per-bucket diff
+        val oldDf = table.readFiles(from.schema, from.filesIn(changedBuckets))
+        val newDf = table.readFiles(to.schema, to.filesIn(changedBuckets))
+        val o = oldDf.select(col("repo"), col("path"), col("lsn").as("_old_lsn"),
+          col(DeletedCol).as("_old_del"))
+        // full outer join per key; bucket-partitioned on both sides so the
+        // shuffle is bounded by changed buckets, not table size
+        val joined = newDf.as("n").join(o.as("o"),
+          col("n.repo") === col("o.repo") && col("n.path") === col("o.path"), "full_outer")
+        // the insert branch requires a PRESENT new side: a key existing only
+        // as an old tombstone (absent from `to`) must not surface as a
+        // spurious all-null "insert" (latent with writers that drop keys,
+        // even though current writers always rewrite buckets whole)
+        val changeType =
+          when(col("_old_lsn").isNull || col("_old_del"),
+            when(col("n.repo").isNull || col(s"n.$DeletedCol"), lit(null))
+              .otherwise(lit("insert")))
+            .otherwise(
+              when(col(s"n.$DeletedCol"), lit("delete"))
+                .when(col("n.lsn") =!= col("_old_lsn"), lit("update_postimage"))
+                .otherwise(lit(null)))
+        joined
+          .withColumn("_change_type", changeType)
+          .where(col("_change_type").isNotNull)
+          .select(col("_change_type") +:
+            newDf.columns.filterNot(_ == DeletedCol).map(c => col(s"n.$c")).toIndexedSeq: _*)
+    }
   }
 }

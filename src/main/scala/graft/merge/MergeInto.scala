@@ -1,6 +1,6 @@
 package graft.merge
 
-import graft.lake.{LakeTable, Snapshot}
+import graft.lake.{FileEntry, InlineFiles, LakeTable, Snapshot}
 import graft.schema.SchemaRegistry
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
@@ -203,8 +203,24 @@ final class MergeInto(
         .parquet(outDir))
 
       // --- commit -----------------------------------------------------------
-      val newFiles = timed("list")(table.listDataFiles(writeDir))
-      val carried = snapOpt.map(_.filesNotIn(touched)).getOrElse(Seq.empty)
+      // Per-file (min_lsn, max_lsn, n_rows) come from the parquet footers
+      // (metadata-only IO); the manifest records them so readers prune
+      // sub-bucket, and the snapshot's high-water lsn advances iff every
+      // file has stats (ordered-log delivery makes rows with
+      // lsn <= highWater provably unchanged in later snapshots).
+      val newFiles = timed("list")(table.listDataFilesWithStats(writeDir))
+      val statsOk = newFiles.forall(_.hasStats)
+      val newHighWater: Option[Long] = snapOpt match {
+        case None =>
+          if (statsOk) Some(newFiles.map(_.maxLsn).foldLeft(Long.MinValue)(math.max))
+          else None
+        case Some(s) => s.highWaterLsn.collect {
+          case hw if statsOk => newFiles.map(_.maxLsn).foldLeft(hw)(math.max)
+        }
+      }
+      val filesRef = snapOpt
+        .map(s => table.successorFiles(s, touched, newFiles))
+        .getOrElse(InlineFiles(newFiles))
       val schemaVersion = snapOpt.map { s =>
         if (s.schema == physicalSchema) s.schemaVersion else s.schemaVersion + 1
       }.getOrElse(1)
@@ -214,7 +230,8 @@ final class MergeInto(
         schema = physicalSchema,
         numBuckets = numBuckets,
         epochs = snapOpt.map(_.epochs).getOrElse(Set.empty) + epochId,
-        files = carried ++ newFiles
+        filesRef = filesRef,
+        highWaterLsn = newHighWater
       ))
 
       val stats = MergeStats(epochId, newVersion, skipped = false,
@@ -224,8 +241,7 @@ final class MergeInto(
         tombstonesWritten = asLong(outObs.get, "tombstones"),
         bucketsTouched = touched.size,
         durationMs = (System.nanoTime() - t0) / 1000000)
-      if (recordMeta) Meta.record(table, stats, newVersion, epochId,
-        if (newFiles.nonEmpty) Some(writeDir) else None)
+      if (recordMeta) Meta.record(table, stats, newVersion, epochId, newFiles)
       stats
     } finally {
       if (cacheSource) source.unpersist(blocking = false): Unit
@@ -240,20 +256,20 @@ final class MergeInto(
   */
 object Meta {
   def record(table: LakeTable, stats: MergeStats, version: Long, epochId: Long,
-             dataDir: Option[String]): Unit = {
+             newFiles: Seq[FileEntry]): Unit = {
     val spark = table.spark
     import spark.implicits._
-    // lineage: per bucket written this version → key count + lsn range.
+    // lineage: per bucket written this version → key count + lsn range,
+    // rolled up driver-side from the per-file footer stats the commit
+    // already collected — no extra Spark job re-reading written data.
     // An empty micro-batch commits a version with no data files (the
     // epoch must still be ledgered for exactly-once) — nothing to line.
-    dataDir.foreach { d =>
-      spark.read
-        .option("basePath", s"${table.root}/data/$d")
-        .parquet(s"${table.root}/data/$d")
-        .groupBy(col("b").cast("int").as("bucket"))
-        .agg(count(lit(1)).as("n_keys"), min("lsn").as("min_lsn"), max("lsn").as("max_lsn"))
-        .withColumn("version", lit(version))
-        .withColumn("epoch", lit(epochId))
+    val statted = newFiles.filter(_.hasStats).filter(_.nKeys > 0)
+    if (statted.nonEmpty) {
+      statted.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fsOf) =>
+        (b, fsOf.map(_.nKeys).sum, fsOf.map(_.minLsn).min, fsOf.map(_.maxLsn).max,
+          version, epochId)
+      }.toDF("bucket", "n_keys", "min_lsn", "max_lsn", "version", "epoch")
         .coalesce(1)
         .write.mode("append").parquet(s"${table.root}/meta/lineage")
     }
@@ -265,9 +281,13 @@ object Meta {
       .write.mode("append").parquet(s"${table.root}/meta/metrics")
   }
 
-  def lineage(table: LakeTable): DataFrame =
+  def lineage(table: LakeTable): DataFrame = {
+    graft.lake.Maintenance.repairMeta(table, "lineage")
     table.spark.read.parquet(s"${table.root}/meta/lineage")
+  }
 
-  def metrics(table: LakeTable): DataFrame =
+  def metrics(table: LakeTable): DataFrame = {
+    graft.lake.Maintenance.repairMeta(table, "metrics")
     table.spark.read.parquet(s"${table.root}/meta/metrics")
+  }
 }

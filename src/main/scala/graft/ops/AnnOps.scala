@@ -25,15 +25,28 @@ object AnnOps {
   /** Query subset: every 50th vector — deterministic, sf-proportional. */
   private def queryFilter = col("vec_id") % 50 === 0
 
+  /** Broadcast batch sizing for q18: a batch may hold at most this many
+    * query vectors, keeping every broadcast bounded regardless of corpus
+    * size (64-dim float vectors → ~3 MB/batch). */
+  val MaxBroadcastRows = 10000
+
   /** q18: exact brute-force cosine top-k per query (tie-break on vec_id).
     * The query side is processed in NB bounded batches — each batch
     * broadcasts only its chunk and the corpus streams once per batch with
-    * no corpus shuffle — so the broadcast never grows with the corpus (at
-    * scale NB = ceil(nQueries / maxBroadcastRows)); the union feeds one
-    * window shuffle keyed by query_id. */
-  def q18AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    * no corpus shuffle — so the broadcast never grows with the corpus:
+    * NB = ceil(nQueries / MaxBroadcastRows), computed from an actual
+    * count of the query subset (one cheap scan-only job — the same
+    * count a scheduler would need to size batches anywhere). The union
+    * feeds one window shuffle keyed by query_id. */
+  def q18AnnBruteForce(s: SparkSession, dir: String): DataFrame =
+    q18Batched(s, dir, MaxBroadcastRows)
+
+  /** Parameterized batch size so specs can force NB > 1 at test scale
+    * and assert the batching leaves results identical. */
+  private[graft] def q18Batched(s: SparkSession, dir: String, maxBroadcastRows: Int): DataFrame = {
     val corpus = emb(s, dir)
-    val NB = 4
+    val nQueries = corpus.where(queryFilter).count()
+    val NB = math.max(1, math.ceil(nQueries.toDouble / maxBroadcastRows).toInt)
     val scored = (0 until NB).map { b =>
       val queries = corpus
         .where(queryFilter && (col("vec_id") / 50).cast("long") % NB === b)

@@ -156,39 +156,88 @@ object DedupOps {
        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
        |WHERE jaccard >= $JaccardThreshold""".stripMargin
 
-  /** q16: SimHash near-dup. 64-bit simhash per doc, banded into 4×16-bit
-    * chunks: any pair at Hamming distance ≤ 3 shares at least one chunk
-    * (pigeonhole), so chunk-equality candidate generation is lossless for
-    * the ≤3 threshold. Output is per-doc (rows stable): the simhash and
-    * the nearest in-chunk neighbor's Hamming distance (-1 = none). */
-  def q16Simhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir).select(
-      col("doc_id"),
-      fns.simhash64(fns.wsTokens(col("text"))).as("sh"))
-    val chunked = sh.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    val cand = a.join(b,
-        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+  /** q16 near-dup gate: report the nearest neighbor within Hamming ≤ 3,
+    * else -1 — a SCHEME-INDEPENDENT contract (any lossless candidate
+    * scheme yields the identical answer, and the DuckDB oracle verifies
+    * it against the exhaustive all-pairs scan). */
+  val SimhashHamMax = 3
+
+  /** Manku-style permuted tables: 64 bits split into 6 blocks
+    * (11,11,11,11,10,10); a table per 3-subset of blocks keys on those
+    * blocks' concatenated bits. Hamming ≤ 3 flips at most 3 blocks, so
+    * some 3-subset is clean on both sides (pigeonhole) — candidates are
+    * LOSSLESS for the ≤3 gate. Key cardinality is C(6,3)=20 tables ×
+    * 2^31..33 keys, so ambient bucket collisions are ~n²·20/2^31 — the
+    * fix for round 2's 4×16-bit chunk scheme whose 65,536-value keys
+    * made candidates quadratic-with-small-constant at ≥10⁹ docs
+    * (Manku/Jain/Sarma, WWW'07 §3; the wider-prefix permuted-table
+    * construction). */
+  private val SimhashBlockOffsets = Seq(0, 11, 22, 33, 44, 54)
+  private val SimhashBlockWidths = Seq(11, 11, 11, 11, 10, 10)
+  private val SimhashSubsets: Seq[Seq[Int]] =
+    (0 until 6).combinations(3).map(_.toSeq).toSeq
+
+  /** The 20 per-table keys for one simhash column (codegen'd bit math). */
+  private[graft] def simhashKeys(sh: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    SimhashSubsets.map { blocks =>
+      blocks.zipWithIndex.map { case (b, i) =>
+        val block = shiftright(sh, SimhashBlockOffsets(b))
+          .bitwiseAND(lit((1L << SimhashBlockWidths(b)) - 1))
+        shiftleft(block, i * 11)
+      }.reduce(_ bitwiseOR _)
+    }
+
+  /** Candidate (doc_id, ham) pairs within the ≤`SimhashHamMax` gate,
+    * from the permuted-table equi-join. Factored out so the skew spec
+    * can drive it with synthetic pathological simhashes. Duplicate
+    * pairs from multiple agreeing tables are harmless: min() absorbs
+    * them without a dedup shuffle. */
+  private[graft] def simhashNearest(sh: DataFrame): DataFrame = {
+    val probes = sh.select(col("doc_id"), col("sh"),
+      posexplode(array(simhashKeys(col("sh")): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "key"))
+    probes.as("a").join(probes.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id"),
         fns.hamming64(col("a.sh"), col("b.sh")).as("ham"))
+      .where(col("ham") <= SimhashHamMax)
       .groupBy("doc_id").agg(min("ham").as("nearest_ham"))
-    sh.join(cand, Seq("doc_id"), "left")
+  }
+
+  /** The q16 corpus: documents plus planted near-identical copies (every
+    * 20th doc re-appears with one appended token — a re-crawl/boilerplate
+    * duplicate, landing at small simhash Hamming distance). */
+  private[graft] def simhashCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    base.unionByName(base.where(col("doc_id") % 20 === 0).select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" graftdup")).as("text")))
+  }
+
+  def q16Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhashCorpus(s, dir).select(
+      col("doc_id"),
+      fns.simhash64(fns.wsTokens(col("text"))).as("sh"))
+    sh.join(simhashNearest(sh), Seq("doc_id"), "left")
       .select(col("doc_id"), col("sh").as("simhash"),
         coalesce(col("nearest_ham"), lit(-1)).as("nearest_ham"))
   }
 
   /** Exact DuckDB oracle for q16: per-token FNV-1a+splitmix64, 64 bit
-    * votes, chunk-equality candidates, min Hamming via bit_count(xor). */
+    * votes, then the EXHAUSTIVE all-pairs nearest-within-3 — a stronger
+    * check than mirroring the tables: it verifies the permuted-table
+    * scheme's losslessness, not just its arithmetic. */
   val q16Sql: String = {
     import SqlKernels._
-    s"""WITH toks AS (
+    s"""WITH docs16 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' graftdup' AS text
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |toks AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-       |  FROM documents),
+       |  FROM docs16),
        |th0 AS (
        |  SELECT doc_id, ${fnv1aFold(charCodes("tok"))} AS h0 FROM toks),
        |th AS (
@@ -204,15 +253,13 @@ object DedupOps {
        |      CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END
        |      ELSE 0 END) AS BIGINT) AS simhash
        |  FROM votes GROUP BY doc_id),
-       |ch AS (
-       |  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 16)) & 65535 AS chunk_val
-       |  FROM sh, unnest(generate_series(0, 3)) AS t(c)),
        |cand AS (
        |  SELECT a.doc_id AS doc_id, min(bit_count(xor(a.simhash, b.simhash))) AS nearest_ham
-       |  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
-       |                     AND a.doc_id <> b.doc_id
+       |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
        |  GROUP BY a.doc_id)
-       |SELECT s.doc_id, s.simhash, coalesce(c.nearest_ham, -1) AS nearest_ham
+       |SELECT s.doc_id, s.simhash,
+       |  CAST(CASE WHEN c.nearest_ham <= $SimhashHamMax THEN c.nearest_ham ELSE -1 END
+       |       AS INTEGER) AS nearest_ham
        |FROM sh s LEFT JOIN cand c ON s.doc_id = c.doc_id""".stripMargin
   }
 

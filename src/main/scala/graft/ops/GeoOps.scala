@@ -6,31 +6,28 @@ import org.apache.spark.sql.functions._
 
 /** The reference's flagship computation re-expressed Spark-first: the
   * spatial best-match range join (SURVEY J1/J2 — for each query point,
-  * cover its search radius with grid cells, equi-join candidates on the
-  * cell key, filter by category mask and true distance, keep the argmax).
+  * cover its search radius with cells, equi-join candidates on the cell
+  * key, filter by category and true distance, keep the argmax).
   * Reference: src/pipeline/conflate/mod.rs:125-190, src/pipeline/edits.rs:92-161.
+  *
+  * Cells are CUBE-FACE hierarchical cells (see GeoCells): sphere →
+  * cube-face chart → Morton walk, `parent(id) = id >> 2` — the real S2
+  * shape the reference relies on (src/coverage.rs:4-21), replacing round
+  * 2's raw lat/lng quantization whose cells degenerated toward the poles
+  * (1/cos(lat) area skew → hot polar join keys). Cube cells keep the
+  * global max/min cell-area ratio ≈ 5, so join-key load is bounded at
+  * EVERY latitude and the pole needs no special-case covering.
   *
   * The covering is RADIUS-ADAPTIVE (SURVEY C5+C15, reference
   * `matchers/mod.rs:206-232` picks the radius per feature from its mask;
-  * `conflate/mod.rs:131-136` covers the cap adaptively): each row's
-  * category selects a 50/200/500 km radius, and the per-row cell fan-out
-  * is derived from that radius and the row's latitude — wider longitude
-  * spans near the poles (conservative over-covering; false candidates
-  * die on the exact-distance filter), capped at the full ring when the
-  * search cap contains a pole. Longitude cells wrap modulo 360° (pmod),
-  * so antimeridian-straddling caps are covered correctly; points span
-  * the full |lat| ≤ 88.5° range (no generator crutch).
-  *
-  * The covering explode turns the O(n·m) distance join into an equi-join
-  * on cell ids — at 100 TB both sides shuffle once on the cell key and
-  * no cross product ever materializes; the per-row fan-out stays O(1)
-  * except for the vanishing pole-adjacent fraction; skew-prone hot cells
-  * ride AQE + the cell granularity choice.
+  * `conflate/mod.rs:131-136` covers the cap adaptively): each category's
+  * radius selects a cell LEVEL sized to it, so per-row fan-out stays
+  * ~10–25 cells for every tier. The covering explode turns the O(n·m)
+  * distance join into an equi-join on (cell, cat) — at 100 TB both sides
+  * shuffle once on the cell key and no cross product ever materializes;
+  * false candidates die on the exact-distance filter.
   */
 object GeoOps {
-
-  private val CellDeg = 5.0
-  private val LngCells = 72 // 360 / CellDeg
 
   private def lat(key: Column): Column = (key * 37 % 178 - 89).cast("double") + 0.5
   private def lng(key: Column): Column = (key * 73 % 300 - 150).cast("double") + 0.5
@@ -38,6 +35,14 @@ object GeoOps {
   /** C5 analogue: search radius picked by category (km). */
   private def radiusKm(cat: Column): Column =
     when(cat === 0, 50.0).when(cat === 1, 200.0).otherwise(500.0)
+
+  /** Cell level per category: sized so the cap spans ~1–2 cells per axis
+    * (level-7 cube cells ≈ 78 km across, 5 ≈ 312 km, 4 ≈ 625 km). */
+  private def levelOf(cat: Int): Int = cat match {
+    case 0 => 7
+    case 1 => 5
+    case _ => 4
+  }
 
   /** Haversine distance in km — same formula as q26 (portable math). */
   private def distKm(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {
@@ -47,8 +52,30 @@ object GeoOps {
     lit(2 * 6371.0088) * asin(sqrt(a))
   }
 
-  private def latCell(c: Column): Column = floor((c + 90.0) / CellDeg).cast("int")
-  private def lngCell(c: Column): Column = floor((c + 180.0) / CellDeg).cast("int")
+  // -------------------------------------------------------------------
+  // Cube-face cell id: the codegen'd CubeCell expression (one static
+  // call into GeoCells.cellOf — composed Column math would re-inline the
+  // face-chart whens once per Morton bit and blow past JVM codegen
+  // limits). The SQL oracle fragments below reproduce the same IEEE
+  // double sequence (verified exact at sf0.01/sf0.1).
+  // -------------------------------------------------------------------
+  private def cubeCell(latC: Column, lngC: Column, level: Int): Column =
+    graft.functions.fns.cubeCell(latC, lngC, level)
+
+  private def deinterleave(m: Column, level: Int, odd: Boolean): Column =
+    (0 until level).map { b =>
+      shiftright(m, 2 * b + (if (odd) 1 else 0)).bitwiseAND(1) * (1L << b)
+    }.reduce(_ + _)
+
+  /** The covering UDF — GeoCells.cover per row (the reference's
+    * RegionCoverer, C15). A UDF rather than Column math because the BFS
+    * with cross-face neighbor stepping is genuinely imperative; it runs
+    * once per query row and fans out ~10–25 cells, so the join stays an
+    * equi-join and the UDF is off every hot aggregate path. */
+  private val coverUdf = udf { (latDeg: Double, lngDeg: Double, cat: Int) =>
+    val r = cat match { case 0 => 50.0; case 1 => 200.0; case _ => 500.0 }
+    GeoCells.cover(latDeg, lngDeg, r, levelOf(cat))
+  }
 
   /** q29: best-match join — for each customer point, the nearest supplier
     * point of the SAME category within that category's radius (category
@@ -58,37 +85,25 @@ object GeoOps {
     val cust = s.read.parquet(s"$dir/customer.parquet").select(
       col("c_custkey"),
       lat(col("c_custkey")).as("clat"), lng(col("c_custkey")).as("clng"),
-      (col("c_custkey") % 3).as("cat"))
+      (col("c_custkey") % 3).cast("int").as("cat"))
+    // supplier cell at the category's level: pure column math (codegen),
+    // exactly GeoCells.cellOf
+    val suppCell = (0 to 2).map { c =>
+      (c, cubeCell(lat(col("s_suppkey")), lng(col("s_suppkey")), levelOf(c)))
+    }.foldRight(lit(-1L): Column) { case ((c, cell), e) =>
+      when(col("cat") === c, cell).otherwise(e)
+    }
     val supp = s.read.parquet(s"$dir/supplier.parquet").select(
-      col("s_suppkey"),
-      lat(col("s_suppkey")).as("slat"), lng(col("s_suppkey")).as("slng"),
-      (col("s_suppkey") % 3).as("cat"),
-      latCell(lat(col("s_suppkey"))).as("cell_lat"),
-      lngCell(lng(col("s_suppkey"))).as("cell_lng"))
+        col("s_suppkey"),
+        lat(col("s_suppkey")).as("slat"), lng(col("s_suppkey")).as("slng"),
+        (col("s_suppkey") % 3).cast("int").as("cat"))
+      .withColumn("cell", suppCell)
 
-    // adaptive covering: lat span from the radius (≥110 km/deg is a safe
-    // under-estimate of km-per-lat-degree → over-covers); lng span from
-    // the radius at the cap's worst-case |lat| edge (cos shrinks km/deg →
-    // span grows), capped at the full ring when the cap nears a pole.
-    val r = radiusKm(col("cat"))
-    val latSpan = ceil(r / 110.0 / CellDeg).cast("int")
-    val maxAbsLatEdge = least(abs(col("clat")) + r / 110.0, lit(89.9))
-    val lngSpan = least(
-      lit(LngCells / 2),
-      ceil(r / (lit(111.32) * cos(radians(maxAbsLatEdge))) / CellDeg).cast("int"))
-    // the capped full ring spans exactly one period (−36..35) so the pmod
-    // wrap never lands on the same cell twice — probe cells are distinct
-    // by construction and no dedup shuffle is needed
-    val lngHi = when(lngSpan === LngCells / 2, lit(LngCells / 2 - 1)).otherwise(lngSpan)
     val probes = cust
-      .withColumn("dlat", explode(sequence(-latSpan, latSpan)))
-      .withColumn("dlng", explode(sequence(-lngSpan, lngHi)))
-      .select(col("c_custkey"), col("clat"), col("clng"), col("cat"),
-        (latCell(col("clat")) + col("dlat")).as("cell_lat"),
-        pmod(lngCell(col("clng")) + col("dlng"), lit(LngCells)).as("cell_lng"))
+      .withColumn("cell", explode(coverUdf(col("clat"), col("clng"), col("cat"))))
 
     val w = Window.partitionBy(col("c_custkey")).orderBy(col("d").asc, col("s_suppkey").asc)
-    probes.join(supp, Seq("cell_lat", "cell_lng", "cat"))
+    probes.join(supp, Seq("cell", "cat"))
       .withColumn("d", distKm(col("clat"), col("clng"), col("slat"), col("slng")))
       .where(col("d") <= radiusKm(col("cat")))
       .withColumn("rn", row_number().over(w))
@@ -96,8 +111,10 @@ object GeoOps {
       .select(col("c_custkey"), col("s_suppkey"), round(col("d"), 4).as("dist_km"))
   }
 
-  /** Oracle: the exhaustive cross-product formulation (no covering),
-    * with the same per-category radius. */
+  /** Oracle: the exhaustive cross-product formulation (no covering, no
+    * cells — a STRONGER check than mirroring: it verifies the covering's
+    * soundness, not just its arithmetic), with the same per-category
+    * radius. */
   val q29Sql: String =
     s"""WITH c AS (
        |  SELECT c_custkey,
@@ -145,52 +162,49 @@ object GeoOps {
       |FROM nation""".stripMargin
 
   // -------------------------------------------------------------------
-  // q35: HIERARCHICAL cell ids (C1/C2/C14 at fidelity — the reference's
-  // S2 ids are hierarchical: level-k parent = high bits of the child,
-  // coverage.rs:10-21 coarsens by shiftright). Scheme: Morton-interleave
-  // the quantized (lng, lat) at `level` bits each and prepend a 1 marker
-  // bit, so id@L ∈ [4^L, 2·4^L) and parent(id) = id >> 2 — exactly the
-  // shift-coarsening the reference uses. Pure codegen'd column math
-  // (bit tests + shifts), identically reproducible in DuckDB.
+  // q35: HIERARCHICAL cube-face cell ids (C1/C2/C14 at fidelity).
+  // Leaf cell at level 12, rolled up to the level-6 ancestor by pure
+  // bit-shift (parent = id >> 2, face prefix preserved — exactly the
+  // reference's shift-coarsening, coverage.rs:10-21), with the
+  // ancestor's decoded center unprojected back to lat/lng. Pure
+  // codegen'd column math, identically reproducible in DuckDB.
   // -------------------------------------------------------------------
   private val FineLevel = 12
   private val CoarseLevel = 6
 
-  private def quantize(c: Column, lo: Double, span: Double, level: Int): Column =
-    least(floor((c - lo) / span * (1L << level)).cast("long"), lit((1L << level) - 1))
-
-  private def morton(ix: Column, iy: Column, level: Int): Column =
-    (0 until level).map { b =>
-      shiftright(ix, b).bitwiseAND(1) * (1L << (2 * b)) +
-        shiftright(iy, b).bitwiseAND(1) * (1L << (2 * b + 1))
-    }.reduce(_ + _)
-
-  private def deinterleave(m: Column, level: Int, odd: Boolean): Column =
-    (0 until level).map { b =>
-      shiftright(m, 2 * b + (if (odd) 1 else 0)).bitwiseAND(1) * (1L << b)
-    }.reduce(_ + _)
-
-  /** q35: leaf cell per point, rolled up to the level-6 ancestor by pure
-    * bit-shift (the hierarchy property), with the ancestor's decoded
-    * center — counts per coarse cell. */
+  /** q35: per-point leaf cell → level-6 ancestor via shift → counts per
+    * coarse cell with the decoded center. */
   def q35HierarchicalCells(s: SparkSession, dir: String): DataFrame = {
     val pts = s.read.parquet(s"$dir/customer.parquet").select(
       col("c_custkey"),
       lat(col("c_custkey")).as("plat"), lng(col("c_custkey")).as("plng"))
-    val ix = quantize(col("plng"), -180.0, 360.0, FineLevel)
-    val iy = quantize(col("plat"), -90.0, 180.0, FineLevel)
-    val fine = (lit(1L << (2 * FineLevel)) + morton(ix, iy, FineLevel)).as("fine_cell")
+    val fine = cubeCell(col("plat"), col("plng"), FineLevel).as("fine_cell")
     val coarse = shiftright(col("fine_cell"), 2 * (FineLevel - CoarseLevel)).as("coarse_cell")
-    val cm = col("coarse_cell") - (1L << (2 * CoarseLevel)) // strip marker bit
-    val cx = deinterleave(cm, CoarseLevel, odd = false)
-    val cy = deinterleave(cm, CoarseLevel, odd = true)
+    // decode the coarse cell back to (face, iu, iv) → center direction →
+    // lat/lng (GeoCells.cellCenter as column math)
+    val face = shiftright(col("coarse_cell"), 2 * CoarseLevel) - 8
+    val m = col("coarse_cell").bitwiseAND(lit((1L << (2 * CoarseLevel)) - 1))
+    val n = 1L << CoarseLevel
+    val uc = (deinterleave(m, CoarseLevel, odd = false) + 0.5) / n * 2 - 1
+    val vc = (deinterleave(m, CoarseLevel, odd = true) + 0.5) / n * 2 - 1
+    val dx = when(face === 0, lit(1.0)).when(face === 3, lit(-1.0))
+      .when(face === 1, vc).when(face === 4, -vc)
+      .when(face === 2, uc).otherwise(-uc)
+    val dy = when(face === 0, uc).when(face === 3, -uc)
+      .when(face === 1, lit(1.0)).when(face === 4, lit(-1.0))
+      .when(face === 2, vc).otherwise(-vc)
+    val dz = when(face === 0, vc).when(face === 3, -vc)
+      .when(face === 1, uc).when(face === 4, -uc)
+      .when(face === 2, lit(1.0)).otherwise(lit(-1.0))
+    val centerLat = degrees(atan2(dz, sqrt(dx * dx + dy * dy)))
+    val centerLng = degrees(atan2(dy, dx))
     pts.select(col("c_custkey"), fine)
       .select(col("c_custkey"), col("fine_cell"), coarse)
       .groupBy(col("coarse_cell"))
       .agg(count(lit(1)).as("n"), min(col("fine_cell")).as("min_fine_cell"))
       .select(col("coarse_cell"), col("n"), col("min_fine_cell"),
-        round((cx + 0.5) / (1L << CoarseLevel) * 360.0 - 180.0, 6).as("center_lng"),
-        round((cy + 0.5) / (1L << CoarseLevel) * 180.0 - 90.0, 6).as("center_lat"))
+        round(centerLng, 6).as("center_lng"),
+        round(centerLat, 6).as("center_lat"))
   }
 
   private def mortonSql(ix: String, iy: String, level: Int): String =
@@ -203,28 +217,63 @@ object GeoOps {
       s"((($m) >> ${2 * b + off}) & 1) * ${1L << b}"
     }.mkString("(", " + ", ")")
 
+  private def quantizeSql(c: String, level: Int): String = {
+    val n = 1L << level
+    s"least(greatest(CAST(floor((($c) + 1) / 2 * $n) AS BIGINT), 0), ${n - 1})"
+  }
+
   val q35Sql: String = {
-    val fineBias = 1L << (2 * FineLevel)
-    val coarseBias = 1L << (2 * CoarseLevel)
+    val n = 1L << CoarseLevel
     s"""WITH p AS (
        |  SELECT c_custkey,
        |    CAST(c_custkey * 37 % 178 - 89 AS DOUBLE) + 0.5 AS plat,
        |    CAST(c_custkey * 73 % 300 - 150 AS DOUBLE) + 0.5 AS plng
        |  FROM customer),
+       |xyz AS (
+       |  SELECT c_custkey,
+       |    cos(radians(plat)) * cos(radians(plng)) AS x,
+       |    cos(radians(plat)) * sin(radians(plng)) AS y,
+       |    sin(radians(plat)) AS z
+       |  FROM p),
+       |fuv AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
+       |         WHEN abs(y) >= abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+       |         ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END AS face,
+       |    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN y / x
+       |         WHEN abs(y) >= abs(z) THEN z / y ELSE x / z END AS u,
+       |    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN z / x
+       |         WHEN abs(y) >= abs(z) THEN x / y ELSE y / z END AS v
+       |  FROM xyz),
        |q AS (
        |  SELECT c_custkey,
-       |    least(CAST(floor((plng - (-180.0)) / 360.0 * ${1L << FineLevel}) AS BIGINT), ${(1L << FineLevel) - 1}) AS ix,
-       |    least(CAST(floor((plat - (-90.0)) / 180.0 * ${1L << FineLevel}) AS BIGINT), ${(1L << FineLevel) - 1}) AS iy
-       |  FROM p),
-       |f AS (SELECT c_custkey, $fineBias + ${mortonSql("ix", "iy", FineLevel)} AS fine_cell FROM q),
+       |    (8 + face) * ${1L << (2 * FineLevel)}
+       |      + ${mortonSql(quantizeSql("u", FineLevel), quantizeSql("v", FineLevel), FineLevel)}
+       |      AS fine_cell
+       |  FROM fuv),
        |g AS (
        |  SELECT fine_cell >> ${2 * (FineLevel - CoarseLevel)} AS coarse_cell,
        |    count(*) AS n, min(fine_cell) AS min_fine_cell
-       |  FROM f GROUP BY 1)
+       |  FROM q GROUP BY 1),
+       |dec AS (
+       |  SELECT coarse_cell, n, min_fine_cell,
+       |    (coarse_cell >> ${2 * CoarseLevel}) - 8 AS face,
+       |    (${deinterleaveSql(s"coarse_cell & ${(1L << (2 * CoarseLevel)) - 1}", CoarseLevel, 0)} + 0.5) / $n * 2 - 1 AS uc,
+       |    (${deinterleaveSql(s"coarse_cell & ${(1L << (2 * CoarseLevel)) - 1}", CoarseLevel, 1)} + 0.5) / $n * 2 - 1 AS vc
+       |  FROM g),
+       |dir AS (
+       |  SELECT coarse_cell, n, min_fine_cell,
+       |    CASE face WHEN 0 THEN 1.0 WHEN 3 THEN -1.0 WHEN 1 THEN vc WHEN 4 THEN -vc
+       |              WHEN 2 THEN uc ELSE -uc END AS dx,
+       |    CASE face WHEN 0 THEN uc WHEN 3 THEN -uc WHEN 1 THEN 1.0 WHEN 4 THEN -1.0
+       |              WHEN 2 THEN vc ELSE -vc END AS dy,
+       |    CASE face WHEN 0 THEN vc WHEN 3 THEN -vc WHEN 1 THEN uc WHEN 4 THEN -uc
+       |              WHEN 2 THEN 1.0 ELSE -1.0 END AS dz
+       |  FROM dec)
        |SELECT coarse_cell, n, min_fine_cell,
-       |  round((${deinterleaveSql(s"coarse_cell - $coarseBias", CoarseLevel, 0)} + 0.5) / ${1L << CoarseLevel}.0 * 360.0 - 180.0, 6) AS center_lng,
-       |  round((${deinterleaveSql(s"coarse_cell - $coarseBias", CoarseLevel, 1)} + 0.5) / ${1L << CoarseLevel}.0 * 180.0 - 90.0, 6) AS center_lat
-       |FROM g""".stripMargin
+       |  round(degrees(atan2(dy, dx)), 6) AS center_lng,
+       |  round(degrees(atan2(dz, sqrt(dx * dx + dy * dy))), 6) AS center_lat
+       |FROM dir""".stripMargin
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

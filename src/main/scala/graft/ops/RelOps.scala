@@ -126,45 +126,63 @@ object RelOps {
   // tree). Depth is bounded by log2(maxKey) ≈ 15-18, matching the
   // reference's bounded relation-graph depth.
   // -------------------------------------------------------------------
-  /** Generic cycle-safe transitive closure: BFS to fixpoint with a
-    * visited-set anti-join each iteration, mirroring the reference's
-    * `parent_chain` visited-set cycle detection (`osm/mod.rs:391-435`) —
-    * on a cyclic parent graph the frontier empties once every reachable
-    * (node, ancestor) pair has been seen, instead of livelocking or
-    * duplicating rows. `depth` is the FIRST (minimal) depth a pair is
-    * reached at — BFS order guarantees minimality.
+  /** Generic cycle-safe transitive closure by PATH DOUBLING: depth d is
+    * reached in ⌈log₂ d⌉ driver iterations instead of d (the sequential
+    * BFS loop was this operator's latency floor — ~18 rounds for q23's
+    * binary tree; this runs 5-6). Semantics match the reference's
+    * `parent_chain` walk with visited-set cycle detection
+    * (`osm/mod.rs:391-435`): every reachable (node, ancestor) pair is
+    * emitted exactly once, at its MINIMAL depth, and cyclic graphs
+    * terminate.
     *
-    * `edges(child, parent)`, `seeds(node, ancestor, depth)`. Each
-    * iteration is one equi-join + one anti-join; localCheckpoint
-    * truncates the growing plan. Iterations are bounded by graph depth
-    * (≤ log₂(maxKey) for q23's binary tree) — the driver loop carries no
-    * data, only plan handles. */
+    * `edges(child, parent)` — one parent per child in the reference
+    * (HashMap child→parent); multi-parent inputs are also handled (the
+    * per-iteration min-depth aggregate collapses equal pairs reached by
+    * different paths, which the old frontier anti-join missed within an
+    * iteration). `seeds(node, ancestor, depth)` must be the depth-1
+    * direct-parent pairs.
+    *
+    * Loop invariants, for iteration k (span = 2^k):
+    *   - `jump` holds every exactly-2^k-step (src, dst) pair;
+    *   - `acc` holds every reachable pair with min depth ≤ 2^k, AT its
+    *     min depth: a pair at depth d' ∈ (2^k, 2^(k+1)] decomposes as
+    *     d' − 2^k ≤ 2^k steps (already in acc, possibly at an even
+    *     smaller depth — composing from there only shrinks d') plus one
+    *     2^k jump, so `acc ⋈ jump` plus a min-depth groupBy advances the
+    *     invariant.
+    * Termination: BFS layers from a source are contiguous, so if no new
+    *   pair appears in an iteration the closure is complete — and the
+    *   same argument makes every recorded depth minimal at that point.
+    * Each iteration shuffles O(|closure|) rows; localCheckpoint keeps
+    * plans flat; the driver carries only handles and two counters. */
   def closure(edges: DataFrame, seeds: DataFrame, maxIter: Int = 40): DataFrame = {
-    // visited carries renamed columns (fresh attribute ids per alias) so
-    // the anti-join never self-overlaps with the frontier's lineage
-    def asVisited(df: DataFrame): DataFrame =
-      df.select(col("node").as("vnode"), col("ancestor").as("vanc"))
-    // one localCheckpoint per iteration (the new frontier); visited/acc
-    // stay cheap unions over already-checkpointed leaves, so plan growth
-    // is linear in iterations with no extra jobs. Edges are materialized
-    // ONCE — otherwise every iteration re-runs the edge scan/derivation.
-    val e = edges.localCheckpoint()
-    var frontier = seeds.localCheckpoint()
-    var acc: DataFrame = frontier
-    var visited = asVisited(frontier)
-    var iter = 0
-    while (iter < maxIter && !frontier.isEmpty) {
-      val next = frontier.as("f")
-        .join(e.as("e"), col("f.ancestor") === col("e.child"))
-        .select(col("f.node").as("node"), col("e.parent").as("ancestor"),
-          (col("f.depth") + 1).as("depth"))
-      frontier = next
-        .join(visited, col("node") === col("vnode") && col("ancestor") === col("vanc"),
-          "left_anti") // cycle safety
+    var jump = edges.select(col("child").as("jsrc"), col("parent").as("jdst"))
+      .localCheckpoint()
+    var acc = seeds.localCheckpoint()
+    var nPairs = acc.count()
+    var k = 0
+    var done = false
+    while (!done && k < maxIter && k < 30) {
+      val span = 1 << k // depth stays IntegerType; 2^30 bounds any real graph
+      val extended = acc.as("a")
+        .join(jump.as("j"), col("a.ancestor") === col("j.jsrc"))
+        .select(col("a.node").as("node"), col("j.jdst").as("ancestor"),
+          (col("a.depth") + lit(span)).as("depth"))
+      val next = acc.unionByName(extended)
+        .groupBy(col("node"), col("ancestor"))
+        .agg(min(col("depth")).as("depth"))
         .localCheckpoint()
-      visited = visited.unionByName(asVisited(frontier))
-      acc = acc.unionByName(frontier)
-      iter += 1
+      val n = next.count()
+      done = n == nPairs
+      nPairs = n
+      acc = next
+      if (!done) {
+        jump = jump.as("a").join(jump.as("b"), col("a.jdst") === col("b.jsrc"))
+          .select(col("a.jsrc").as("jsrc"), col("b.jdst").as("jdst"))
+          .dropDuplicates("jsrc", "jdst") // no-op for single-parent graphs
+          .localCheckpoint()
+      }
+      k += 1
     }
     acc
   }

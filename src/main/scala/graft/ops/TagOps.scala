@@ -125,8 +125,15 @@ object TagOps {
       struct(lit("name").as("key"), col("p_name").as("value")))
     val entries = when(pk % 3 === 0, concat(base, array(struct(k2.as("key"), v2.as("value")))))
       .otherwise(base)
-    p.select(col("p_partkey"), col("p_name"), map_from_entries(entries).as("tags"))
+    p.select(col("p_partkey"), col("p_name"), canonicalTags(entries).as("tags"))
   }
+
+  /** Canonical map construction: entries SORTED by key before
+    * map_from_entries, so every downstream render (q32's to_json) is
+    * byte-deterministic for ANY upstream construction order — the
+    * reference writes its tags map sorted for exactly this reason
+    * (src/places/writer.rs:162, `sorted=true`). */
+  def canonicalTags(entries: Column): Column = map_from_entries(array_sort(entries))
 
   /** Matcher arms as a (broadcastable) DataFrame; value NULL = wildcard;
     * prio 0 = specific, 1 = wildcard (Rust match tries specific first). */
@@ -194,14 +201,18 @@ object TagOps {
 
   /** q32: GeoJSON feature render over the real map column (C13 at
     * fidelity — arbitrary tags→properties plus injected `@`-fields,
-    * reference `places/mod.rs:60-107`). `to_json` emits map entries in
-    * insertion order (map_from_entries preserves it), which the oracle
-    * mirrors by string concatenation in the same order. */
+    * reference `places/mod.rs:60-107`). The rendered map is CANONICAL:
+    * all entries (tags ∪ `@`-fields) sort by key before `to_json`, so
+    * the bytes are independent of construction order — matching the
+    * reference's sorted map write (src/places/writer.rs:162); the
+    * oracle reproduces it with an ORDER BY inside string_agg. */
   def q32GeojsonTags(s: SparkSession, dir: String): DataFrame = {
     val tagged = taggedParts(s, dir)
-    val withAt = map_concat(
-      col("tags"),
-      map(lit("@id"), col("p_partkey").cast("string"), lit("@layer"), lit("graft")))
+    val withAt = canonicalTags(concat(
+      map_entries(col("tags")),
+      array(
+        struct(lit("@id").as("key"), col("p_partkey").cast("string").as("value")),
+        struct(lit("@layer").as("key"), lit("graft").as("value")))))
     tagged.select(
       col("p_partkey"),
       concat(
@@ -210,16 +221,19 @@ object TagOps {
   }
 
   val q32Sql: String =
-    s"""WITH $entriesSql
-       |SELECT e1.p_partkey,
-       |  '{"type":"Feature","id":' || e1.p_partkey || ',"properties":{'
-       |  || '"' || e1.k || '":"' || e1.v || '",'
-       |  || '"name":"' || p.p_name || '",'
-       |  || CASE WHEN e1.p_partkey % 3 = 0
-       |          THEN '"' || e2.k || '":"' || e2.v || '",' ELSE '' END
-       |  || '"@id":"' || e1.p_partkey || '","@layer":"graft"}}' AS feature_json
-       |FROM e1 JOIN p ON e1.p_partkey = p.p_partkey
-       |        LEFT JOIN e2 ON e1.p_partkey = e2.p_partkey""".stripMargin
+    s"""WITH $entriesSql,
+       |withat AS (
+       |  SELECT p_partkey, k, v FROM entries
+       |  UNION ALL SELECT p_partkey, '@id' AS k, CAST(p_partkey AS VARCHAR) AS v FROM p
+       |  UNION ALL SELECT p_partkey, '@layer' AS k, 'graft' AS v FROM p),
+       |props AS (
+       |  SELECT p_partkey,
+       |    string_agg('"' || k || '":"' || v || '"', ',' ORDER BY k) AS body
+       |  FROM withat GROUP BY p_partkey)
+       |SELECT p_partkey,
+       |  '{"type":"Feature","id":' || p_partkey || ',"properties":{' || body || '}}'
+       |    AS feature_json
+       |FROM props""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_tag_mask" -> (q31TagMask _),

@@ -82,6 +82,25 @@ class ClosureTagSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("tag-map render is byte-identical under any upstream entry order") {
+    import spark.implicits._
+    // the same logical map constructed in three different entry orders
+    val orders = Seq(
+      Seq(("shop", "bakery"), ("name", "x y"), ("natural", "tree")),
+      Seq(("natural", "tree"), ("shop", "bakery"), ("name", "x y")),
+      Seq(("name", "x y"), ("natural", "tree"), ("shop", "bakery")))
+    val rendered = orders.map { entries =>
+      val arr = array(entries.map { case (k, v) =>
+        struct(lit(k).as("key"), lit(v).as("value"))
+      }: _*)
+      Seq(1).toDF("i")
+        .select(to_json(TagOps.canonicalTags(arr)).as("j"))
+        .collect().head.getString(0)
+    }
+    assert(rendered.distinct.size == 1, s"renders diverge: $rendered")
+    assert(rendered.head == """{"name":"x y","natural":"tree","shop":"bakery"}""")
+  }
+
   test("q33 representative points stay inside the path patch") {
     val rows = PathOps.q33RepPoint(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -25,14 +25,14 @@ class MaintenanceSpec extends AnyFunSuite {
     val (table, _) = replayed(2000L, 5)
     val before = table.currentSnapshot().get
     val stateBefore = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
-    assert(before.files.size > before.numBuckets, "test needs small files to compact")
+    assert(before.allFiles.size > before.numBuckets, "test needs small files to compact")
 
     val n = Maintenance.compact(table, maxFilesPerBucket = 1)
     assert(n > 0)
     val after = table.currentSnapshot().get
     assert(after.version == before.version + 1)
-    assert(after.files.size < before.files.size)
-    assert(after.files.groupBy(_.bucket).forall(_._2.size == 1))
+    assert(after.allFiles.size < before.allFiles.size)
+    assert(after.allFiles.groupBy(_.bucket).forall(_._2.size == 1))
     // data identical
     val stateAfter = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
     assert(stateAfter == stateBefore)
@@ -121,6 +121,73 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.compactMeta(table, maxFiles = 2) == 0) // idempotent
   }
 
+  test("stats pruning: a compaction-only version diff reads zero data files") {
+    val (table, _) = replayed(1500L, 3)
+    val v1 = table.currentSnapshot().get.version
+    assert(Maintenance.compact(table, maxFilesPerBucket = 1) > 0)
+    val v2 = table.currentSnapshot().get.version
+    val hw = table.snapshotAt(v1).highWaterLsn.get
+    // compaction rewrites every bucket's FILES but no rows: all recorded
+    // footer stats sit at or below the old high-water mark, so the
+    // manifest alone proves there is nothing to read — the incremental
+    // CDC read prunes every file and returns empty without data IO
+    val after = table.currentSnapshot().get
+    assert(after.allFiles.forall(f => f.hasStats && f.maxLsn <= hw))
+    assert(Maintenance.changesBetween(table, v1, v2).isEmpty)
+  }
+
+  test("snapshot high-water mark tracks the max applied lsn across epochs") {
+    val (table, _) = replayed(900L, 3)
+    val versions = table.snapshotVersions()
+    val hws = versions.map(v => table.snapshotAt(v).highWaterLsn.get)
+    assert(hws == hws.sorted, "high-water mark must be nondecreasing")
+    val trueMax = table.read().agg(max("lsn")).collect().head.getLong(0)
+    assert(hws.last >= trueMax)
+    val filesMax = table.currentSnapshot().get.allFiles.map(_.maxLsn).max
+    assert(hws.last == filesMax)
+  }
+
+  test("vacuum honors the retention window: fresh unreferenced artifacts survive") {
+    val (table, _) = replayed(400L, 1)
+    val fs = new org.apache.hadoop.fs.Path(table.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an in-flight writer's artifacts: written, not yet committed
+    val dir = new org.apache.hadoop.fs.Path(s"${table.root}/data/v99-inflight/b=0")
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "part-0.parquet"), true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    // default retention: the fresh artifact is NOT an orphan yet
+    assert(Maintenance.vacuum(table).isEmpty)
+    assert(table.dataDirNames().contains("v99-inflight"))
+    // aged out (retention 0): now it goes
+    assert(Maintenance.vacuum(table, retentionMs = 0L) == Seq("v99-inflight"))
+  }
+
+  test("compactMeta swap interrupted between renames is repaired on read") {
+    val cfg = GenConfig(nEvents = 400L)
+    val work = TestSpark.tmpDir("metarepair")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 3, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table")
+    BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4, recordMeta = true)
+    val rows = graft.merge.Meta.metrics(table).collect().map(_.toString).sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(table.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/metrics")
+    val tmp = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.metrics.compact")
+    // crash state: tmp fully written, dir renamed aside then lost mid-swap
+    // (tmp IS the consolidated table at that point — simulate by moving
+    // the live dir into the tmp slot)
+    assert(fs.rename(dir, tmp))
+    val repaired = graft.merge.Meta.metrics(table).collect().map(_.toString).sorted.toSeq
+    assert(repaired == rows, "repair must surface the compacted rows")
+    assert(fs.exists(dir) && !fs.exists(tmp))
+    // stale leftovers next to a live dir are cleaned, not swapped in
+    val old = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.metrics.old")
+    fs.mkdirs(old)
+    assert(graft.merge.Meta.metrics(table).collect().map(_.toString).sorted.toSeq == rows)
+    assert(!fs.exists(old))
+  }
+
   test("vacuum removes exactly the orphaned data dirs of a crashed writer") {
     val (table, _) = replayed(800L, 2)
     val v = table.currentSnapshot().get.version
@@ -134,14 +201,14 @@ class MaintenanceSpec extends AnyFunSuite {
     BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4, saltBuckets = 2,
       recordMeta = false)
     val state = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
-    val removed = Maintenance.vacuum(table)
+    val removed = Maintenance.vacuum(table, retentionMs = 0L)
     // exactly the crashed writer's dir goes; every referenced version stays
     assert(removed.toSet.subsetOf(dirsBefore))
     assert(removed.nonEmpty, "expected the crashed writer's dir to be orphaned")
     val stateAfter = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
     assert(stateAfter == state)
     (0L to v).foreach(ver => assert(table.readVersion(ver).count() > 0))
-    assert(Maintenance.vacuum(table).isEmpty) // idempotent
+    assert(Maintenance.vacuum(table, retentionMs = 0L).isEmpty) // idempotent
   }
 
   test("hot-repo skew: salting fans the hot bucket out across files") {
@@ -161,12 +228,12 @@ class MaintenanceSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.pmod(
           org.apache.spark.sql.functions.xxhash64(col("repo")), lit(4)).cast("int"))
       .collect().head.getInt(0)
-    val hotFiles = snap.files.count(_.bucket == hotBucket)
+    val hotFiles = snap.allFiles.count(_.bucket == hotBucket)
     assert(hotFiles >= 2, s"hot bucket $hotBucket written as $hotFiles file(s) — salting inert")
     // and the spread is real: no single file holds everything
     val spark2 = spark
     val counts = spark2.read
-      .parquet(snap.files.filter(_.bucket == hotBucket)
+      .parquet(snap.allFiles.filter(_.bucket == hotBucket)
         .map(f => s"${table.root}/${f.relPath}"): _*)
       .groupBy(input_file_name()).count().collect().map(_.getLong(1))
     assert(counts.length >= 2 && counts.max < counts.sum,

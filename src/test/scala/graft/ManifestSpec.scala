@@ -55,7 +55,7 @@ class ManifestSpec extends AnyFunSuite {
     val table = new LakeTable(spark, s"$work/table", manifestSplitThreshold = 0)
     val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
     merge.apply(spark.read.parquet(s"$work/log/batch-00000"), 0L)
-    assert(table.currentSnapshot().get.files.map(_.bucket).distinct.size == 4,
+    assert(table.currentSnapshot().get.allFiles.map(_.bucket).distinct.size == 4,
       "test needs all 4 buckets populated")
 
     // epoch 1 touches exactly ONE bucket (a single repo)
@@ -73,6 +73,70 @@ class ManifestSpec extends AnyFunSuite {
     assert((r1 diff r0).size == 1)
   }
 
+  test("lazy manifests: a one-bucket merge never loads untouched groups") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("manifest-lazy")
+    val cfg = GenConfig(nEvents = 2000L)
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 1, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table", manifestSplitThreshold = 0)
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+    merge.apply(spark.read.parquet(s"$work/log/batch-00000"), 0L)
+    assert(table.currentSnapshot().get.allFiles.map(_.bucket).distinct.size == 4)
+
+    val ts = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val one = Seq((999999L, "U", ts, "solo/repo", "src/a.txt", "c1", "text", "body"))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+    val before = table.manifestLoads.get()
+    val stats = merge.apply(one, 1L)
+    val delta = table.manifestLoads.get() - before
+    assert(stats.bucketsTouched == 1)
+    // the epoch resolves the touched bucket's group twice (target read +
+    // successor listing) and must NEVER materialize the other 3 groups —
+    // driver memory and manifest IO track the touched set, not the table
+    assert(delta <= 2, s"expected <=2 group loads for a 1-bucket epoch, got $delta")
+  }
+
+  test("split snapshots: changesBetween skips identical groups and matches the state diff") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("manifest-cdc")
+    val cfg = GenConfig(nEvents = 1200L)
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 1, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table", manifestSplitThreshold = 0)
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+    merge.apply(spark.read.parquet(s"$work/log/batch-00000"), 0L)
+    val ts = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val one = Seq((888888L, "U", ts, "solo/repo", "src/b.txt", "c2", "text", "fresh"))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+    merge.apply(one, 1L)
+
+    val before = table.manifestLoads.get()
+    val changes = Maintenance.changesBetween(table, 0L, 1L)
+      .select("_change_type", "repo", "path").collect()
+    val delta = table.manifestLoads.get() - before
+    assert(changes.toSeq.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      == Seq(("insert", "solo/repo", "src/b.txt")))
+    // content-addressed group diff: the 3 unchanged groups' manifests are
+    // recognized identical BY NAME and never loaded (2 snapshots × 1
+    // differing group, + the old side of the changed bucket)
+    assert(delta <= 3, s"expected <=3 group loads for a split CDC read, got $delta")
+  }
+
+  test("file entries round-trip footer stats and the root carries the high-water mark") {
+    import graft.lake.{FileEntry, InlineFiles, Snapshot}
+    val s = Snapshot(9L, 1, graft.schema.SchemaRegistry.eventSchemaV1, 8, Set(2L),
+      InlineFiles(Seq(
+        FileEntry(0, "data/v9-x/b=0/a.parquet", minLsn = 5L, maxLsn = 17L, nKeys = 4L),
+        FileEntry(3, "data/v9-x/b=3/b.parquet"))), // legacy, no stats
+      highWaterLsn = Some(17L))
+    val rt = Snapshot.deserialize(Snapshot.serialize(s))
+    assert(rt == s)
+    assert(rt.highWaterLsn.contains(17L))
+    val Seq(withStats, legacy) = rt.filesIn(Set(0, 3)).sortBy(_.bucket)
+    assert(withStats.hasStats && withStats.minLsn == 5L && withStats.maxLsn == 17L
+      && withStats.nKeys == 4L)
+    assert(!legacy.hasStats)
+  }
+
   test("vacuum reclaims unreferenced manifest files, keeps referenced ones") {
     val work = TestSpark.tmpDir("manifest-vacuum")
     val cfg = GenConfig(nEvents = 800L)
@@ -88,7 +152,7 @@ class ManifestSpec extends AnyFunSuite {
     out.write("file=9\tdata/v99-dead/b=9/x.parquet\n".getBytes("UTF-8")); out.close()
 
     val before = table.manifestFileNames().toSet
-    val removed = Maintenance.vacuum(table)
+    val removed = Maintenance.vacuum(table, retentionMs = 0L)
     assert(removed.contains("g9-deadbeefdeadbeef.manifest"))
     assert(table.manifestFileNames().toSet == before - "g9-deadbeefdeadbeef.manifest")
     assert(table.read().count() > 0) // table intact
