@@ -49,7 +49,14 @@ object GraftFunctions {
     "cosine_sim" -> { args => CosineSim(args(0), args(1)) },
     "sorted_jaccard" -> { args => SortedJaccard(args(0), args(1)) },
     "hyperplane_bucket" -> { args =>
-      HyperplaneBucket(args(0), intLit(args(1), "nbits"), longLit(args(2), "seed")) }
+      HyperplaneBucket(args(0), intLit(args(1), "nbits"), longLit(args(2), "seed")) },
+    "cube_cell" -> { args =>
+      // cast lat/lng to double at registration so SQL decimal/int
+      // literals work: cube_cell(47.5, 8.5, 9)
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.DoubleType
+      CubeCell(Cast(args(0), DoubleType), Cast(args(1), DoubleType),
+        intLit(args(2), "level")) }
   )
 
   /** Register all graft functions on a live session. Idempotent. */

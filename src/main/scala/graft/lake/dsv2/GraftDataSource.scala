@@ -1,0 +1,140 @@
+package graft.lake.dsv2
+
+import graft.lake.{FileEntry, LakeTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util.{Map => JMap, Set => JSet}
+
+/** DataSourceV2 read surface for the lake table:
+  * {{{
+  *   spark.read.format("graft").load(root)                       // current
+  *   spark.read.format("graft").option("versionAsOf", 3).load(root) // time travel
+  *   CREATE TEMPORARY VIEW t USING graft OPTIONS (path '...', versionAsOf '3')
+  * }}}
+  * SQL-surfaces the table the way GraftExtensions already SQL-surfaces
+  * the custom expressions. The scan plans ONE partition per data file
+  * and pushes two prunings into planning, both manifest-only:
+  *   - `repo = 'x'` → only that repo's bucket's files are planned (the
+  *     engine's bucket pruning, reference row-group pruning
+  *     src/places/place_index.rs:217-221);
+  *   - `lsn > x` / `lsn >= x` → files whose manifest max_lsn can't
+  *     qualify are skipped (the per-file footer stats recorded at
+  *     commit; the incremental-read path of Maintenance.changesBetween
+  *     exposed to SQL).
+  * All filters are also kept as residuals — Spark re-evaluates them on
+  * the rows, so pruning is a pure reduction. Tombstones are filtered in
+  * the reader (`read()` semantics: visible state only).
+  */
+class GraftDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft source requires a path")
+    p
+  }
+
+  private def snapshotOf(options: CaseInsensitiveStringMap) = {
+    val spark = SparkSession.active
+    val table = new LakeTable(spark, rootOf(options))
+    Option(options.get("versionAsOf")) match {
+      case Some(v) => table.snapshotAt(v.toLong)
+      case None => table.currentSnapshot().getOrElse(
+        throw new IllegalStateException(s"no snapshot at ${rootOf(options)}"))
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(snapshotOf(options).schema.fields.filterNot(_.name == LakeTable.DeletedCol))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new GraftTable(rootOf(options), snapshotOf(options), schema)
+  }
+}
+
+final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.`$root`@v${snapshot.version}"
+  override def schema(): StructType = visibleSchema
+  override def capabilities(): JSet[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, snapshot, visibleSchema)
+}
+
+final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
+                             visibleSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = visibleSchema
+  private var repoEq: Option[String] = None
+  private var lsnLowerBound: Option[Long] = None // exclusive bound (>= x → > x-1)
+  private var residual: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case EqualTo("repo", v: String) => repoEq = Some(v)
+      case GreaterThan("lsn", v: Long) =>
+        lsnLowerBound = Some(math.max(lsnLowerBound.getOrElse(Long.MinValue), v))
+      case GreaterThanOrEqual("lsn", v: Long) =>
+        lsnLowerBound = Some(math.max(lsnLowerBound.getOrElse(Long.MinValue), v - 1))
+      case _ => ()
+    }
+    // pruning is partial (file granularity) — every filter stays residual
+    residual = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = {
+    val all = repoEq match {
+      case Some(repo) =>
+        val bucket = GraftScanBuilder.bucketOf(repo, snapshot.numBuckets)
+        snapshot.filesIn(Set(bucket))
+      case None => snapshot.allFiles
+    }
+    val files = lsnLowerBound match {
+      case Some(lo) => all.filter(f => !f.hasStats || f.maxLsn > lo)
+      case None => all
+    }
+    new GraftScan(root, snapshot.schema, required, files,
+      bucketPruned = repoEq.isDefined, statsPruned = all.size - files.size)
+  }
+}
+
+object GraftScanBuilder {
+  /** Driver-side replica of the engine's bucket expression
+    * `pmod(xxhash64(repo), numBuckets)` (MergeInto.bucketExpr). */
+  def bucketOf(repo: String, numBuckets: Int): Int = {
+    val h = org.apache.spark.sql.graftx.Bridge.xxhash64(repo)
+    val m = h % numBuckets
+    (if (m < 0) m + numBuckets else m).toInt
+  }
+}
+
+final case class GraftInputPartition(absPath: String) extends InputPartition
+
+final class GraftScan(root: String, physicalSchema: StructType, required: StructType,
+                      files: Seq[FileEntry], bucketPruned: Boolean, statsPruned: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft files=${files.size} bucketPruned=$bucketPruned statsPruned=$statsPruned " +
+      s"cols=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => GraftInputPartition(s"$root/${f.relPath}")).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(physicalSchema, required)
+}

@@ -1,0 +1,123 @@
+package graft.lake.dsv2
+
+import graft.lake.LakeTable
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-file parquet reader for the graft DSv2 scan, built on the public
+  * parquet-hadoop Group API (the same footer/row-group machinery the
+  * commit path uses for stats). Scope: the lake's flat state schemas —
+  * string/long/int/double/boolean/timestamp columns; evolved-away
+  * columns absent from an old file read as null (the tolerant-reader
+  * rule, reference src/places/place_index.rs:359-370). Tombstone rows
+  * (`_deleted`) are skipped: the scan exposes `read()` semantics. */
+final class GraftReaderFactory(physicalSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].absPath,
+      physicalSchema, required)
+}
+
+final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
+                                 required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val path = new Path(absPath)
+
+  // the file's own schema decides what can be projected; requested
+  // fields missing from the file surface as nulls
+  private val fileSchema: MessageType = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private def inFile(name: String): Boolean = fileSchema.containsField(name)
+
+  // always read the tombstone flag (filtered here), plus the requested cols
+  private val readNames: Seq[String] =
+    (required.fieldNames.toSeq :+ LakeTable.DeletedCol).distinct.filter(inFile)
+  private val projection = new MessageType("graft_projection",
+    readNames.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+
+  private val reader: ParquetReader[Group] = {
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), path).withConf(conf).build()
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null && isTombstone(g)) g = reader.read()
+    current = g
+    g != null
+  }
+
+  private def isTombstone(g: Group): Boolean =
+    inFile(LakeTable.DeletedCol) && g.getFieldRepetitionCount(LakeTable.DeletedCol) > 0 &&
+      g.getBoolean(LakeTable.DeletedCol, 0)
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      row.update(i, readValue(current, f))
+      i += 1
+    }
+    row
+  }
+
+  private def readValue(g: Group, f: StructField): Any = {
+    val name = f.name
+    if (!inFile(name) || g.getFieldRepetitionCount(name) == 0) return null
+    f.dataType match {
+      case StringType => UTF8String.fromBytes(g.getBinary(name, 0).getBytes)
+      case LongType => g.getLong(name, 0)
+      case IntegerType => g.getInteger(name, 0)
+      case DoubleType => g.getDouble(name, 0)
+      case FloatType => g.getFloat(name, 0)
+      case BooleanType => g.getBoolean(name, 0)
+      case TimestampType | TimestampNTZType => readTimestampMicros(g, name)
+      case t => throw new UnsupportedOperationException(
+        s"graft DSv2 reader supports flat state schemas; column $name has $t")
+    }
+  }
+
+  /** Parquet timestamps: INT64 TIMESTAMP(MICROS/MILLIS) or legacy INT96. */
+  private def readTimestampMicros(g: Group, name: String): Long = {
+    val prim = fileSchema.getType(fileSchema.getFieldIndex(name)).asPrimitiveType()
+    prim.getPrimitiveTypeName match {
+      case PrimitiveType.PrimitiveTypeName.INT96 =>
+        val b = g.getInt96(name, 0).getBytes // 8B nanos-of-day LE + 4B julian day LE
+        val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay = buf.getInt
+        (julianDay - 2440588L) * 86400L * 1000000L + nanosOfDay / 1000L
+      case _ =>
+        val v = g.getLong(name, 0)
+        prim.getLogicalTypeAnnotation match {
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+              case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+              case _ => v
+            }
+          case _ => v
+        }
+    }
+  }
+
+  override def close(): Unit = reader.close()
+}

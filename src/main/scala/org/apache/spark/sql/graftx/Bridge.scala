@@ -14,6 +14,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Spark's `xxhash64(string)` (seed 42) computed driver-side — the
+    * engine's bucket function replicated for manifest-level pruning in
+    * the DSv2 scan planner. Delegates to the same XXH64 kernel the
+    * Column expression compiles to, so the bucket is bit-identical. */
+  def xxhash64(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+  }
+
   /** Register a function builder on a live session's function registry
     * (the post-build counterpart of SparkSessionExtensions.injectFunction,
     * for sessions we don't construct — e.g. the driver's). */

@@ -109,6 +109,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast LEFT ANTI:\n${plan.toString.take(1500)}")
   }
 
+  test("q29 covering join is an equi-join on (cell, cat) — no cartesian anywhere") {
+    val plan = executed(SparkEntry.queries("q29_best_match_join")(spark, sf))
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("CartesianProduct")) == 0,
+      s"cartesian product in q29:\n${plan.toString.take(1500)}")
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastNestedLoop")) == 0,
+      s"nested-loop join in q29:\n${plan.toString.take(1500)}")
+  }
+
   test("q17 near-dup candidates come from equi-joins — no cross join anywhere") {
     val plan = executed(SparkEntry.queries("q17_embedding_neardup")(spark, sf))
     assert(countNodes(plan, _.getClass.getSimpleName.contains("CartesianProduct")) == 0,

@@ -47,6 +47,10 @@ class SqlFunctionsSpec extends AnyFunSuite {
         |""".stripMargin).collect().head
     assert(c.getDouble(0) == 1.0)
     assert(c.getInt(1) >= 0 && c.getInt(1) < 16)
+
+    // cube cell from SQL text ≡ scalar kernel
+    val cc = spark.sql("SELECT cube_cell(47.5, 8.5, 9) AS cell").collect().head.getLong(0)
+    assert(cc == graft.ops.GeoCells.cellOf(47.5, 8.5, 9))
   }
 
   test("non-literal knob arguments are rejected with a clear error") {
