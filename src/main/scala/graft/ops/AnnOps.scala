@@ -128,13 +128,111 @@ object AnnOps {
        |WHERE rank <= $TopK""".stripMargin
   }
 
+  /** q38 coarse-quantizer stride: centroids are the corpus vectors with
+    * `vec_id % CentroidStride == 1` — a deterministic "trained" codebook
+    * stand-in (real IVF trains k-means; the INDEX STRUCTURE — assign to
+    * nearest centroid, probe nprobe cells — is identical and is what the
+    * query plan exercises). Decoupled from the query stride (50) so
+    * centroids and queries overlap only incidentally. */
+  val CentroidStride = 37
+  /** Cells probed per query. */
+  val NProbe = 4
+
+  /** q38: IVF-flat ANN — the inverted-file scale path alongside q19's LSH.
+    *
+    * Plan shape (the part that must survive 100 TB):
+    *  - centroids are broadcast (the coarse codebook is the index and is
+    *    small by construction — K ≈ √n in a real deployment);
+    *  - assignment is broadcast-join + `max_by` partial aggregation, so
+    *    the corpus×K explosion is combined map-side and only n (vec_id,
+    *    cell) rows shuffle, then one equi-join pins the cell back on the
+    *    corpus row;
+    *  - queries pick their `NProbe` nearest cells and the candidate fetch
+    *    is an equi-join on the cell id — each query touches ~NProbe/K of
+    *    the corpus, never a scan.
+    * Scores are rounded to 6 decimals BEFORE every argmax (assignment,
+    * probe choice, final rank) with an id tiebreak, so the ordering is
+    * reproducible across engines (the DuckDB oracle replays the identical
+    * double arithmetic; rounding removes last-ulp sensitivity).
+    */
+  def q38AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+    val centroids = corpus.where(col("vec_id") % CentroidStride === 1)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    // assignment: nearest centroid per vector (map-side-combined argmax)
+    val cellOf = corpus.join(broadcast(centroids))
+      .select(col("vec_id"),
+        col("centroid_id"),
+        round(fns.cosineSim(col("embedding"), col("ce")), 6).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), (-col("centroid_id")).as("nc"))).as("cell"))
+    val assigned = corpus.join(cellOf, "vec_id")
+    // each query probes its NProbe nearest cells
+    val probes = corpus.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("centroid_id"),
+        round(fns.cosineSim(col("qe"), col("ce")), 6).as("ccos"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("centroid_id").asc)))
+      .where(col("pr") <= NProbe)
+      .select(col("query_id"), col("qe"), col("centroid_id").as("cell"))
+    // exact cosine within probed cells only
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(fns.cosineSim(col("qe"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  val q38Sql: String = {
+    import SqlKernels._
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, embedding AS ce FROM e
+       |         WHERE vec_id % $CentroidStride = 1),
+       |assign AS (
+       |  SELECT vec_id, centroid_id AS cell FROM (
+       |    SELECT e.vec_id, cent.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosineSql("e.embedding", "cent.ce")}, 6) DESC,
+       |                 cent.centroid_id ASC) AS rn
+       |    FROM e CROSS JOIN cent)
+       |  WHERE rn = 1),
+       |a AS (SELECT e.vec_id, e.embedding, assign.cell
+       |      FROM e JOIN assign ON e.vec_id = assign.vec_id),
+       |probes AS (
+       |  SELECT query_id, qe, centroid_id AS cell FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qe, cent.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${cosineSql("q.embedding", "cent.ce")}, 6) DESC,
+       |                 cent.centroid_id ASC) AS pr
+       |    FROM e q CROSS JOIN cent WHERE q.vec_id % 50 = 0)
+       |  WHERE pr <= $NProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    round(${cosineSql("p.qe", "a.embedding")}, 6) AS cos
+       |  FROM probes p JOIN a ON p.cell = a.cell AND a.vec_id <> p.query_id)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_ann_bruteforce" -> (q18AnnBruteForce _),
-    "q19_ann_lsh" -> (q19AnnLsh _)
+    "q19_ann_lsh" -> (q19AnnLsh _),
+    "q38_ann_ivf" -> (q38AnnIvf _)
   )
 
   val oracles: Map[String, String] = Map(
     "q18_ann_bruteforce" -> q18Sql,
-    "q19_ann_lsh" -> q19Sql
+    "q19_ann_lsh" -> q19Sql,
+    "q38_ann_ivf" -> q38Sql
   )
 }

@@ -338,17 +338,106 @@ object DedupOps {
        |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= $NearDupCosine""".stripMargin
   }
 
+  /** q37: duplicate-CLUSTER assignment — the step a real training-data
+    * pipeline runs after pair detection: connected components over the
+    * near-dup pair graph, one canonical document per component (the min
+    * doc_id), everything else marked for drop. Pairs alone under-dedup:
+    * a~b and b~c must collapse to ONE kept document even when (a,c)
+    * itself never crossed the pair threshold.
+    *
+    * Algorithm (the at-scale shape): iterative min-label propagation with
+    * POINTER JUMPING — each round every node takes the min label over its
+    * neighbors, then labels compress through one more self-join
+    * (label := label(label)), so convergence is O(log diameter) rounds,
+    * not O(diameter) (the pointer-jumping half of Shiloach–Vishkin-style
+    * parallel CC; same driver-round discipline as RelOps.closure's path
+    * doubling). Each round is two equi-join shuffles of O(|V|+|E|) rows;
+    * the edge list is materialized once via localCheckpoint and reused.
+    *
+    * The edge set is q15's MinHash+LSH verified pairs (recall 1.0 at
+    * these parameters — spec-proven), so the DuckDB oracle regenerates
+    * the same graph from the exhaustive pair scan and closes it with
+    * WITH RECURSIVE reachability + min-per-node. */
+  def q37DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q15MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs)
+      .select(col("label").as("cluster_id"), col("id").as("doc_id"),
+        (col("id") === col("label")).as("is_canonical"))
+  }
+
+  /** Connected components over an undirected pair list `(doc_a, doc_b)`:
+    * returns (id, label) with label = min node id of the component.
+    * Min-label propagation + per-round pointer jumping; factored out so
+    * specs can drive it with synthetic chain/cycle/multi-component
+    * graphs beyond what the corpus produces. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnsRenamed(Map("doc_a" -> "src", "doc_b" -> "dst"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val stepped = labels.as("l")
+        .join(viaEdges, col("l.id") === col("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+      // pointer jump: compress label chains one hop per round
+      val jumped = stepped.as("x")
+        .join(stepped.as("y"), col("x.label") === col("y.id"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.label"), col("x.label")).as("label"))
+        .localCheckpoint()
+      converged = jumped.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = jumped
+    }
+    labels
+  }
+
+  /** Oracle: exhaustive near-dup pairs → symmetric closure via
+    * WITH RECURSIVE → cluster id = min reachable node (incl. self). */
+  val q37Sql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id,
+       |    $shingleSqlExpr AS sh
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      round(len(list_intersect(a.sh, b.sh))::DOUBLE
+       |            / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= $JaccardThreshold),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT least(a, min(b)) AS cluster_id, a AS doc_id,
+       |  (a <= min(b)) AS is_canonical
+       |FROM reach GROUP BY a""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_ngram_jaccard" -> (q14NgramJaccard _),
     "q15_minhash_lsh" -> (q15MinhashLsh _),
     "q16_simhash" -> (q16Simhash _),
-    "q17_embedding_neardup" -> (q17EmbeddingNearDup _)
+    "q17_embedding_neardup" -> (q17EmbeddingNearDup _),
+    "q37_dedup_clusters" -> (q37DedupClusters _)
   )
 
   val oracles: Map[String, String] = Map(
     "q14_ngram_jaccard" -> q14Sql,
     "q15_minhash_lsh" -> q15Sql,
     "q16_simhash" -> q16Sql,
-    "q17_embedding_neardup" -> q17Sql
+    "q17_embedding_neardup" -> q17Sql,
+    "q37_dedup_clusters" -> q37Sql
   )
 }

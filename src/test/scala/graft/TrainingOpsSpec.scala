@@ -108,6 +108,69 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recalls.nonEmpty && approx.nonEmpty)
   }
 
+  test("q37 cluster assignment equals a union-find over the same pair graph") {
+    val got = ops.DedupOps.q37DedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getBoolean(2)))
+    val pairs = ops.DedupOps.q15MinhashLsh(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent sequential union-find (path compression, min-root union)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(x => x -> find(x)).toMap
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { case (doc, cluster, canonical) =>
+      assert(want(doc) == cluster, s"doc $doc: got cluster $cluster want ${want(doc)}")
+      assert(canonical == (doc == cluster))
+    }
+  }
+
+  test("connected components collapse chains, cycles, and keep components apart") {
+    import spark.implicits._
+    // an 8-node chain (forces multiple pointer-jump rounds), a 3-cycle,
+    // and an isolated pair — shapes the corpus pair graph never produces
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val lab = ops.DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 8L).foreach(i => assert(lab(i) == 1L, s"node $i -> ${lab(i)}"))
+    Seq(10L, 11L, 12L).foreach(i => assert(lab(i) == 10L, s"node $i -> ${lab(i)}"))
+    Seq(20L, 21L).foreach(i => assert(lab(i) == 20L, s"node $i -> ${lab(i)}"))
+    assert(lab.size == 13)
+  }
+
+  test("IVF ANN: well-formed top-k and recall@10 vs brute force") {
+    val exact = AnnOps.q18AnnBruteForce(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivfRows = AnnOps.q38AnnIvf(spark, sf)
+      .select("query_id", "rank", "vec_id").collect()
+    val ivf = ivfRows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    // every query answers with TopK distinct neighbors, ranks 1..TopK
+    ivfRows.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length == AnnOps.TopK, s"query $q returned ${rows.length}")
+      assert(rows.map(_.getInt(1)).toSet == (1 to AnnOps.TopK).toSet)
+    }
+    assert(ivf.keySet == exact.keySet)
+    val recalls = exact.map { case (q, want) =>
+      want.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    // NProbe of ~K cells scans a bounded corpus fraction; near-uniform
+    // embeddings make this a plumbing floor, not a geometry claim
+    assert(mean > 0.15, s"mean recall@10 = $mean")
+  }
+
   test("media decode stub: deterministic features, plumbing intact") {
     val f1 = MediaOps.q28MediaFeatures(spark, sf).orderBy("doc_id").collect()
     val f2 = MediaOps.q28MediaFeatures(spark, sf).orderBy("doc_id").collect()
