@@ -97,6 +97,40 @@ final case class Snapshot(
 object Snapshot {
   private val Header = "graft-snapshot v1"
 
+  /** The epoch ledger serializes RUN-LENGTH ENCODED: epochs within one
+    * stream generation are `generationBase + batchId` (contiguous by
+    * construction), so a ledger of 10⁵ epochs from G generations is G
+    * runs, not 10⁵ numbers — snapshot size tracks generation count, not
+    * epoch count. Runs print as `a..b`, singletons as `a`; the parser
+    * accepts both forms (and thus every pre-RLE snapshot on disk). */
+  private[graft] def serializeEpochs(epochs: Set[Long]): String = {
+    if (epochs.isEmpty) return ""
+    val sorted = epochs.toArray
+    java.util.Arrays.sort(sorted)
+    val sb = new StringBuilder
+    var runStart = sorted(0); var prev = sorted(0)
+    def emit(): Unit = {
+      if (sb.nonEmpty) sb.append(',')
+      if (runStart == prev) sb.append(runStart)
+      else sb.append(runStart).append("..").append(prev)
+    }
+    var i = 1
+    while (i < sorted.length) {
+      val e = sorted(i)
+      if (e != prev + 1) { emit(); runStart = e }
+      prev = e; i += 1
+    }
+    emit()
+    sb.toString
+  }
+
+  private[lake] def parseEpochs(v: String): Set[Long] =
+    v.split(',').iterator.flatMap { tok =>
+      val i = tok.indexOf("..")
+      if (i < 0) Iterator.single(tok.toLong)
+      else (tok.substring(0, i).toLong to tok.substring(i + 2).toLong).iterator
+    }.toSet
+
   /** Convenience constructor with an inline file list. */
   def apply(version: Long, schemaVersion: Int, schema: StructType, numBuckets: Int,
             epochs: Set[Long], files: Seq[FileEntry]): Snapshot =
@@ -111,7 +145,7 @@ object Snapshot {
     sb.append("schemaVersion=").append(s.schemaVersion).append('\n')
     sb.append("numBuckets=").append(s.numBuckets).append('\n')
     s.highWaterLsn.foreach(h => sb.append("highWaterLsn=").append(h).append('\n'))
-    sb.append("epochs=").append(s.epochs.toSeq.sorted.mkString(",")).append('\n')
+    sb.append("epochs=").append(serializeEpochs(s.epochs)).append('\n')
     sb.append("schema=").append(s.schema.json).append('\n')
     sb.toString
   }
@@ -167,7 +201,7 @@ object Snapshot {
         case "schemaVersion" => schemaVersion = v.toInt
         case "numBuckets" => numBuckets = v.toInt
         case "highWaterLsn" => highWater = Some(v.toLong)
-        case "epochs" => if (v.nonEmpty) epochs = v.split(',').map(_.toLong).toSet
+        case "epochs" => if (v.nonEmpty) epochs = parseEpochs(v)
         case "schema" => schema = DataType.fromJson(v).asInstanceOf[StructType]
         case _ => // forward-compatible: ignore unknown keys (file=/manifest= included)
       }

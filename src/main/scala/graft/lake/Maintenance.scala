@@ -149,7 +149,7 @@ object Maintenance {
     * are byte-identical and are skipped WITHOUT loading — change
     * detection rides the content addressing for free. Inline (or
     * mixed/legacy) listings fall back to the full lists. */
-  private def differingEntries(from: Snapshot, to: Snapshot): (Seq[FileEntry], Seq[FileEntry]) =
+  private[graft] def differingEntries(from: Snapshot, to: Snapshot): (Seq[FileEntry], Seq[FileEntry]) =
     (from.filesRef, to.filesRef) match {
       case (SplitFiles(cf, uf, gf, loadF), SplitFiles(ct, ut, gt, loadT))
           if gf == gt && uf.isEmpty && ut.isEmpty =>

@@ -51,28 +51,37 @@ class GraftDataSource extends TableProvider
     }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StructType(snapshotOf(options).schema.fields.filterNot(_.name == LakeTable.DeletedCol))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val s = snapshotOf(options).schema
+    if (options.getBoolean("includeTombstones", false)) s
+    else StructType(s.fields.filterNot(_.name == LakeTable.DeletedCol))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new GraftTable(rootOf(options), snapshotOf(options), schema)
+    new GraftTable(rootOf(options), snapshotOf(options), schema, options)
   }
 }
 
-final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchema: StructType)
+final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchema: StructType,
+                       tableOptions: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   override def name(): String = s"graft.`$root`@v${snapshot.version}"
   override def schema(): StructType = visibleSchema
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, snapshot, visibleSchema)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // merge creation-time options under runtime ones (runtime wins)
+    val merged = new java.util.HashMap[String, String](tableOptions.asCaseSensitiveMap())
+    merged.putAll(options.asCaseSensitiveMap())
+    new GraftScanBuilder(root, snapshot, visibleSchema, new CaseInsensitiveStringMap(merged))
+  }
 }
 
 final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
-                             visibleSchema: StructType)
+                             visibleSchema: StructType,
+                             options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = visibleSchema
@@ -109,7 +118,8 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
       case None => all
     }
     new GraftScan(root, snapshot.schema, required, files,
-      bucketPruned = repoEq.isDefined, statsPruned = all.size - files.size)
+      bucketPruned = repoEq.isDefined, statsPruned = all.size - files.size,
+      options = options)
   }
 }
 
@@ -123,11 +133,15 @@ object GraftScanBuilder {
   }
 }
 
-final case class GraftInputPartition(absPath: String) extends InputPartition
+final case class GraftInputPartition(absPath: String,
+                                     lsnLowerExclusive: Long = Long.MinValue)
+    extends InputPartition
 
 final class GraftScan(root: String, physicalSchema: StructType, required: StructType,
-                      files: Seq[FileEntry], bucketPruned: Boolean, statsPruned: Int)
+                      files: Seq[FileEntry], bucketPruned: Boolean, statsPruned: Int,
+                      options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch {
+  private def includeTombstones = options.getBoolean("includeTombstones", false)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -136,5 +150,11 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => GraftInputPartition(s"$root/${f.relPath}")).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(physicalSchema, required)
+    new GraftReaderFactory(physicalSchema, required, includeTombstones)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(root, physicalSchema, required,
+      includeTombstones = includeTombstones,
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong),
+      maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
 }

@@ -1,0 +1,117 @@
+package graft.lake.dsv2
+
+import graft.lake.{LakeTable, Maintenance}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+
+/** Stream offset = committed lake-table version (−1 = before the first
+  * commit; versions are 0-based). Versions are monotone and the snapshot files they name are
+  * immutable, so any (start, end] range replays deterministically from
+  * the checkpoint — Spark's offset log plus this immutability is the
+  * exactly-once read story (the write side's epoch ledger is its mirror). */
+final case class GraftOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** Incremental (CDC) read of the lake table as a Structured Streaming
+  * source:
+  * {{{
+  *   spark.readStream.format("graft")
+  *     .option("includeTombstones", "true")   // surface deletes
+  *     .option("maxVersionsPerTrigger", "1")  // admission control
+  *     .load(root)
+  * }}}
+  *
+  * Each micro-batch covers a version range (start, end] and emits the
+  * rows CHANGED in that range — the binlog/WAL-tail view of the table
+  * (per-key upserts at their lsn; deletes as `_deleted` tombstones when
+  * `includeTombstones` is set, hidden otherwise). The first batch is a
+  * full backfill of the table as of the first trigger (offset 0), or
+  * starts at `startingVersion` when given.
+  *
+  * Change extraction is manifest-driven and reads no stale data:
+  *   - manifest groups with identical content hashes are skipped without
+  *     loading (split snapshots — Maintenance.differingEntries);
+  *   - only files ADDED in the range are candidates (files are
+  *     immutable; rewritten buckets add new files);
+  *   - added files whose manifest `max_lsn` is at or below `start`'s
+  *     high-water mark hold only carried rows (compaction/redelivery)
+  *     and are skipped without IO;
+  *   - surviving files push `lsn > highWater` into parquet row-group
+  *     skipping AND filter residually per row, so copy-on-write carried
+  *     rows inside mixed files never reach the sink.
+  * IO per batch therefore tracks CHANGE volume, not table size.
+  *
+  * `maxVersionsPerTrigger` bounds how many commits one micro-batch may
+  * cover (the reference's bounded-channel backpressure,
+  * src/atp/mod.rs:36, as source admission control). Retention caveat:
+  * resuming from a checkpoint needs `start`'s snapshot file — vacuum
+  * retention must cover the maximum expected stream downtime.
+  */
+final class GraftMicroBatchStream(
+    root: String,
+    physicalSchema: StructType,
+    required: StructType,
+    includeTombstones: Boolean,
+    startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private def table = new LakeTable(SparkSession.active, root)
+  private def currentVersion: Long = table.snapshotVersions().lastOption.getOrElse(-1L)
+
+  /** Trigger.AvailableNow pins the target at stream start so the run
+    * terminates even while writers keep committing. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def initialOffset(): Offset =
+    GraftOffset(startingVersion.map(_ - 1L).getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(currentVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(currentVersion)
+    val s = start.asInstanceOf[GraftOffset].version
+    val end = maxVersionsPerTrigger match {
+      case Some(n) => math.min(target, s + n)
+      case None => target
+    }
+    GraftOffset(math.max(end, s))
+  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("latestOffset(start, limit)")
+  override def reportLatestOffset(): Offset = GraftOffset(currentVersion)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val fromV = start.asInstanceOf[GraftOffset].version
+    val toV = end.asInstanceOf[GraftOffset].version
+    if (toV <= fromV) return Array.empty
+    val t = table
+    val to = t.snapshotAt(toV)
+    val (entries, bound) =
+      if (fromV < 0L) (to.allFiles, Long.MinValue)
+      else {
+        val from = t.snapshotAt(fromV)
+        val (fromEntries, toEntries) = Maintenance.differingEntries(from, to)
+        val fromPaths = fromEntries.map(_.relPath).toSet
+        val added = toEntries.filterNot(f => fromPaths(f.relPath))
+        from.highWaterLsn match {
+          case Some(hw) => (added.filter(f => !f.hasStats || f.maxLsn > hw), hw)
+          case None => (added, Long.MinValue) // legacy: no stats, no row bound
+        }
+      }
+    entries.map(f => GraftInputPartition(s"$root/${f.relPath}", bound)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(physicalSchema, required, includeTombstones)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

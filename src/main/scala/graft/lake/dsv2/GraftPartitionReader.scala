@@ -21,15 +21,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * columns absent from an old file read as null (the tolerant-reader
   * rule, reference src/places/place_index.rs:359-370). Tombstone rows
   * (`_deleted`) are skipped: the scan exposes `read()` semantics. */
-final class GraftReaderFactory(physicalSchema: StructType, required: StructType)
+final class GraftReaderFactory(physicalSchema: StructType, required: StructType,
+                               includeTombstones: Boolean = false)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].absPath,
-      physicalSchema, required)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.absPath, physicalSchema, required,
+      includeTombstones, p.lsnLowerExclusive)
+  }
 }
 
 final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
-                                 required: StructType)
+                                 required: StructType,
+                                 includeTombstones: Boolean = false,
+                                 /** Emit only rows with `lsn` strictly above
+                                   * this (Long.MinValue = no bound) — the
+                                   * incremental-read row filter; also pushed
+                                   * into parquet row-group skipping below. */
+                                 lsnLowerExclusive: Long = Long.MinValue)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -44,25 +53,43 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
   }
   private def inFile(name: String): Boolean = fileSchema.containsField(name)
 
-  // always read the tombstone flag (filtered here), plus the requested cols
+  // always read the tombstone flag (filtered here unless surfaced) and,
+  // when an lsn bound applies, the lsn column, plus the requested cols
   private val readNames: Seq[String] =
-    (required.fieldNames.toSeq :+ LakeTable.DeletedCol).distinct.filter(inFile)
+    (required.fieldNames.toSeq ++ Seq(LakeTable.DeletedCol, "lsn")).distinct.filter(inFile)
   private val projection = new MessageType("graft_projection",
     readNames.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
 
   private val reader: ParquetReader[Group] = {
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-    ParquetReader.builder(new GroupReadSupport(), path).withConf(conf).build()
+    val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
+    // push the lsn bound into parquet (row-group stats + record skipping);
+    // only when the file HAS the column — a filter on an absent column
+    // evaluates against all-null and would drop every row
+    val withFilter =
+      if (lsnLowerExclusive != Long.MinValue && inFile("lsn"))
+        b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
+          org.apache.parquet.filter2.predicate.FilterApi.gt(
+            org.apache.parquet.filter2.predicate.FilterApi.longColumn("lsn"),
+            java.lang.Long.valueOf(lsnLowerExclusive))))
+      else b
+    withFilter.build()
   }
 
   private var current: Group = _
 
   override def next(): Boolean = {
     var g = reader.read()
-    while (g != null && isTombstone(g)) g = reader.read()
+    while (g != null &&
+        ((!includeTombstones && isTombstone(g)) || belowLsnBound(g))) g = reader.read()
     current = g
     g != null
   }
+
+  private def belowLsnBound(g: Group): Boolean =
+    lsnLowerExclusive != Long.MinValue && inFile("lsn") &&
+      g.getFieldRepetitionCount("lsn") > 0 &&
+      g.getLong("lsn", 0) <= lsnLowerExclusive
 
   private def isTombstone(g: Group): Boolean =
     inFile(LakeTable.DeletedCol) && g.getFieldRepetitionCount(LakeTable.DeletedCol) > 0 &&

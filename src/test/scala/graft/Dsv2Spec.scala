@@ -118,4 +118,128 @@ class Dsv2Spec extends AnyFunSuite {
     val none = spark.read.format("graft").load(table.root).where(col("lsn") > hw)
     assert(plannedFiles(none) == 0)
   }
+
+  // -------------------------------------------------------------------
+  // readStream.format("graft"): incremental CDC source
+  // -------------------------------------------------------------------
+
+  /** Run one Trigger.AvailableNow pass into a parquet sink (the memory
+    * sink cannot recover from a checkpoint, so cross-run resume needs a
+    * durable sink). Returns (ALL rows accumulated in the sink so far,
+    * the stopped query for progress inspection). */
+  private def runStream(root: String, cp: String, out: String,
+                        options: Map[String, String] = Map.empty) = {
+    var r = spark.readStream.format("graft")
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load(root).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    q.stop()
+    (spark.read.parquet(out).collect().toSeq, q)
+  }
+
+  test("streaming: first run backfills, later runs emit only each commit's changes") {
+    val work = TestSpark.tmpDir("dsv2stream")
+    // two logs sharing batch prefixes: events are per-id functions, so
+    // replaying the longer log after the shorter applies ONLY epoch 2
+    // (the ledger skips 0 and 1)
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 1200L), s"$work/log12", nBatches = 2, partitions = 2)
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 1800L), s"$work/logAll", nBatches = 3, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table")
+    BatchReplay.replay(spark, s"$work/log12", table, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val v2 = table.currentSnapshot().get.version
+    val hw2 = table.currentSnapshot().get.highWaterLsn.get
+
+    def keyLsn(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[String]("repo"), r.getAs[String]("path"),
+        r.getAs[Long]("lsn"))).toSet
+
+    // run 1: backfill — visible state only (tombstones hidden by default)
+    val (backfill, _) = runStream(table.root, s"$work/cp", s"$work/out")
+    val wantState = keyLsn(table.read().collect().toSeq)
+    assert(keyLsn(backfill) == wantState && backfill.nonEmpty)
+
+    // commit epoch 2, run 2 from the same checkpoint: only changed rows
+    BatchReplay.replay(spark, s"$work/logAll", table, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val v3 = table.currentSnapshot().get.version
+    assert(v3 == v2 + 1)
+    val (after2, _) = runStream(table.root, s"$work/cp", s"$work/out")
+    val delta = keyLsn(after2) -- keyLsn(backfill)
+    // every delta row postdates the old high-water mark...
+    assert(delta.nonEmpty && delta.forall(_._3 > hw2))
+    // ...and the delta keys are exactly changesBetween's non-delete keys
+    // (the default stream hides tombstones; deletes are covered below)
+    val wantKeys = Maintenance.changesBetween(table, v2, v3)
+      .where(col("_change_type") =!= "delete")
+      .select("repo", "path").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val gotKeys = delta.map(t => (t._1, t._2))
+    assert(gotKeys == wantKeys)
+  }
+
+  test("streaming: includeTombstones surfaces deletes; LWW fold of the feed rebuilds the state") {
+    import spark.implicits._
+    val table = build()
+    val work = TestSpark.tmpDir("dsv2cdc")
+    val tombOpts = Map("includeTombstones" -> "true")
+    val (r1, _) = runStream(table.root, s"$work/cp", s"$work/out", tombOpts)
+    // delete one live key, then stream the increment
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+    val victim = table.read().select("repo", "path").limit(1).collect().head
+    val ts = java.sql.Timestamp.valueOf("2024-03-02 00:00:00")
+    val del = Seq((7777777L, "D", ts, victim.getString(0), victim.getString(1), "cX", "text", ""))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+    merge.apply(del, 779L)
+    val (r2, _) = runStream(table.root, s"$work/cp", s"$work/out", tombOpts)
+    assert(r2.size > r1.size, "increment run emitted nothing")
+    assert(r2.exists(r => r.getAs[Boolean]("_deleted") &&
+      r.getAs[String]("repo") == victim.getString(0) &&
+      r.getAs[String]("path") == victim.getString(1)),
+      "delete tombstone missing from the CDC feed")
+    // consumer-side LWW fold over the accumulated feed == visible state
+    val feed = r2
+      .map(r => (r.getAs[String]("repo"), r.getAs[String]("path"),
+        r.getAs[Long]("lsn"), r.getAs[String]("content"), r.getAs[Boolean]("_deleted")))
+      .toDF("repo", "path", "lsn", "content", "_deleted")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("repo"), col("path")).orderBy(col("lsn").desc)
+    val folded = feed.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && !col("_deleted"))
+      .select("repo", "path", "lsn", "content")
+    assert(canon(folded) == canon(table.read().select("repo", "path", "lsn", "content")))
+  }
+
+  test("streaming: maxVersionsPerTrigger paces one commit per micro-batch; compaction emits zero rows") {
+    import spark.implicits._
+    val table = build() // 2 commits
+    val work = TestSpark.tmpDir("dsv2pace")
+    val opts = Map("maxVersionsPerTrigger" -> "1", "includeTombstones" -> "true")
+    val (rows, q) = runStream(table.root, s"$work/cp", s"$work/out", opts)
+    val withRows = q.recentProgress.filter(_.numInputRows > 0)
+    assert(withRows.length == 2,
+      s"expected one micro-batch per commit: ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    // LWW fold across the per-commit batches == state (keys changed in
+    // both commits appear twice; the fold must reconcile them — and the
+    // tombstones are needed so epoch-1 deletes erase epoch-0 rows)
+    val feed = rows.map(r => (r.getAs[String]("repo"), r.getAs[String]("path"),
+      r.getAs[Long]("lsn"), r.getAs[Boolean]("_deleted")))
+      .toDF("repo", "path", "lsn", "_deleted")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("repo"), col("path")).orderBy(col("lsn").desc)
+    val folded = feed.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && !col("_deleted")).select("repo", "path", "lsn")
+    assert(canon(folded) == canon(table.read().select("repo", "path", "lsn")))
+
+    // a compaction-only commit adds files but no post-high-water rows:
+    // the stream must emit NOTHING for it (file-level stats pruning)
+    assert(Maintenance.compact(table, maxFilesPerBucket = 1) > 0)
+    val (afterCompact, _) = runStream(table.root, s"$work/cp", s"$work/out", opts)
+    assert(afterCompact.size == rows.size,
+      s"compaction-only commit leaked ${afterCompact.size - rows.size} carried rows into the stream")
+  }
 }

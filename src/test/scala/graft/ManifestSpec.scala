@@ -137,6 +137,26 @@ class ManifestSpec extends AnyFunSuite {
     assert(!legacy.hasStats)
   }
 
+  test("epoch ledger serializes run-length encoded; size tracks generations, not epochs") {
+    import graft.lake.Snapshot
+    // one stream generation = contiguous base+batchId epochs; mixed with
+    // a negative-base generation (epoch bases are 64-bit hashes) and a
+    // lone batch epoch
+    val gen1 = (1000L to 1099L).toSet
+    val gen2 = (-5000L to -4990L).toSet
+    val epochs = gen1 ++ gen2 + 7L
+    val enc = Snapshot.serializeEpochs(epochs)
+    // 3 runs, not 112 numbers
+    assert(enc.split(',').length == 3, enc)
+    assert(enc.contains("1000..1099") && enc.contains("-5000..-4990"), enc)
+    // round-trip through a full snapshot
+    val s = Snapshot(3L, 1, graft.schema.SchemaRegistry.eventSchemaV1, 8, epochs, Seq.empty)
+    assert(Snapshot.deserialize(Snapshot.serialize(s)).epochs == epochs)
+    // pre-RLE snapshots (plain comma list) still parse
+    val legacy = Snapshot.serialize(s).replace(enc, epochs.toSeq.sorted.mkString(","))
+    assert(Snapshot.deserialize(legacy).epochs == epochs)
+  }
+
   test("vacuum reclaims unreferenced manifest files, keeps referenced ones") {
     val work = TestSpark.tmpDir("manifest-vacuum")
     val cfg = GenConfig(nEvents = 800L)
