@@ -109,7 +109,12 @@ object StreamingReplay {
           numBuckets: Int = 16, saltBuckets: Int = 4,
           recordMeta: Boolean = true,
           maxFilesPerTrigger: Int = 8,
-          watermark: String = "10 minutes"): Unit = {
+          watermark: String = "10 minutes",
+          /** Materialized views refreshed after every committed epoch, so
+            * they trail the table by at most one micro-batch. Each refresh
+            * folds only that epoch's pre-image diff (O(changes + view)) —
+            * see [[graft.lake.MaterializedView]]. */
+          views: Seq[graft.lake.ViewDef] = Seq.empty): Unit = {
     val merge = new MergeInto(table, numBuckets, saltBuckets, recordMeta)
     val wmMs = durationMs(watermark)
     // Epoch ids are NAMESPACED per stream generation: a NEW stream (fresh
@@ -155,6 +160,7 @@ object StreamingReplay {
         // unevaluated batch would abort the stream.
         if (stats.skipped) observed.write.format("noop").mode("overwrite").save()
         if (!stats.skipped) {
+          views.foreach(v => graft.lake.MaterializedView.refresh(table, v): Unit)
           val m = obs.get
           m.get("max_ts_sec").collect { case s: Long =>
             maxTsMs.getAndUpdate(cur => math.max(cur, s * 1000L)): Unit

@@ -71,7 +71,17 @@ final case class Snapshot(
       * north rule's ordered change events — means any later change to a
       * row carries a larger lsn). None when any committed file lacks
       * stats; consumers must then fall back to unpruned reads. */
-    highWaterLsn: Option[Long] = None
+    highWaterLsn: Option[Long] = None,
+    /** Cumulative count of commits whose batch contained an lsn AT OR
+      * BELOW the previous snapshot's high-water mark — i.e. commits that
+      * VIOLATED ordered-log delivery (a streaming source that splits one
+      * log batch across micro-batch boundaries does this legitimately).
+      * A version range (v0, v1] is "hw-safe" iff the counter is EQUAL at
+      * both endpoints: only then may incremental readers use
+      * `lsn > highWaterLsn(v0)` to separate changed rows from carried
+      * ones; otherwise they must fall back to join-classification
+      * against the old state (see Maintenance.changesBetween). */
+    unorderedCommits: Long = 0L
 ) {
   /** Entries for the given buckets; split listings load only the groups
     * that can contain them. */
@@ -145,6 +155,8 @@ object Snapshot {
     sb.append("schemaVersion=").append(s.schemaVersion).append('\n')
     sb.append("numBuckets=").append(s.numBuckets).append('\n')
     s.highWaterLsn.foreach(h => sb.append("highWaterLsn=").append(h).append('\n'))
+    if (s.unorderedCommits > 0L)
+      sb.append("unorderedCommits=").append(s.unorderedCommits).append('\n')
     sb.append("epochs=").append(serializeEpochs(s.epochs)).append('\n')
     sb.append("schema=").append(s.schema.json).append('\n')
     sb.toString
@@ -193,6 +205,7 @@ object Snapshot {
     var version = -1L; var schemaVersion = -1; var numBuckets = -1
     var epochs = Set.empty[Long]; var schema: StructType = null
     var highWater: Option[Long] = None
+    var unordered = 0L
     lines.drop(1).filter(_.nonEmpty).foreach { ln =>
       val i = ln.indexOf('=')
       val (k, v) = (ln.substring(0, i), ln.substring(i + 1))
@@ -201,13 +214,14 @@ object Snapshot {
         case "schemaVersion" => schemaVersion = v.toInt
         case "numBuckets" => numBuckets = v.toInt
         case "highWaterLsn" => highWater = Some(v.toLong)
+        case "unorderedCommits" => unordered = v.toLong
         case "epochs" => if (v.nonEmpty) epochs = parseEpochs(v)
         case "schema" => schema = DataType.fromJson(v).asInstanceOf[StructType]
         case _ => // forward-compatible: ignore unknown keys (file=/manifest= included)
       }
     }
     Snapshot(version, schemaVersion, schema, numBuckets, epochs,
-      InlineFiles(Seq.empty), highWater)
+      InlineFiles(Seq.empty), highWater, unordered)
   }
 
   def deserialize(text: String): Snapshot =

@@ -177,8 +177,18 @@ object Maintenance {
     *   4. surviving files still push `lsn > highWater` into the parquet
     *      scan, pruning row groups inside mixed files.
     * The old side is read only for buckets with surviving new files, and
-    * only to classify insert-vs-update and suppress tombstone-only keys. */
-  def changesBetween(table: LakeTable, fromVersion: Long, toVersion: Long): DataFrame = {
+    * only to classify insert-vs-update and suppress tombstone-only keys.
+    *
+    * With `includePreimages=true` the feed is RETRACTION-COMPLETE
+    * (Delta-CDF shape): updates emit `update_preimage` (the old row) and
+    * `update_postimage` (the new row), and `delete` rows carry the OLD
+    * row's values — exactly what an incremental consumer needs to
+    * subtract outdated contributions (see [[MaterializedView]]). The old
+    * side is then read with full columns (same files, wider projection);
+    * all four variants are emitted in ONE pass over the join via an
+    * explode, not by re-joining per variant. */
+  def changesBetween(table: LakeTable, fromVersion: Long, toVersion: Long,
+                     includePreimages: Boolean = false): DataFrame = {
     val from = table.snapshotAt(fromVersion)
     val to = table.snapshotAt(toVersion)
     require(from.numBuckets == to.numBuckets,
@@ -193,10 +203,20 @@ object Maintenance {
     val candidateNew = toEntries.filter(f => changedBuckets(f.bucket))
 
     from.highWaterLsn match {
-      case Some(hw) if candidateNew.forall(_.hasStats) =>
+      // The hw fast path additionally requires every commit in the range
+      // to have respected ordered-log delivery (equal unordered-commit
+      // counters at the endpoints) — otherwise a late batch's rows hide
+      // BELOW the mark and `lsn > hw` would drop real changes; the
+      // full-diff branch below classifies by join instead and stays
+      // correct under any delivery order.
+      case Some(hw) if candidateNew.forall(_.hasStats) &&
+          from.unorderedCommits == to.unorderedCommits =>
         val readNew = candidateNew.filter(_.maxLsn > hw)
         val liveBuckets = readNew.map(_.bucket).toSet
         val newDf = table.readFiles(to.schema, readNew).where(col("lsn") > hw)
+        if (includePreimages)
+          return emitWithPreimages(newDf,
+            table.readFiles(from.schema, from.filesIn(liveBuckets)), "left")
         val o = table.readFiles(from.schema, from.filesIn(liveBuckets))
           .select(col("repo"), col("path"), col("lsn").as("_old_lsn"),
             col(DeletedCol).as("_old_del"))
@@ -216,6 +236,7 @@ object Maintenance {
       case _ => // legacy/stat-less path: full per-bucket diff
         val oldDf = table.readFiles(from.schema, from.filesIn(changedBuckets))
         val newDf = table.readFiles(to.schema, to.filesIn(changedBuckets))
+        if (includePreimages) return emitWithPreimages(newDf, oldDf, "full_outer")
         val o = oldDf.select(col("repo"), col("path"), col("lsn").as("_old_lsn"),
           col(DeletedCol).as("_old_del"))
         // full outer join per key; bucket-partitioned on both sides so the
@@ -240,5 +261,46 @@ object Maintenance {
           .select(col("_change_type") +:
             newDf.columns.filterNot(_ == DeletedCol).map(c => col(s"n.$c")).toIndexedSeq: _*)
     }
+  }
+
+  /** Retraction-complete CDC emission: one pass over the key join, each
+    * row exploding into its applicable variants —
+    *   insert            → new row;
+    *   update_preimage   → OLD row;   update_postimage → new row;
+    *   delete            → OLD row (the value being retracted).
+    * Old rows from before a schema evolution surface the added columns
+    * as null (the tolerant-reader rule), cast to the current types. */
+  private def emitWithPreimages(newDf: DataFrame, oldDf: DataFrame,
+                                joinType: String): DataFrame = {
+    val outCols = newDf.columns.filterNot(_ == DeletedCol).toSeq
+    val oldHas = oldDf.columns.toSet
+    val joined = newDf.as("n").join(oldDf.as("o"),
+      col("n.repo") === col("o.repo") && col("n.path") === col("o.path"), joinType)
+    val oldLive = col("o.lsn").isNotNull && !col(s"o.$DeletedCol")
+    val newLive = col("n.repo").isNotNull && !col(s"n.$DeletedCol")
+    val newDel = col("n.repo").isNotNull && col(s"n.$DeletedCol")
+    val isInsert = !oldLive && newLive
+    // lsn inequality matters only on the stat-less full-diff path, where
+    // unchanged keys reach the join; on the stats path new rows postdate
+    // the old high-water mark by construction
+    val isUpdate = oldLive && newLive && col("n.lsn") =!= col("o.lsn")
+    val isDelete = oldLive && newDel
+    def variant(prefix: String, tpe: String,
+                cond: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val fields = lit(tpe).as("_change_type") +: outCols.map { c =>
+        val t = newDf.schema(c).dataType
+        if (prefix == "o" && !oldHas(c)) lit(null).cast(t).as(c)
+        else col(s"$prefix.$c").cast(t).as(c)
+      }
+      when(cond, struct(fields: _*))
+    }
+    val variants = array(
+      variant("n", "insert", isInsert),
+      variant("o", "update_preimage", isUpdate),
+      variant("n", "update_postimage", isUpdate),
+      variant("o", "delete", isDelete))
+    joined
+      .select(explode(filter(variants, v => v.isNotNull)).as("_c"))
+      .select("_c.*")
   }
 }

@@ -1,0 +1,130 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** An incrementally-maintained aggregate view over the lake table.
+  *
+  * `groupCols` partition the state; every measure is the SUM of a
+  * row-level expression over the group's live rows (`count` = sum of 1) —
+  * the self-maintainable aggregate class: a sum can absorb a change
+  * stream without rereading the base table, because retracting a row is
+  * subtracting its contribution. Non-additive aggregates (min/max/
+  * distinct) would need base-table reads on retraction and are
+  * deliberately out of scope.
+  */
+final case class ViewDef(name: String, groupCols: Seq[String],
+                         sums: Seq[(String, Column)]) {
+  require(name.matches("[A-Za-z0-9_-]+"), s"bad view name: $name")
+  require(groupCols.nonEmpty && sums.nonEmpty, "empty view definition")
+}
+
+final case class RefreshStats(fromVersion: Option[Long], toVersion: Long,
+                              initialFull: Boolean, noOp: Boolean)
+
+/** Maintains materialized views under `<table>/views/<name>/`.
+  *
+  * Refresh cost tracks CHANGE volume plus view size, never base-table
+  * size: the first refresh aggregates the pinned snapshot once; every
+  * later refresh folds `Maintenance.changesBetween(from, to,
+  * includePreimages = true)` — whose IO is pruned down to the files
+  * actually holding post-`from` rows — into the stored aggregate:
+  * insert/update_postimage rows add their contribution,
+  * update_preimage/delete rows subtract the outdated one, and groups
+  * whose live-row count reaches zero disappear. A compaction-only commit
+  * therefore refreshes with ZERO data IO.
+  *
+  * Commit protocol mirrors the snapshot layer (the reference's tmp +
+  * atomic-rename stage commits, src/osm/filter.rs:381-398): data lands in
+  * a uuid directory, then a pointer file `p<tableVersion>` (content: the
+  * data dir name) is renamed into place. Pointers are never overwritten —
+  * readers take the highest version — so every crash state shows the
+  * last complete view. Single-maintainer operation, like
+  * [[Maintenance.compact]]; stale pointers and data dirs (including
+  * leftovers of crashed refreshes) are reclaimed on the next successful
+  * commit.
+  */
+object MaterializedView {
+  private val RowCount = "_n_rows" // implicit measure: live rows per group
+
+  private def viewRoot(table: LakeTable, name: String) = s"${table.root}/views/$name"
+
+  private def fs(table: LakeTable, p: Path) =
+    p.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
+
+  /** (tableVersion, dataDir) of the newest committed pointer, if any. */
+  def currentPointer(table: LakeTable, name: String): Option[(Long, String)] = {
+    val root = new Path(viewRoot(table, name))
+    val f = fs(table, root)
+    if (!f.exists(root)) return None
+    val versions = f.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("p\\d+")).map(_.drop(1).toLong)
+    versions.sorted.lastOption.map { v =>
+      val in = f.open(new Path(root, s"p$v"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      (v, body.trim)
+    }
+  }
+
+  /** The view's stored rows: groupCols ++ measures ++ `_n_rows`. */
+  def read(table: LakeTable, name: String): DataFrame = {
+    val (_, dir) = currentPointer(table, name).getOrElse(
+      throw new IllegalStateException(s"view $name has never been refreshed"))
+    table.spark.read.parquet(s"${viewRoot(table, name)}/$dir")
+  }
+
+  /** Signed fold of `rows` (state rows, or CDC rows when `signed`). */
+  private def aggregate(view: ViewDef, rows: DataFrame, signed: Boolean): DataFrame = {
+    val sign = if (signed)
+      when(col("_change_type").isin("update_preimage", "delete"), lit(-1L)).otherwise(lit(1L))
+    else lit(1L)
+    val aggs = sum(sign).as(RowCount) +:
+      view.sums.map { case (n, e) => sum(sign * e).as(n) }
+    rows.groupBy(view.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Bring the view to the table's current version. */
+  def refresh(table: LakeTable, view: ViewDef): RefreshStats = {
+    val toVersion = table.currentSnapshot().getOrElse(
+      throw new IllegalStateException("cannot refresh a view of an empty table")).version
+    val pointer = currentPointer(table, view.name)
+    if (pointer.exists(_._1 == toVersion))
+      return RefreshStats(pointer.map(_._1), toVersion, initialFull = false, noOp = true)
+
+    val next = pointer match {
+      case None =>
+        aggregate(view, table.readVersion(toVersion), signed = false)
+      case Some((fromVersion, dir)) =>
+        val delta = aggregate(view,
+          Maintenance.changesBetween(table, fromVersion, toVersion, includePreimages = true),
+          signed = true)
+        val old = table.spark.read.parquet(s"${viewRoot(table, view.name)}/$dir")
+        val merged = old.unionByName(delta)
+        val aggs = sum(col(RowCount)).as(RowCount) +:
+          view.sums.map { case (n, _) => sum(col(n)).as(n) }
+        merged.groupBy(view.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    val root = viewRoot(table, view.name)
+    val dataDir = s"d-${java.util.UUID.randomUUID().toString.take(8)}"
+    next.where(col(RowCount) > 0)
+      .write.mode("overwrite").option("compression", "zstd").parquet(s"$root/$dataDir")
+
+    val f = fs(table, new Path(root))
+    val tmp = new Path(root, s".p$toVersion.tmp")
+    val dst = new Path(root, s"p$toVersion")
+    val out = f.create(tmp, true)
+    try out.write(dataDir.getBytes("UTF-8")) finally out.close()
+    require(f.rename(tmp, dst), s"view pointer commit failed for ${view.name}")
+    // reclaim what the (single-maintainer) new pointer supersedes: older
+    // pointers and every data dir it doesn't name — including leftovers
+    // of crashed earlier refreshes
+    f.listStatus(new Path(root)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if ((n.matches("p\\d+") && n.drop(1).toLong < toVersion) ||
+          (n.startsWith("d-") && n != dataDir)) f.delete(p, true): Unit
+    }
+    RefreshStats(pointer.map(_._1), toVersion, initialFull = pointer.isEmpty, noOp = false)
+  }
+}

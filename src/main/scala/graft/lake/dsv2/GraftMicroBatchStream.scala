@@ -102,8 +102,15 @@ final class GraftMicroBatchStream(
         val fromPaths = fromEntries.map(_.relPath).toSet
         val added = toEntries.filterNot(f => fromPaths(f.relPath))
         from.highWaterLsn match {
-          case Some(hw) => (added.filter(f => !f.hasStats || f.maxLsn > hw), hw)
-          case None => (added, Long.MinValue) // legacy: no stats, no row bound
+          // hw pruning is sound only across ORDERED commits (endpoint
+          // unordered-counters equal — see Snapshot.unorderedCommits);
+          // otherwise fall back to all added files with no row bound:
+          // the feed then re-emits a changed bucket's carried rows
+          // (at-least-once change delivery — harmless to LWW folds,
+          // which the CDC contract already requires of consumers)
+          case Some(hw) if from.unorderedCommits == to.unorderedCommits =>
+            (added.filter(f => !f.hasStats || f.maxLsn > hw), hw)
+          case _ => (added, Long.MinValue) // legacy/unordered: no row bound
         }
       }
     entries.map(f => GraftInputPartition(s"$root/${f.relPath}", bound)).toArray

@@ -171,20 +171,35 @@ final class MergeInto(
       // bucket spread over `saltBuckets` tasks/files.
       val saltExpr = pmod(xxhash64(col("path")), lit(saltBuckets)).cast(IntegerType)
       val outObs = Observation(s"merge-out-$epochId")
+      // Tie-break equal lsns toward the TARGET copy (an at-least-once
+      // redelivery ties with the identical already-applied row): the
+      // argmax output is unchanged either way, but it makes `_src` below
+      // a precise ordered-delivery detector — a SOURCE row can then only
+      // win at an lsn at or below the previous high-water mark if it is
+      // a genuinely NOVEL late event (redeliveries lose the tie), which
+      // is exactly the case that breaks incremental readers'
+      // `lsn > highWater` pruning (see Snapshot.unorderedCommits).
+      val SrcCol = "_src"
+      val prevHw = snapOpt.flatMap(_.highWaterLsn)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(BucketCol), col(SaltCol), col("repo"), col("path"))
-        .orderBy(col("lsn").desc)
-      val result = target.unionByName(source)
+        .orderBy(col("lsn").desc, col(SrcCol).asc)
+      val result = target.withColumn(SrcCol, lit(false))
+        .unionByName(source.withColumn(SrcCol, lit(true)))
         .withColumn(BucketCol, bucketExpr)
         .withColumn(SaltCol, saltExpr)
         .repartition(math.max(touched.size * saltBuckets, 1), col(BucketCol), col(SaltCol))
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
-        .select((col(BucketCol) +: evolvedState.fields.map(f => col(f.name)).toIndexedSeq) :+
+        .select((col(SrcCol) +: col(BucketCol) +:
+          evolvedState.fields.map(f => col(f.name)).toIndexedSeq) :+
           (col("op") === lit("D")).as(DeletedCol): _*)
         .observe(outObs,
           count(lit(1)).as("keys"),
-          sum(when(col(DeletedCol), 1L).otherwise(0L)).as("tombstones"))
+          sum(when(col(DeletedCol), 1L).otherwise(0L)).as("tombstones"),
+          sum(when(col(SrcCol) && prevHw.map(col("lsn") <= lit(_)).getOrElse(lit(false)),
+            1L).otherwise(0L)).as("late_wins"))
+        .drop(SrcCol)
 
       // --- write touched buckets --------------------------------------------
       // Unique writer-suffixed directory: data files never collide with a
@@ -224,6 +239,16 @@ final class MergeInto(
       val schemaVersion = snapOpt.map { s =>
         if (s.schema == physicalSchema) s.schemaVersion else s.schemaVersion + 1
       }.getOrElse(1)
+      // Ordered-log delivery check: a NOVEL source row won its key at an
+      // lsn at or below the previous high-water mark — out-of-global-
+      // order first delivery (e.g. a streaming source splitting one log
+      // batch across micro-batches). Pure redeliveries do NOT trip this
+      // (they lose the argmax tie to the target copy above). The merge
+      // itself is order-independent (lsn argmax), but incremental
+      // readers' `lsn > highWater` fast path is only sound across
+      // ordered commits — so violations are counted cumulatively and
+      // readers compare endpoint counters (see Snapshot scaladoc).
+      val unordered = asLong(outObs.get, "late_wins") > 0L
       table.commitSnapshot(Snapshot(
         version = newVersion,
         schemaVersion = schemaVersion,
@@ -231,7 +256,9 @@ final class MergeInto(
         numBuckets = numBuckets,
         epochs = snapOpt.map(_.epochs).getOrElse(Set.empty) + epochId,
         filesRef = filesRef,
-        highWaterLsn = newHighWater
+        highWaterLsn = newHighWater,
+        unorderedCommits = snapOpt.map(_.unorderedCommits).getOrElse(0L) +
+          (if (unordered) 1L else 0L)
       ))
 
       val stats = MergeStats(epochId, newVersion, skipped = false,

@@ -69,6 +69,60 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got.getOrElse("update_postimage", Set.empty) == wantUpdates, "updates differ")
   }
 
+  test("unordered (late) delivery: commit is counted and changesBetween falls back soundly") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("maint-late")
+    val table = new LakeTable(spark, s"$work/table")
+    val merge = new graft.merge.MergeInto(table, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def df(rows: (Long, String, String, String, String)*) =
+      rows.map { case (lsn, op, repo, path, content) => (lsn, op, ts, repo, path, "c", "text", content) }
+        .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+
+    // epoch 0: key k1 at lsn 10, another key pushes the high-water to 500
+    merge.apply(df((10L, "I", "r/a", "k1", "old"), (500L, "I", "r/b", "k9", "x")), 0L)
+    val v0 = table.currentSnapshot().get.version
+    assert(table.currentSnapshot().get.unorderedCommits == 0L)
+    assert(table.currentSnapshot().get.highWaterLsn.contains(500L))
+
+    // epoch 1 arrives LATE: lsns 50..60 — all below the mark, yet they
+    // change state (k1's winner moves 10 → 60, k2 is brand new)
+    merge.apply(df((60L, "U", "r/a", "k1", "new"), (50L, "I", "r/a", "k2", "fresh")), 1L)
+    val v1 = table.currentSnapshot().get.version
+    assert(table.currentSnapshot().get.unorderedCommits == 1L,
+      "late batch not counted as unordered")
+
+    // the hw fast path would have dropped BOTH rows (60 ≤ 500, file
+    // max_lsn ≤ 500); the gated fallback must report them
+    val ch = Maintenance.changesBetween(table, v0, v1)
+      .select("_change_type", "path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ch == Set(("update_postimage", "k1"), ("insert", "k2")), ch.toString)
+    val pre = Maintenance.changesBetween(table, v0, v1, includePreimages = true)
+      .select("_change_type", "path", "content").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(pre == Set(("update_preimage", "k1", "old"), ("update_postimage", "k1", "new"),
+      ("insert", "k2", "fresh")), pre.toString)
+
+    // an ORDERED epoch on top does not re-trip the counter, and the
+    // newest range uses the fast path again (ordered endpoints)
+    merge.apply(df((600L, "U", "r/a", "k2", "v2")), 2L)
+    val v2 = table.currentSnapshot().get.version
+    assert(table.currentSnapshot().get.unorderedCommits == 1L)
+    val ch2 = Maintenance.changesBetween(table, v1, v2)
+      .select("_change_type", "path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ch2 == Set(("update_postimage", "k2")))
+
+    // at-least-once REDELIVERY of old events (same lsn, same payload) is
+    // NOT an ordering violation: the duplicates lose the argmax tie to
+    // the applied copies, so the counter must not move
+    merge.apply(df((60L, "U", "r/a", "k1", "new"), (50L, "I", "r/a", "k2", "fresh")), 3L)
+    assert(table.currentSnapshot().get.unorderedCommits == 1L,
+      "pure redelivery misclassified as unordered")
+  }
+
   test("crash between data write and snapshot commit: retry converges") {
     // the dangerous window (SURVEY §7.4.3): data files for version N are
     // on disk but the snapshot pointer never landed. A retry of the same
