@@ -59,6 +59,37 @@ object Maintenance {
     oversized.size
   }
 
+  /** Bucket-count evolution: rewrite the whole table into `newNumBuckets`
+    * hash buckets and commit it as one snapshot. The administrative move
+    * when a table outgrows its layout (per-bucket rewrite cost is
+    * tableSize/B, so B must grow with the table). One full shuffle+write
+    * by nature — this IS a table rewrite; everything else is preserved:
+    * rows keep their lsns (tombstones included — they are CDC state),
+    * the high-water mark, epoch ledger and unordered counter carry over,
+    * old snapshots still time-travel, and because every new file's
+    * max_lsn is at or below the mark, incremental readers skip the
+    * entire commit without data IO (same stats pruning as compaction).
+    * Subsequent merges must be built with the new bucket count — the
+    * merge validates this against the snapshot. */
+  def rebucket(table: LakeTable, newNumBuckets: Int): Long = {
+    require(newNumBuckets > 0, s"bad bucket count: $newNumBuckets")
+    val snap = table.currentSnapshot().getOrElse(
+      throw new IllegalStateException("cannot rebucket an empty table"))
+    val newVersion = snap.version + 1
+    val writeDir = s"v$newVersion-${java.util.UUID.randomUUID().toString.take(8)}"
+    table.readFiles(snap.schema, snap.allFiles)
+      .withColumn("b", pmod(xxhash64(col("repo")), lit(newNumBuckets)).cast("int"))
+      .repartition(newNumBuckets, col("b"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("b").parquet(s"${table.root}/data/$writeDir")
+    val newFiles = table.listDataFilesWithStats(writeDir)
+    table.commitSnapshot(snap.copy(
+      version = newVersion,
+      numBuckets = newNumBuckets,
+      filesRef = InlineFiles(newFiles)))
+    newVersion
+  }
+
   private[graft] val metaNames = Seq("lineage", "metrics", "stream_metrics")
 
   /** Complete an interrupted `compactMeta` swap so every crash state is
@@ -191,8 +222,15 @@ object Maintenance {
                      includePreimages: Boolean = false): DataFrame = {
     val from = table.snapshotAt(fromVersion)
     val to = table.snapshotAt(toVersion)
-    require(from.numBuckets == to.numBuckets,
-      "changesBetween across a re-bucketing is not supported")
+    if (from.numBuckets != to.numBuckets) {
+      // bucket-count evolution inside the range: bucket ids are
+      // incomparable across the boundary, so diff the full states by key
+      // (a rebucket is a full rewrite anyway — rare, administrative)
+      val oldDf = table.readFiles(from.schema, from.allFiles)
+      val newDf = table.readFiles(to.schema, to.allFiles)
+      return if (includePreimages) emitWithPreimages(newDf, oldDf, "full_outer")
+             else emitPostimagesFullOuter(newDf, oldDf)
+    }
     val (fromEntries, toEntries) = differingEntries(from, to)
     val fromByBucket = fromEntries.groupBy(_.bucket)
     val toByBucket = toEntries.groupBy(_.bucket)
@@ -233,34 +271,39 @@ object Maintenance {
           .select(col("_change_type") +:
             newDf.columns.filterNot(_ == DeletedCol).map(c => col(s"n.$c")).toIndexedSeq: _*)
 
-      case _ => // legacy/stat-less path: full per-bucket diff
+      case _ => // legacy/stat-less/unordered path: full per-bucket diff
         val oldDf = table.readFiles(from.schema, from.filesIn(changedBuckets))
         val newDf = table.readFiles(to.schema, to.filesIn(changedBuckets))
-        if (includePreimages) return emitWithPreimages(newDf, oldDf, "full_outer")
-        val o = oldDf.select(col("repo"), col("path"), col("lsn").as("_old_lsn"),
-          col(DeletedCol).as("_old_del"))
-        // full outer join per key; bucket-partitioned on both sides so the
-        // shuffle is bounded by changed buckets, not table size
-        val joined = newDf.as("n").join(o.as("o"),
-          col("n.repo") === col("o.repo") && col("n.path") === col("o.path"), "full_outer")
-        // the insert branch requires a PRESENT new side: a key existing only
-        // as an old tombstone (absent from `to`) must not surface as a
-        // spurious all-null "insert" (latent with writers that drop keys,
-        // even though current writers always rewrite buckets whole)
-        val changeType =
-          when(col("_old_lsn").isNull || col("_old_del"),
-            when(col("n.repo").isNull || col(s"n.$DeletedCol"), lit(null))
-              .otherwise(lit("insert")))
-            .otherwise(
-              when(col(s"n.$DeletedCol"), lit("delete"))
-                .when(col("n.lsn") =!= col("_old_lsn"), lit("update_postimage"))
-                .otherwise(lit(null)))
-        joined
-          .withColumn("_change_type", changeType)
-          .where(col("_change_type").isNotNull)
-          .select(col("_change_type") +:
-            newDf.columns.filterNot(_ == DeletedCol).map(c => col(s"n.$c")).toIndexedSeq: _*)
+        if (includePreimages) emitWithPreimages(newDf, oldDf, "full_outer")
+        else emitPostimagesFullOuter(newDf, oldDf)
     }
+  }
+
+  /** Post-image-only classification over a full-outer key join; sound
+    * under any delivery order (carried rows fail the lsn inequality).
+    * Shuffle is bounded by whatever file sets the caller read. */
+  private def emitPostimagesFullOuter(newDf: DataFrame, oldDf: DataFrame): DataFrame = {
+    val o = oldDf.select(col("repo"), col("path"), col("lsn").as("_old_lsn"),
+      col(DeletedCol).as("_old_del"))
+    val joined = newDf.as("n").join(o.as("o"),
+      col("n.repo") === col("o.repo") && col("n.path") === col("o.path"), "full_outer")
+    // the insert branch requires a PRESENT new side: a key existing only
+    // as an old tombstone (absent from `to`) must not surface as a
+    // spurious all-null "insert" (latent with writers that drop keys,
+    // even though current writers always rewrite buckets whole)
+    val changeType =
+      when(col("_old_lsn").isNull || col("_old_del"),
+        when(col("n.repo").isNull || col(s"n.$DeletedCol"), lit(null))
+          .otherwise(lit("insert")))
+        .otherwise(
+          when(col(s"n.$DeletedCol"), lit("delete"))
+            .when(col("n.lsn") =!= col("_old_lsn"), lit("update_postimage"))
+            .otherwise(lit(null)))
+    joined
+      .withColumn("_change_type", changeType)
+      .where(col("_change_type").isNotNull)
+      .select(col("_change_type") +:
+        newDf.columns.filterNot(_ == DeletedCol).map(c => col(s"n.$c")).toIndexedSeq: _*)
   }
 
   /** Retraction-complete CDC emission: one pass over the key join, each

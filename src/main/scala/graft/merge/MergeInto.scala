@@ -114,6 +114,12 @@ final class MergeInto(
 
   private def applyNew(events: DataFrame, epochId: Long,
                        snapOpt: Option[Snapshot], t0: Long): MergeStats = {
+    // a merge built for the wrong bucket count would prune by bucket ids
+    // that mean something else on disk — fail loudly (after a
+    // Maintenance.rebucket, construct a new MergeInto with the new count)
+    snapOpt.foreach(s => require(s.numBuckets == numBuckets,
+      s"merge configured for $numBuckets buckets but the table is at " +
+        s"${s.numBuckets} (rebucketed?) — rebuild the writer with the table's count"))
     // --- schema evolution -------------------------------------------------
     val incomingState = StructType(events.schema.fields.filterNot(_.name == "op"))
     val currentState = snapOpt.map(s => StructType(s.schema.fields.filterNot(_.name == DeletedCol)))

@@ -123,6 +123,46 @@ class MaintenanceSpec extends AnyFunSuite {
       "pure redelivery misclassified as unordered")
   }
 
+  test("rebucket: state identical, history intact, incremental readers skip it, stale writers rejected") {
+    import spark.implicits._
+    val (table, _) = replayed(1500L, 2)
+    val vBefore = table.currentSnapshot().get.version
+    val before = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
+    val hwBefore = table.currentSnapshot().get.highWaterLsn
+
+    val vRe = Maintenance.rebucket(table, newNumBuckets = 9)
+    val snap = table.currentSnapshot().get
+    assert(vRe == vBefore + 1 && snap.numBuckets == 9)
+    assert(snap.allFiles.forall(f => f.bucket >= 0 && f.bucket < 9))
+    assert(snap.highWaterLsn == hwBefore && snap.version == vRe)
+    // state byte-identical; old snapshots still time-travel
+    assert(table.read().orderBy("repo", "path").collect().map(_.toString).toSeq == before)
+    assert(table.readVersion(vBefore).orderBy("repo", "path")
+      .collect().map(_.toString).toSeq == before)
+
+    // the cross-boundary diff of an identical state is EMPTY, in both shapes
+    assert(Maintenance.changesBetween(table, vBefore, vRe).count() == 0)
+    assert(Maintenance.changesBetween(table, vBefore, vRe, includePreimages = true).count() == 0)
+
+    // a post-rebucket change is visible across the boundary
+    val merge9 = new graft.merge.MergeInto(table, numBuckets = 9, saltBuckets = 2,
+      recordMeta = false)
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    merge9.apply(Seq((9999999L, "I", ts, "re/repo", "x.txt", "c", "text", "post"))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content"), 99L)
+    val ch = Maintenance.changesBetween(table, vBefore, vRe + 1)
+      .select("_change_type", "repo").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ch == Set(("insert", "re/repo")))
+
+    // a writer still configured for the OLD bucket count must fail loudly
+    val stale = new graft.merge.MergeInto(table, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    intercept[IllegalArgumentException] {
+      stale.apply(Seq((10000000L, "I", ts, "re/repo", "y.txt", "c", "text", "z"))
+        .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content"), 100L)
+    }
+  }
+
   test("crash between data write and snapshot commit: retry converges") {
     // the dangerous window (SURVEY §7.4.3): data files for version N are
     // on disk but the snapshot pointer never landed. A retry of the same
