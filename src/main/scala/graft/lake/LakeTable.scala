@@ -34,7 +34,11 @@ final case class FileEntry(
       * (never prunable). */
     minLsn: Long = Long.MinValue,
     maxLsn: Long = Long.MaxValue,
-    nKeys: Long = -1L
+    nKeys: Long = -1L,
+    /** File length in bytes (from the commit-time listing — free); lets
+      * scans split large files into byte-range partitions without an FS
+      * stat per file at planning. -1 = unknown (legacy entry). */
+    nBytes: Long = -1L
 ) {
   def hasStats: Boolean = nKeys >= 0L
 }
@@ -163,7 +167,10 @@ object Snapshot {
   }
 
   private def fileLine(f: FileEntry): String =
-    if (f.hasStats) s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\n"
+    if (f.hasStats && f.nBytes >= 0L)
+      s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\t${f.nBytes}\n"
+    else if (f.hasStats)
+      s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\n"
     else s"file=${f.bucket}\t${f.relPath}\n"
 
   private[lake] def serializeFileLines(files: Seq[FileEntry]): String = {
@@ -174,7 +181,10 @@ object Snapshot {
 
   private[lake] def parseFileLine(v: String): FileEntry = {
     val parts = v.split('\t')
-    if (parts.length >= 5)
+    if (parts.length >= 6)
+      FileEntry(parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong,
+        parts(4).toLong, parts(5).toLong)
+    else if (parts.length >= 5)
       FileEntry(parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong, parts(4).toLong)
     else FileEntry(parts(0).toInt, parts(1))
   }
@@ -417,7 +427,8 @@ final class LakeTable(
       val bucket = bdir.getPath.getName.stripPrefix("b=").toInt
       f.listStatus(bdir.getPath)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => FileEntry(bucket, s"data/$dirName/b=$bucket/${s.getPath.getName}"))
+        .map(s => FileEntry(bucket, s"data/$dirName/b=$bucket/${s.getPath.getName}",
+          nBytes = s.getLen))
     }.toSeq
   }
 

@@ -134,21 +134,55 @@ object GraftScanBuilder {
 }
 
 final case class GraftInputPartition(absPath: String,
-                                     lsnLowerExclusive: Long = Long.MinValue)
+                                     lsnLowerExclusive: Long = Long.MinValue,
+                                     /** Byte range of the split: parquet
+                                       * row groups whose midpoint falls in
+                                       * [rangeStart, rangeEnd) belong to
+                                       * this partition (Spark's own
+                                       * parquet split rule). */
+                                     rangeStart: Long = 0L,
+                                     rangeEnd: Long = Long.MaxValue)
     extends InputPartition
+
+object GraftSplit {
+  val DefaultMaxSplitBytes: Long = 128L * 1024 * 1024
+
+  /** One partition per ≤maxSplitBytes byte range: partition granularity is
+    * bounded by BYTES, not file count, so a compacted ~GB bucket file
+    * fans out across tasks instead of serializing into one. Files without
+    * a recorded size (legacy manifests) stay single-partition. Ranges
+    * tile [0, nBytes) disjointly, so every row-group midpoint lands in
+    * exactly one split. */
+  def partitions(root: String, files: Seq[FileEntry], bound: Long,
+                 maxSplitBytes: Long): Array[InputPartition] =
+    files.flatMap { f =>
+      val abs = s"$root/${f.relPath}"
+      if (f.nBytes > maxSplitBytes) {
+        val n = ((f.nBytes + maxSplitBytes - 1) / maxSplitBytes).toInt
+        val step = (f.nBytes + n - 1) / n
+        (0 until n).map { i =>
+          val start = i.toLong * step
+          val end = if (i == n - 1) Long.MaxValue else start + step
+          GraftInputPartition(abs, bound, start, end)
+        }
+      } else Seq(GraftInputPartition(abs, bound))
+    }.toArray
+}
 
 final class GraftScan(root: String, physicalSchema: StructType, required: StructType,
                       files: Seq[FileEntry], bucketPruned: Boolean, statsPruned: Int,
                       options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch {
   private def includeTombstones = options.getBoolean("includeTombstones", false)
+  private def maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
+    .getOrElse(GraftSplit.DefaultMaxSplitBytes)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft files=${files.size} bucketPruned=$bucketPruned statsPruned=$statsPruned " +
       s"cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => GraftInputPartition(s"$root/${f.relPath}")).toArray
+    GraftSplit.partitions(root, files, Long.MinValue, maxSplitBytes)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(physicalSchema, required, includeTombstones)
   override def toMicroBatchStream(checkpointLocation: String)

@@ -113,7 +113,7 @@ final class GraftMicroBatchStream(
           case _ => (added, Long.MinValue) // legacy/unordered: no row bound
         }
       }
-    entries.map(f => GraftInputPartition(s"$root/${f.relPath}", bound)).toArray
+    GraftSplit.partitions(root, entries, bound, GraftSplit.DefaultMaxSplitBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

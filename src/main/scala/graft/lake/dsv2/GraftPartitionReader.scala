@@ -27,7 +27,7 @@ final class GraftReaderFactory(physicalSchema: StructType, required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.absPath, physicalSchema, required,
-      includeTombstones, p.lsnLowerExclusive)
+      includeTombstones, p.lsnLowerExclusive, p.rangeStart, p.rangeEnd)
   }
 }
 
@@ -38,7 +38,9 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
                                    * this (Long.MinValue = no bound) — the
                                    * incremental-read row filter; also pushed
                                    * into parquet row-group skipping below. */
-                                 lsnLowerExclusive: Long = Long.MinValue)
+                                 lsnLowerExclusive: Long = Long.MinValue,
+                                 rangeStart: Long = 0L,
+                                 rangeEnd: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -62,7 +64,10 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
 
   private val reader: ParquetReader[Group] = {
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    // byte-range split: only row groups whose midpoint falls in the
+    // partition's range are read (0..MaxValue = the whole file)
     val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
+      .withFileRange(rangeStart, rangeEnd)
     // push the lsn bound into parquet (row-group stats + record skipping);
     // only when the file HAS the column — a filter on an absent column
     // evaluates against all-null and would drop every row

@@ -111,6 +111,20 @@ class Dsv2Spec extends AnyFunSuite {
     assert(canon(viaApi) == canon(table.read()))
   }
 
+  test("large files split into byte-range partitions; results identical") {
+    val table = build()
+    assert(Maintenance.compact(table, maxFilesPerBucket = 1) > 0) // → big per-bucket files
+    val nFiles = table.currentSnapshot().get.allFiles.size
+    val whole = spark.read.format("graft").load(table.root)
+    assert(whole.rdd.getNumPartitions == nFiles) // default: files smaller than 128 MB
+    // force tiny splits: partition count must exceed the file count while
+    // every row is read exactly once
+    val split = spark.read.format("graft").option("maxSplitBytes", "4096").load(table.root)
+    assert(split.rdd.getNumPartitions > nFiles,
+      s"${split.rdd.getNumPartitions} partitions for $nFiles files")
+    assert(canon(split) == canon(whole))
+  }
+
   test("compaction + stats keep DSv2 lsn-pruned reads empty of data IO") {
     val table = build()
     assert(Maintenance.compact(table, maxFilesPerBucket = 1) > 0)

@@ -59,6 +59,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 exchange, plan:\n${plan.toString.take(2000)}")
   }
 
+  test("preimage CDC feed is one pass: a single key join, no union, no re-scan per variant") {
+    val work = TestSpark.tmpDir("planspec-pre")
+    val cfg = GenConfig(nEvents = 2000L)
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 2, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table")
+    ingest.BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4,
+      saltBuckets = 2, recordMeta = false)
+    val v = table.currentSnapshot().get.version
+    val feed = lake.Maintenance.changesBetween(table, v - 1, v, includePreimages = true)
+    val plan = executed(feed)
+    // the four change variants come from ONE explode over ONE join — not
+    // a union of per-variant joins (which would re-scan both sides 4×)
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("Join")) == 1,
+      s"expected exactly 1 join:\n${plan.toString.take(2000)}")
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("Union")) == 0,
+      s"expected no union:\n${plan.toString.take(2000)}")
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("Generate")) == 1,
+      s"expected exactly 1 explode:\n${plan.toString.take(2000)}")
+  }
+
   test("small-dimension join broadcasts (q2)") {
     val plan = executed(SparkEntry.queries("q2_revenue_by_nation")(spark, sf))
     assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastHashJoin")) >= 1,
