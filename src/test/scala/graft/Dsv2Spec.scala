@@ -133,6 +133,40 @@ class Dsv2Spec extends AnyFunSuite {
     assert(plannedFiles(none) == 0)
   }
 
+  test("CALL procedures: compact, rebucket, refresh_view, vacuum through SQL") {
+    val table = build()
+    spark.conf.set("spark.sql.catalog.graft_sys",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+
+    val c = spark.sql(s"CALL graft_sys.system.compact('${table.root}', 1)").collect()
+    assert(c.head.getInt(0) > 0, "compact should fold the per-epoch files")
+
+    val r = spark.sql(s"CALL graft_sys.system.rebucket('${table.root}', 7)").collect()
+    assert(r.head.getLong(0) == table.currentSnapshot().get.version)
+    assert(table.currentSnapshot().get.numBuckets == 7)
+
+    val v1 = spark.sql(s"CALL graft_sys.system.refresh_view('${table.root}', 'sqlview', " +
+      "'repo', 'bytes:length(content);files:1')").collect().head
+    assert(v1.getBoolean(2) && !v1.getBoolean(3)) // initial full, not a no-op
+    val got = graft.lake.MaterializedView.read(table, "sqlview")
+      .select("repo", "_n_rows", "bytes", "files").orderBy("repo")
+      .collect().map(_.toString).toSeq
+    val want = table.read().groupBy("repo").agg(
+      count(lit(1)).as("_n_rows"),
+      sum(length(col("content"))).as("bytes"),
+      sum(lit(1)).as("files")).orderBy("repo").collect().map(_.toString).toSeq
+    assert(got == want)
+    // repeated CALL with no new commits → no-op, named-args form
+    val v2 = spark.sql(s"CALL graft_sys.system.refresh_view(path => '${table.root}', " +
+      "view => 'sqlview', group_cols => 'repo', " +
+      "measures => 'bytes:length(content);files:1')").collect().head
+    assert(v2.getBoolean(3))
+
+    // retention-windowed vacuum: everything is referenced or fresh → 0
+    val vac = spark.sql(s"CALL graft_sys.system.vacuum('${table.root}', 86400000)").collect()
+    assert(vac.head.getInt(0) == 0)
+  }
+
   // -------------------------------------------------------------------
   // readStream.format("graft"): incremental CDC source
   // -------------------------------------------------------------------
