@@ -2,14 +2,17 @@ package graft.lake.dsv2
 
 import java.util.{Iterator => JIterator}
 
-import graft.lake.{LakeTable, Maintenance, MaterializedView, ViewDef}
+import graft.lake.{InlineFiles, LakeTable, Maintenance, MaterializedView, Snapshot, ViewDef}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,10 +35,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * columns comma-separated and the summed measures as
   * `name:sql-expression` pairs separated by `;` — the sum-class
   * (self-maintainable) aggregate surface of [[ViewDef]] in SQL form. */
-class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog {
   private var catalogName: String = _
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  private var warehouse: Option[String] = None
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse"))
+  }
   override def name(): String = catalogName
 
   private val procNames = Array("compact", "vacuum", "rebucket", "refresh_view")
@@ -48,6 +54,95 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
     require(procNames.contains(n),
       s"unknown procedure $n (have: ${procNames.mkString(", ")})")
     new GraftProcedure(n)
+  }
+
+  // ---- TableCatalog: lake tables under `warehouse` ----------------------
+  // `CREATE TABLE g.db.t (...) TBLPROPERTIES ('buckets'='16')`,
+  // `INSERT INTO g.db.t ...` (upsert-merge), `SELECT ... FROM g.db.t`
+  // incl. `VERSION AS OF n` time travel, `DROP TABLE`.
+
+  private def spark = SparkSession.active
+  private def hfs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pathOf(ident: Identifier): String = {
+    val wh = warehouse.getOrElse(throw new IllegalStateException(
+      s"catalog $catalogName has no 'warehouse' option; set " +
+        s"spark.sql.catalog.$catalogName.warehouse"))
+    val parts = ident.namespace.toSeq :+ ident.name
+    parts.foreach(p => require(p.matches("[A-Za-z0-9_.-]+"), s"bad identifier part: $p"))
+    (wh +: parts).mkString("/")
+  }
+
+  private def snapshotIfAny(path: String): Option[Snapshot] =
+    new LakeTable(spark, path).currentSnapshot()
+
+  private def toTable(path: String, snap: Snapshot): Table = {
+    val visible = StructType(snap.schema.fields.filterNot(_.name == LakeTable.DeletedCol))
+    new GraftTable(path, snap, visible,
+      new CaseInsensitiveStringMap(java.util.Collections.singletonMap("path", path)))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    snapshotIfAny(pathOf(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    toTable(path, snapshotIfAny(path).getOrElse(throw new NoSuchTableException(ident)))
+  }
+
+  /** SQL `VERSION AS OF <n>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    if (snapshotIfAny(path).isEmpty) throw new NoSuchTableException(ident)
+    toTable(path, new LakeTable(spark, path).snapshotAt(version.toLong))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = new Path((warehouse.getOrElse(return Array.empty) +: namespace.toSeq).mkString("/"))
+    val f = hfs(base)
+    if (!f.exists(base)) return Array.empty
+    f.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => f.exists(new Path(base, s"$n/_snapshots")))
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables are hash-bucketed by repo; PARTITIONED BY is not supported " +
+        "(set TBLPROPERTIES ('buckets'='N') instead)")
+    val path = pathOf(ident)
+    if (snapshotIfAny(path).isDefined) throw new TableAlreadyExistsException(ident)
+    val numBuckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(16)
+    val physical = StructType(schema.fields.filterNot(_.name == LakeTable.DeletedCol))
+      .add(StructField(LakeTable.DeletedCol, BooleanType, nullable = false))
+    // an empty v0: the first INSERT/merge initializes the high-water mark
+    new LakeTable(spark, path).commitSnapshot(Snapshot(
+      version = 0L, schemaVersion = 1, schema = physical, numBuckets = numBuckets,
+      epochs = Set.empty, filesRef = InlineFiles(Seq.empty)))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported: graft schemas evolve from the data " +
+        "(add-nullable/widen on merge)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = new Path(pathOf(ident))
+    val f = hfs(path)
+    f.exists(path) && f.delete(path, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = new Path(pathOf(from))
+    val dst = new Path(pathOf(to))
+    val f = hfs(src)
+    if (!f.exists(src)) throw new NoSuchTableException(from)
+    if (f.exists(dst)) throw new TableAlreadyExistsException(to)
+    f.mkdirs(dst.getParent)
+    require(f.rename(src, dst), s"rename $src -> $dst failed")
   }
 }
 

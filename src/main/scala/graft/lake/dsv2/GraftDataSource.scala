@@ -66,17 +66,51 @@ class GraftDataSource extends TableProvider
 
 final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchema: StructType,
                        tableOptions: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$root`@v${snapshot.version}"
   override def schema(): StructType = visibleSchema
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // merge creation-time options under runtime ones (runtime wins)
     val merged = new java.util.HashMap[String, String](tableOptions.asCaseSensitiveMap())
     merged.putAll(options.asCaseSensitiveMap())
     new GraftScanBuilder(root, snapshot, visibleSchema, new CaseInsensitiveStringMap(merged))
   }
+
+  /** `INSERT INTO` = one MERGE epoch with upsert semantics (this is an
+    * upsert table: rows land through the same LWW argmax as CDC events,
+    * with `op` defaulted to "U"). The epoch id derives from the query id,
+    * so a retried INSERT of the same query is idempotent while distinct
+    * INSERTs are distinct epochs. Delegated as a V1 write because the
+    * merge is a driver-orchestrated Spark job (bucket pruning + one
+    * repartition), not a per-partition DataWriter. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              require(!overwrite, "INSERT OVERWRITE is not supported: this is an " +
+                "upsert table — delete via CDC 'D' events")
+              val spark = data.sparkSession
+              val table = new LakeTable(spark, root)
+              val snap = table.currentSnapshot().getOrElse(snapshot)
+              val merge = new graft.merge.MergeInto(table,
+                numBuckets = snap.numBuckets,
+                saltBuckets = 2, recordMeta = false)
+              val qid = info.queryId().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val epoch = graft.functions.Hashing.hashBytes(qid, 0, qid.length, 0x1A5EL)
+              val withOp =
+                if (data.columns.contains("op")) data
+                else data.withColumn("op", org.apache.spark.sql.functions.lit("U"))
+              merge.apply(withOp, epoch): Unit
+            }
+        }
+    }
 }
 
 final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,

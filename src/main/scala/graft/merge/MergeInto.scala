@@ -235,8 +235,14 @@ final class MergeInto(
         case None =>
           if (statsOk) Some(newFiles.map(_.maxLsn).foldLeft(Long.MinValue)(math.max))
           else None
-        case Some(s) => s.highWaterLsn.collect {
-          case hw if statsOk => newFiles.map(_.maxLsn).foldLeft(hw)(math.max)
+        case Some(s) => s.highWaterLsn match {
+          case Some(hw) if statsOk =>
+            Some(newFiles.map(_.maxLsn).foldLeft(hw)(math.max))
+          // a catalog-created EMPTY table has no mark yet; the first data
+          // commit initializes it exactly like a fresh table would
+          case None if statsOk && s.allFiles.isEmpty =>
+            Some(newFiles.map(_.maxLsn).foldLeft(Long.MinValue)(math.max))
+          case _ => None
         }
       }
       val filesRef = snapOpt

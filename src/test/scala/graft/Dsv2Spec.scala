@@ -167,6 +167,42 @@ class Dsv2Spec extends AnyFunSuite {
     assert(vac.head.getInt(0) == 0)
   }
 
+  test("TableCatalog: CREATE TABLE, INSERT INTO upserts, VERSION AS OF, SHOW/DROP") {
+    val wh = TestSpark.tmpDir("dsv2wh")
+    spark.conf.set("spark.sql.catalog.graft_wh",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+
+    spark.sql("CREATE TABLE graft_wh.db.t (lsn BIGINT, ts TIMESTAMP, repo STRING, " +
+      "path STRING, commit STRING, lang STRING, content STRING) " +
+      "TBLPROPERTIES ('buckets'='4')")
+    spark.sql("INSERT INTO graft_wh.db.t VALUES " +
+      "(1, TIMESTAMP'2024-01-01 00:00:00', 'r1', 'a.txt', 'c1', 'scala', 'v1'), " +
+      "(2, TIMESTAMP'2024-01-01 00:00:00', 'r2', 'b.txt', 'c2', 'py', 'w1')")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.db.t").head.getLong(0) == 2)
+
+    // INSERT of an existing key is an UPSERT (LWW by lsn), not an append
+    spark.sql("INSERT INTO graft_wh.db.t VALUES " +
+      "(5, TIMESTAMP'2024-01-02 00:00:00', 'r1', 'a.txt', 'c3', 'scala', 'v2')")
+    assert(spark.sql("SELECT content FROM graft_wh.db.t WHERE repo = 'r1'")
+      .collect().map(_.getString(0)).toSeq == Seq("v2"))
+    assert(spark.sql("SELECT count(*) FROM graft_wh.db.t").head.getLong(0) == 2)
+
+    // SQL time travel (v0 = empty created table, v1 = first insert)
+    assert(spark.sql("SELECT content FROM graft_wh.db.t VERSION AS OF 1 " +
+      "WHERE repo = 'r1'").head.getString(0) == "v1")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.db.t VERSION AS OF 0").head.getLong(0) == 0)
+
+    // maintenance procedures work on catalog tables too (path form)
+    assert(spark.sql(s"CALL graft_wh.system.compact('$wh/db/t', 1)").collect()
+      .head.getInt(0) >= 0)
+
+    assert(spark.sql("SHOW TABLES IN graft_wh.db").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("DROP TABLE graft_wh.db.t")
+    assert(spark.sql("SHOW TABLES IN graft_wh.db").collect().isEmpty)
+  }
+
   // -------------------------------------------------------------------
   // readStream.format("graft"): incremental CDC source
   // -------------------------------------------------------------------
