@@ -378,14 +378,18 @@ final class LakeTable(
         Snapshot.serializeHeader(snap) +
           refs.map { case (gid, name) => s"manifest=$gid\t$name" }.mkString("", "\n", "\n")
     }
-    val tmp = new Path(snapshotDir, s".v${snap.version}.tmp")
+    // the tmp name must be PER-WRITER unique: two writers racing toward
+    // the same version would otherwise share (and clobber/steal) one tmp
+    // file — found by the concurrent-writer rebase spec
+    val tmp = new Path(snapshotDir,
+      s".v${snap.version}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val dst = new Path(snapshotDir, s"v${snap.version}")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, dst)) {
       f.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"snapshot commit conflict: ${dst} already exists (concurrent writer?)")
     }
   }
@@ -494,6 +498,27 @@ final class LakeTable(
     fs.delete(new Path(root, s"data/$dirName"), true): Unit
   }
 
+  private[graft] def snapshotMtime(version: Long): Long =
+    fs.getFileStatus(new Path(snapshotDir, s"v$version")).getModificationTime
+
+  private[graft] def deleteSnapshotFile(version: Long): Unit = {
+    fs.delete(new Path(snapshotDir, s"v$version"), false): Unit
+  }
+
+  /** Delete one data FILE (snapshot expiry: a file may be referenced by
+    * expired versions only, while its siblings in the same commit dir
+    * live on in retained versions). Sweeps now-empty bucket/version dirs
+    * so expiry leaves no husks behind. */
+  private[graft] def deleteDataFile(relPath: String): Unit = {
+    val f = fs
+    val p = new Path(root, relPath)
+    f.delete(p, false)
+    val bucketDir = p.getParent
+    if (f.exists(bucketDir) && f.listStatus(bucketDir).isEmpty) f.delete(bucketDir, false)
+    val versionDir = bucketDir.getParent
+    if (f.exists(versionDir) && f.listStatus(versionDir).isEmpty) f.delete(versionDir, false): Unit
+  }
+
   private def absolute(e: FileEntry): String = s"$root/${e.relPath}"
 
   /** Raw state rows (including tombstones) of the given files. Old files
@@ -525,6 +550,15 @@ final class LakeTable(
       .drop(DeletedCol)
   }
 }
+
+/** A concurrent writer published the contested version first. The losing
+  * writer's data landed in its own uuid directory (never clobbering
+  * committed data), so the safe reaction is rebase-and-retry: re-read the
+  * current snapshot and redo the operation against it (see
+  * MergeInto's retry loop); the orphaned directory is reclaimed by
+  * `Maintenance.vacuum`. Subclasses IllegalStateException so callers
+  * treating any commit failure as fatal keep working. */
+final class CommitConflictException(msg: String) extends IllegalStateException(msg)
 
 object LakeTable {
   /** Tombstone marker column in the physical state files. Tombstones keep

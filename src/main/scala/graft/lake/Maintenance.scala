@@ -175,6 +175,48 @@ object Maintenance {
     orphans ++ orphanManifests
   }
 
+  /** Expire old snapshot versions and reclaim the storage only they
+    * reference — the retention half of the time-travel contract (Iceberg's
+    * `expire_snapshots`): without it, every compaction/merge keeps its
+    * pre-image files alive forever and the table's footprint grows with
+    * HISTORY, not state. A version expires iff it is strictly older than
+    * the newest `keepLast` versions AND its snapshot file is older than
+    * `olderThanMs`. Reclaimed: data files and manifests referenced by
+    * expired versions ONLY (file-granular — a long-lived file shared with
+    * a retained version survives). Deletion order is crash-safe: all
+    * expired snapshot ROOTS go first, so no readable snapshot ever
+    * references a deleted file; a crash mid-sweep leaves unreferenced
+    * files that `vacuum` reclaims.
+    *
+    * Contract changes for consumers: time travel and `changesBetween`
+    * anchored at an expired version fail loudly (missing snapshot file);
+    * a streaming CDC reader checkpointed below the earliest retained
+    * version cannot resume. Size `keepLast`/`olderThanMs` above the
+    * slowest consumer's lag, as with any retention knob.
+    * Returns the removed artifacts. */
+  def expireSnapshots(table: LakeTable, keepLast: Int = 2,
+                      olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val versions = table.snapshotVersions() // ascending
+    if (versions.size <= keepLast) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val protectedVersions = versions.takeRight(keepLast).toSet
+    val expired = versions.filterNot(protectedVersions)
+      .filter(v => table.snapshotMtime(v) <= cutoff)
+    if (expired.isEmpty) return Seq.empty
+    val expiredSet = expired.toSet
+    val retained = versions.filterNot(expiredSet)
+    val keepFiles = retained.flatMap(v => table.snapshotAt(v).allFiles.map(_.relPath)).toSet
+    val dropFiles = expired.flatMap(v => table.snapshotAt(v).allFiles.map(_.relPath))
+      .distinct.filterNot(keepFiles)
+    val keepManifests = retained.flatMap(table.manifestRefsOf).toSet
+    val dropManifests = expired.flatMap(table.manifestRefsOf).distinct.filterNot(keepManifests)
+    expired.foreach(table.deleteSnapshotFile)
+    dropFiles.foreach(table.deleteDataFile)
+    dropManifests.foreach(table.deleteManifest)
+    expired.map(v => s"_snapshots/v$v") ++ dropFiles ++ dropManifests
+  }
+
   /** Entries of the groups that can differ between two snapshots. For
     * split listings, groups whose content-addressed manifest NAMES match
     * are byte-identical and are skipped WITHOUT loading — change

@@ -44,7 +44,8 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
   }
   override def name(): String = catalogName
 
-  private val procNames = Array("compact", "vacuum", "rebucket", "refresh_view")
+  private val procNames =
+    Array("compact", "vacuum", "rebucket", "refresh_view", "expire_snapshots")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procNames.map(Identifier.of(Array("system"), _))
@@ -154,6 +155,8 @@ private final class GraftProcedure(procName: String)
     case "vacuum" => "delete unreferenced data/manifest artifacts older than retention_ms"
     case "rebucket" => "rewrite the table into a new hash-bucket count"
     case "refresh_view" => "create or incrementally refresh a sum-class materialized view"
+    case "expire_snapshots" =>
+      "expire versions beyond keep_last and older_than_ms; reclaim their exclusive storage"
   }
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -170,6 +173,9 @@ private final class GraftProcedure(procName: String)
     case "rebucket" => Array(in("path", StringType), in("num_buckets", IntegerType))
     case "refresh_view" => Array(in("path", StringType), in("view", StringType),
       in("group_cols", StringType), in("measures", StringType))
+    case "expire_snapshots" => Array(in("path", StringType),
+      inDefault("keep_last", IntegerType, "2"),
+      inDefault("older_than_ms", LongType, (7L * 24 * 3600 * 1000).toString))
   }
 
   override def call(input: InternalRow): JIterator[Scan] = {
@@ -202,6 +208,9 @@ private final class GraftProcedure(procName: String)
           StructField("no_op", BooleanType))),
           Seq(stats.fromVersion.map(Long.box).orNull, stats.toVersion,
             stats.initialFull, stats.noOp))
+      case "expire_snapshots" =>
+        val removed = Maintenance.expireSnapshots(table, input.getInt(1), input.getLong(2))
+        (StructType(Seq(StructField("removed_artifacts", IntegerType))), Seq(removed.size))
     }
     val values = row.map {
       case s: String => UTF8String.fromString(s)

@@ -32,7 +32,8 @@ import java.util.{Map => JMap, Set => JSet}
   * the reader (`read()` semantics: visible state only).
   */
 class GraftDataSource extends TableProvider
-    with org.apache.spark.sql.sources.DataSourceRegister {
+    with org.apache.spark.sql.sources.DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
 
   private def rootOf(options: CaseInsensitiveStringMap): String = {
@@ -41,17 +42,28 @@ class GraftDataSource extends TableProvider
     p
   }
 
-  private def snapshotOf(options: CaseInsensitiveStringMap) = {
+  private def snapshotOpt(options: CaseInsensitiveStringMap): Option[graft.lake.Snapshot] = {
     val spark = SparkSession.active
     val table = new LakeTable(spark, rootOf(options))
     Option(options.get("versionAsOf")) match {
-      case Some(v) => table.snapshotAt(v.toLong)
-      case None => table.currentSnapshot().getOrElse(
-        throw new IllegalStateException(s"no snapshot at ${rootOf(options)}"))
+      case Some(v) => Some(table.snapshotAt(v.toLong))
+      case None => table.currentSnapshot()
     }
   }
 
+  private def snapshotOf(options: CaseInsensitiveStringMap) =
+    snapshotOpt(options).getOrElse(
+      throw new IllegalStateException(s"no snapshot at ${rootOf(options)}"))
+
+  /** A streaming WRITE to a not-yet-created table must not fail in table
+    * resolution: the sink creates the table on its first batch. The
+    * `checkpointLocation` option marks that path (DataStreamWriter passes
+    * the writer options here; reads never carry it). */
+  private def uninitializedSinkTarget(options: CaseInsensitiveStringMap): Boolean =
+    options.containsKey("checkpointLocation") && snapshotOpt(options).isEmpty
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    if (uninitializedSinkTarget(options)) return new StructType()
     val s = snapshotOf(options).schema
     if (options.getBoolean("includeTombstones", false)) s
     else StructType(s.fields.filterNot(_.name == LakeTable.DeletedCol))
@@ -60,14 +72,48 @@ class GraftDataSource extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
+    if (uninitializedSinkTarget(options))
+      return new GraftUninitializedTable(rootOf(options))
     new GraftTable(rootOf(options), snapshotOf(options), schema, options)
   }
+
+  /** `df.writeStream.format("graft")` — the engine's CDC merge as a first-
+    * class streaming sink (see [[GraftSink]]). Spark routes here because
+    * [[GraftTable]] deliberately does NOT claim STREAMING_WRITE: the merge
+    * is a driver-orchestrated job per micro-batch (bucket pruning + one
+    * repartition + snapshot commit), not a per-partition DataWriter. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): GraftSink = {
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft sink upserts per batch (append/update); Complete mode is not supported")
+    require(partitionColumns.isEmpty,
+      "graft tables are hash-bucketed by repo; partitionBy is not supported")
+    def opt(k: String) = parameters.collectFirst { case (n, v) if n.equalsIgnoreCase(k) => v }
+    val path = opt("path").getOrElse(
+      throw new IllegalArgumentException("graft sink requires a path"))
+    new GraftSink(path, opt("checkpointLocation").getOrElse(path),
+      numBuckets = opt("numBuckets").map(_.toInt),
+      saltBuckets = opt("saltBuckets").map(_.toInt).getOrElse(2),
+      recordMeta = opt("recordMeta").exists(_.toBoolean))
+  }
+}
+
+/** Placeholder for a streaming-sink target whose table does not exist yet
+  * (no capabilities: anything except routing to the V1 sink fails loudly). */
+final class GraftUninitializedTable(root: String) extends Table {
+  override def name(): String = s"graft.`$root` (uninitialized sink target)"
+  override def schema(): StructType = new StructType()
+  override def capabilities(): JSet[TableCapability] =
+    java.util.Collections.emptySet[TableCapability]()
 }
 
 final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchema: StructType,
                        tableOptions: CaseInsensitiveStringMap)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.`$root`@v${snapshot.version}"
   override def schema(): StructType = visibleSchema
   override def capabilities(): JSet[TableCapability] =
@@ -111,6 +157,77 @@ final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchem
             }
         }
     }
+
+  /** SQL `DELETE FROM t WHERE ...` (and `TRUNCATE TABLE t` via the
+    * inherited default, which delegates as delete-where-true): matching
+    * LIVE keys get tombstone events through one MERGE epoch — the exact
+    * CDC 'D' semantics, so deletes stay idempotent under redelivery and
+    * surface in `changesBetween`/the CDC stream like any other change.
+    * All tombstones share one lsn just above the previous high-water
+    * mark, keeping the commit ordered (incremental readers keep their
+    * `lsn > hw` pruning). Condition columns beyond the key are fine:
+    * the predicate is evaluated against the full visible row. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => FilterToColumn.translate(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.active
+    val table = new LakeTable(spark, root)
+    val snap = table.currentSnapshot().getOrElse(return)
+    val cond = filters.flatMap(FilterToColumn.translate)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    // read through the DSv2 source so a `repo =` predicate keeps its
+    // manifest-level bucket pruning; victims are just the key columns
+    val victims = spark.read.format("graft").load(root).where(cond)
+      .select(col("repo"), col("path")).distinct().cache()
+    try {
+      if (victims.isEmpty) return // no-op: no new version, no empty epoch
+      val delLsn = snap.highWaterLsn.getOrElse(
+        table.read().agg(max(col("lsn"))).head.getLong(0)) + 1L
+      val events = victims
+        .withColumn("lsn", lit(delLsn))
+        .withColumn("op", lit("D"))
+      // epoch from (version, predicate): a platform retry of this DELETE
+      // against the same snapshot replays the same epoch (ledger no-op);
+      // a user re-running it sees no surviving victims and no-ops above
+      val seed = s"delete:v${snap.version}:${filters.map(_.toString).sorted.mkString("&")}"
+      val sb = seed.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val epoch = graft.functions.Hashing.hashBytes(sb, 0, sb.length, 0xDE1E7EL)
+      new graft.merge.MergeInto(table, numBuckets = snap.numBuckets,
+        saltBuckets = 2, recordMeta = false).apply(events, epoch): Unit
+    } finally victims.unpersist(blocking = false): Unit
+  }
+}
+
+/** V1 `Filter` → `Column` translation for the delete path. `None` marks a
+  * predicate shape we cannot evaluate — `canDeleteWhere` then refuses and
+  * Spark reports the unsupported condition instead of mis-deleting. */
+private[dsv2] object FilterToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case Or(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
 }
 
 final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,

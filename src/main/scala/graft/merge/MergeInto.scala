@@ -89,16 +89,42 @@ final class MergeInto(
     case _ => 0L
   }
 
-  /** Apply one epoch of change events. Idempotent per epochId. */
-  def apply(events: DataFrame, epochId: Long): MergeStats = {
-    val t0 = System.nanoTime()
-    val snapOpt = table.currentSnapshot()
-    snapOpt.find(_.epochs.contains(epochId)) match {
-      case Some(s) =>
-        MergeStats(epochId, s.version, skipped = true, 0, 0, 0, 0, 0,
-          (System.nanoTime() - t0) / 1000000)
-      case None => applyNew(events, epochId, snapOpt, t0)
+  /** Apply one epoch of change events. Idempotent per epochId.
+    *
+    * Optimistic concurrency: two writers racing toward the same version
+    * both write their data into private uuid directories; exactly one
+    * wins the atomic snapshot rename. The loser REBASES — re-reads the
+    * winner's snapshot (picking up its files, ledger, and high-water
+    * mark) and redoes the merge against it, up to `maxCommitRetries`
+    * times. Correctness needs no coordination: the merge is an lsn
+    * argmax, so replaying the same events over the richer state yields
+    * the same winners, and the loser's first attempt stays an orphan
+    * directory for `Maintenance.vacuum`. The ledger recheck also covers
+    * the same EPOCH landing concurrently (a speculatively-retried task
+    * of one logical writer): the retry then degrades to a skip. */
+  def apply(events: DataFrame, epochId: Long,
+            maxCommitRetries: Int = 8): MergeStats = {
+    var attempt = 0
+    while (true) {
+      val t0 = System.nanoTime()
+      val snapOpt = table.currentSnapshot()
+      snapOpt.find(_.epochs.contains(epochId)) match {
+        case Some(s) =>
+          return MergeStats(epochId, s.version, skipped = true, 0, 0, 0, 0, 0,
+            (System.nanoTime() - t0) / 1000000)
+        case None =>
+          try return applyNew(events, epochId, snapOpt, t0)
+          catch {
+            case _: graft.lake.CommitConflictException if attempt < maxCommitRetries =>
+              attempt += 1 // rebase: loop re-reads the winner's snapshot
+              // jittered linear backoff decorrelates a writer herd; the
+              // jitter source is the attempt-unique nanotime, not a
+              // seeded RNG (no shared state, no determinism needed)
+              Thread.sleep(attempt * (50L + (System.nanoTime() >>> 3) % 100L))
+          }
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   private val debugTimers = sys.env.contains("GRAFT_MERGE_DEBUG")
@@ -142,7 +168,8 @@ final class MergeInto(
     val inObs = Observation(s"merge-in-$epochId")
     val source0 = align(events, evolvedWithOp)
       .observe(inObs, count(lit(1)).as("n"),
-        approx_count_distinct(col("lsn")).as("n_lsn"))
+        approx_count_distinct(col("lsn")).as("n_lsn"),
+        min(col("lsn")).as("min_lsn"))
     val source = if (cacheSource) source0.persist() else source0
 
     try {
@@ -231,26 +258,6 @@ final class MergeInto(
       // lsn <= highWater provably unchanged in later snapshots).
       val newFiles = timed("list")(table.listDataFilesWithStats(writeDir))
       val statsOk = newFiles.forall(_.hasStats)
-      val newHighWater: Option[Long] = snapOpt match {
-        case None =>
-          if (statsOk) Some(newFiles.map(_.maxLsn).foldLeft(Long.MinValue)(math.max))
-          else None
-        case Some(s) => s.highWaterLsn match {
-          case Some(hw) if statsOk =>
-            Some(newFiles.map(_.maxLsn).foldLeft(hw)(math.max))
-          // a catalog-created EMPTY table has no mark yet; the first data
-          // commit initializes it exactly like a fresh table would
-          case None if statsOk && s.allFiles.isEmpty =>
-            Some(newFiles.map(_.maxLsn).foldLeft(Long.MinValue)(math.max))
-          case _ => None
-        }
-      }
-      val filesRef = snapOpt
-        .map(s => table.successorFiles(s, touched, newFiles))
-        .getOrElse(InlineFiles(newFiles))
-      val schemaVersion = snapOpt.map { s =>
-        if (s.schema == physicalSchema) s.schemaVersion else s.schemaVersion + 1
-      }.getOrElse(1)
       // Ordered-log delivery check: a NOVEL source row won its key at an
       // lsn at or below the previous high-water mark — out-of-global-
       // order first delivery (e.g. a streaming source splitting one log
@@ -260,28 +267,96 @@ final class MergeInto(
       // readers' `lsn > highWater` fast path is only sound across
       // ordered commits — so violations are counted cumulatively and
       // readers compare endpoint counters (see Snapshot scaladoc).
-      val unordered = asLong(outObs.get, "late_wins") > 0L
-      table.commitSnapshot(Snapshot(
-        version = newVersion,
-        schemaVersion = schemaVersion,
-        schema = physicalSchema,
-        numBuckets = numBuckets,
-        epochs = snapOpt.map(_.epochs).getOrElse(Set.empty) + epochId,
-        filesRef = filesRef,
-        highWaterLsn = newHighWater,
-        unorderedCommits = snapOpt.map(_.unorderedCommits).getOrElse(0L) +
-          (if (unordered) 1L else 0L)
-      ))
+      val lateWins = asLong(outObs.get, "late_wins") > 0L
+      val srcMinLsn = asLong(inObs.get, "min_lsn")
 
-      val stats = MergeStats(epochId, newVersion, skipped = false,
-        eventsIn = asLong(inObs.get, "n"),
-        approxDistinctLsn = asLong(inObs.get, "n_lsn"),
-        keysWritten = asLong(outObs.get, "keys"),
-        tombstonesWritten = asLong(outObs.get, "tombstones"),
-        bucketsTouched = touched.size,
-        durationMs = (System.nanoTime() - t0) / 1000000)
-      if (recordMeta) Meta.record(table, stats, newVersion, epochId, newFiles)
-      stats
+      // Commit, with METADATA-ONLY rebase on conflict: if the concurrent
+      // winner left our touched buckets' files and the schema untouched,
+      // the data files we already wrote are exactly what a re-merge
+      // against the winner would produce — so rebuild only the snapshot
+      // metadata on its head and retry the rename. Writers on DISJOINT
+      // buckets therefore never recompute (the Iceberg-style rebase);
+      // anything else rethrows to apply()'s full-recompute loop.
+      var base = snapOpt
+      var baseIsOriginal = true
+      var committedVersion = -1L
+      var skippedStats: Option[MergeStats] = None
+      while (committedVersion < 0L && skippedStats.isEmpty) {
+        val commitVersion = base.map(_.version + 1).getOrElse(0L)
+        val newHighWater: Option[Long] = base match {
+          case None =>
+            if (statsOk) Some(newFiles.map(_.maxLsn).foldLeft(Long.MinValue)(math.max))
+            else None
+          case Some(s) => s.highWaterLsn match {
+            case Some(hw) if statsOk =>
+              Some(newFiles.map(_.maxLsn).foldLeft(hw)(math.max))
+            // a catalog-created EMPTY table has no mark yet; the first data
+            // commit initializes it exactly like a fresh table would
+            case None if statsOk && s.allFiles.isEmpty =>
+              Some(newFiles.map(_.maxLsn).foldLeft(Long.MinValue)(math.max))
+            case _ => None
+          }
+        }
+        val filesRef = base
+          .map(s => table.successorFiles(s, touched, newFiles))
+          .getOrElse(InlineFiles(newFiles))
+        val schemaVersion = base.map { s =>
+          if (s.schema == physicalSchema) s.schemaVersion else s.schemaVersion + 1
+        }.getOrElse(1)
+        // against the ORIGINAL base the late-win observation is exact;
+        // after a rebase the mark may have advanced past some of our
+        // lsns, so fall back to the conservative source-min test (a false
+        // positive only costs readers their hw pruning on this range,
+        // never soundness)
+        val unordered =
+          if (baseIsOriginal) lateWins
+          else lateWins || base.flatMap(_.highWaterLsn).exists(srcMinLsn <= _)
+        try {
+          table.commitSnapshot(Snapshot(
+            version = commitVersion,
+            schemaVersion = schemaVersion,
+            schema = physicalSchema,
+            numBuckets = numBuckets,
+            epochs = base.map(_.epochs).getOrElse(Set.empty) + epochId,
+            filesRef = filesRef,
+            highWaterLsn = newHighWater,
+            unorderedCommits = base.map(_.unorderedCommits).getOrElse(0L) +
+              (if (unordered) 1L else 0L)
+          ))
+          committedVersion = commitVersion
+        } catch {
+          case e: graft.lake.CommitConflictException =>
+            val cur = table.currentSnapshot().getOrElse(throw e)
+            if (cur.epochs.contains(epochId)) {
+              // our own epoch landed concurrently (a speculative retry of
+              // one logical writer): degrade to a ledger skip
+              skippedStats = Some(MergeStats(epochId, cur.version, skipped = true,
+                0, 0, 0, 0, 0, (System.nanoTime() - t0) / 1000000))
+            } else {
+              val fastOk = snapOpt.isDefined &&
+                cur.numBuckets == numBuckets &&
+                cur.schema == snapOpt.get.schema &&
+                cur.filesIn(touched).map(_.relPath).toSet ==
+                  targetFiles.map(_.relPath).toSet
+              if (!fastOk) throw e
+              base = Some(cur)
+              baseIsOriginal = false
+            }
+        }
+      }
+      skippedStats match {
+        case Some(sk) => sk
+        case None =>
+          val stats = MergeStats(epochId, committedVersion, skipped = false,
+            eventsIn = asLong(inObs.get, "n"),
+            approxDistinctLsn = asLong(inObs.get, "n_lsn"),
+            keysWritten = asLong(outObs.get, "keys"),
+            tombstonesWritten = asLong(outObs.get, "tombstones"),
+            bucketsTouched = touched.size,
+            durationMs = (System.nanoTime() - t0) / 1000000)
+          if (recordMeta) Meta.record(table, stats, committedVersion, epochId, newFiles)
+          stats
+      }
     } finally {
       if (cacheSource) source.unpersist(blocking = false): Unit
     }

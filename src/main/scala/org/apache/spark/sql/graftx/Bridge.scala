@@ -24,6 +24,19 @@ object Bridge {
       .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
   }
 
+  /** Re-expose a V1 streaming Sink's per-batch DataFrame as a BATCH view
+    * (isStreaming = false) so batch-only operations — `.observe`,
+    * `.write` — work on it. Exactly what Spark's own ForeachBatchSink
+    * does before invoking the user function: wrap the micro-batch's
+    * physical RDD in a LogicalRDD. */
+  def batchView(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val impl = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      impl.queryExecution.toRdd, impl, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      impl.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
+  }
+
   /** Register a function builder on a live session's function registry
     * (the post-build counterpart of SparkSessionExtensions.injectFunction,
     * for sessions we don't construct — e.g. the driver's). */

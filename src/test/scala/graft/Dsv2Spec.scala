@@ -203,6 +203,90 @@ class Dsv2Spec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft_wh.db").collect().isEmpty)
   }
 
+  test("DELETE FROM and TRUNCATE TABLE write tombstones through the merge") {
+    val wh = TestSpark.tmpDir("dsv2del")
+    spark.conf.set("spark.sql.catalog.graft_del",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_del.warehouse", wh)
+    spark.sql("CREATE TABLE graft_del.db.t (lsn BIGINT, repo STRING, path STRING, " +
+      "content STRING) TBLPROPERTIES ('buckets'='4')")
+    spark.sql("INSERT INTO graft_del.db.t VALUES " +
+      "(1, 'r1', 'a.txt', 'v1'), (2, 'r1', 'b.txt', 'v2'), (3, 'r2', 'c.txt', 'w1')")
+
+    // key-column predicate
+    spark.sql("DELETE FROM graft_del.db.t WHERE repo = 'r1' AND path = 'a.txt'")
+    assert(spark.sql("SELECT count(*) FROM graft_del.db.t").head.getLong(0) == 2)
+    // non-key predicate: evaluated against the full visible row
+    spark.sql("DELETE FROM graft_del.db.t WHERE content = 'w1'")
+    assert(spark.sql("SELECT path FROM graft_del.db.t").collect()
+      .map(_.getString(0)).toSeq == Seq("b.txt"))
+
+    // the deletes are CDC events: visible to incremental readers
+    val table = new LakeTable(spark, s"$wh/db/t")
+    val v = table.currentSnapshot().get.version
+    val changes = Maintenance.changesBetween(table, v - 1, v)
+    assert(changes.select("_change_type").collect().map(_.getString(0)).toSeq == Seq("delete"))
+    // deletes land ABOVE the previous high-water mark (ordered commit)
+    assert(table.currentSnapshot().get.unorderedCommits == 0L)
+
+    // deleting nothing commits nothing
+    spark.sql("DELETE FROM graft_del.db.t WHERE repo = 'absent'")
+    assert(table.currentSnapshot().get.version == v)
+
+    spark.sql("TRUNCATE TABLE graft_del.db.t")
+    assert(spark.sql("SELECT count(*) FROM graft_del.db.t").head.getLong(0) == 0)
+    // truncation is tombstones, not file deletion: time travel still works
+    assert(spark.sql(s"SELECT count(*) FROM graft_del.db.t VERSION AS OF $v").head.getLong(0) == 1)
+  }
+
+  test("writeStream.format(\"graft\") sink: creates the table, upserts per batch, op=D deletes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val work = TestSpark.tmpDir("dsv2sink")
+    val root = s"$work/table"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val ms = MemoryStream[(Long, String, String, String)]
+    val df = ms.toDF().toDF("lsn", "repo", "path", "content")
+    def run(): Unit = {
+      val q = df.writeStream.format("graft")
+        .option("checkpointLocation", s"$work/cp")
+        .option("numBuckets", "4")
+        .trigger(Trigger.AvailableNow())
+        .start(root)
+      q.awaitTermination()
+    }
+
+    // first run creates the table (no snapshot existed at start)
+    ms.addData((1L, "r1", "a.txt", "v1"), (2L, "r2", "b.txt", "w1"))
+    run()
+    val table = new LakeTable(spark, root)
+    assert(canon(table.read().select("repo", "path", "content")) ==
+      Seq("[r1,a.txt,v1]", "[r2,b.txt,w1]"))
+
+    // later batches upsert through the same checkpoint generation
+    ms.addData((5L, "r1", "a.txt", "v2"))
+    run()
+    assert(canon(table.read().select("repo", "path", "content")) ==
+      Seq("[r1,a.txt,v2]", "[r2,b.txt,w1]"))
+
+    // an op column routes deletes through the same sink
+    val ms2 = MemoryStream[(Long, String, String, String, String)]
+    val df2 = ms2.toDF().toDF("lsn", "repo", "path", "content", "op")
+    ms2.addData((9L, "r2", "b.txt", null, "D"))
+    val q2 = df2.writeStream.format("graft")
+      .option("checkpointLocation", s"$work/cp2")
+      .trigger(Trigger.AvailableNow())
+      .start(root)
+    q2.awaitTermination()
+    assert(canon(table.read().select("repo", "path", "content")) == Seq("[r1,a.txt,v2]"))
+
+    // round-trip: the sink's commits are a readable CDC stream
+    val got = spark.read.format("graft").load(root)
+    assert(got.count() == 1)
+  }
+
   // -------------------------------------------------------------------
   // readStream.format("graft"): incremental CDC source
   // -------------------------------------------------------------------

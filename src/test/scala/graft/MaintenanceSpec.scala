@@ -190,7 +190,88 @@ class MaintenanceSpec extends AnyFunSuite {
     val (table, _) = replayed(200L, 1)
     val snap = table.currentSnapshot().get
     val clash = snap.copy(epochs = snap.epochs + 999L)
-    intercept[IllegalStateException](table.commitSnapshot(clash))
+    intercept[graft.lake.CommitConflictException](table.commitSnapshot(clash))
+  }
+
+  test("concurrent writers rebase on commit conflict: every epoch lands exactly once") {
+    val (table, _) = replayed(400L, 1)
+    val base = table.currentSnapshot().get
+    import spark.implicits._
+    // six merges race from six threads; each writes a distinct key set and
+    // epoch, so the final state must contain ALL of them regardless of
+    // commit order — losers rebase onto the winner's snapshot and retry
+    val epochs = (100L to 105L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures: Seq[scala.concurrent.Future[graft.merge.MergeStats]] = epochs.map { e =>
+      scala.concurrent.Future {
+        val events = (0 until 10).map(i =>
+          (e * 1000L + i, s"race-repo-$e", s"f$i.txt", "c", "U"))
+          .toDF("lsn", "repo", "path", "content", "op")
+        new graft.merge.MergeInto(table, numBuckets = 4, saltBuckets = 2,
+          recordMeta = false).apply(events, e)
+      }
+    }.toSeq
+    val stats = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(stats.forall(!_.skipped))
+    val end = table.currentSnapshot().get
+    // one commit per merge, contiguous versions — no lost or doubled commit
+    assert(end.version == base.version + epochs.size)
+    assert(epochs.forall(end.epochs.contains))
+    val got = table.read().where(col("repo").startsWith("race-repo-"))
+    assert(got.count() == epochs.size * 10L)
+    // a redelivered epoch after the race is still a ledger no-op
+    val re = new graft.merge.MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+      .apply(Seq((1L, "x", "y", "z", "U")).toDF("lsn", "repo", "path", "content", "op"), 100L)
+    assert(re.skipped)
+  }
+
+  test("expireSnapshots: reclaims exclusively-old storage, retained history intact") {
+    val (table, _) = replayed(1500L, 4) // versions 0..3
+    Maintenance.compact(table, maxFilesPerBucket = 1) // version 4 rewrites everything
+    val versions = table.snapshotVersions()
+    assert(versions.size == 5)
+    val keepState = table.read().orderBy("repo", "path").collect().map(_.toString).toSeq
+    val prevState = table.readVersion(versions(versions.size - 2))
+      .orderBy("repo", "path").collect().map(_.toString).toSeq
+
+    // nothing young enough to expire → no-op
+    assert(Maintenance.expireSnapshots(table, keepLast = 2,
+      olderThanMs = 3600L * 1000).isEmpty)
+
+    val removed = Maintenance.expireSnapshots(table, keepLast = 2, olderThanMs = 0L)
+    assert(removed.nonEmpty)
+    assert(table.snapshotVersions() == versions.takeRight(2))
+
+    // retained versions read identically
+    assert(table.read().orderBy("repo", "path").collect().map(_.toString).toSeq == keepState)
+    assert(table.readVersion(versions(versions.size - 2))
+      .orderBy("repo", "path").collect().map(_.toString).toSeq == prevState)
+    // incremental reads over the retained range still work
+    Maintenance.changesBetween(table, versions(versions.size - 2), versions.last).count(): Unit
+    // expired versions fail loudly
+    intercept[Exception](table.readVersion(versions.head).count())
+
+    // every surviving data file is referenced by a retained snapshot —
+    // and every referenced file survives (no over-delete)
+    val referenced = table.snapshotVersions()
+      .flatMap(v => table.snapshotAt(v).allFiles.map(_.relPath)).toSet
+    val fs = new org.apache.hadoop.fs.Path(table.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(table.root, "data"), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet"))
+          b += p.toString.stripPrefix(s"file:${table.root}/")
+      }
+      b.result().toSet
+    }
+    assert(onDisk == referenced)
   }
 
   test("meta tables stay bounded: compaction folds per-epoch files into one") {
