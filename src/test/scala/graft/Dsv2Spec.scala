@@ -287,6 +287,73 @@ class Dsv2Spec extends AnyFunSuite {
     assert(got.count() == 1)
   }
 
+  test("CDC relay: readStream from table A through the graft sink converges table B to A") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = TestSpark.tmpDir("dsv2relay")
+    val a = build() // several epochs incl. updates
+    // add a delete so the relay must carry a tombstone
+    val delKey = a.read().select("repo", "path").orderBy("repo", "path").head()
+    val maxLsn = a.read().agg(max("lsn")).head().getLong(0)
+    val spark2 = spark
+    import spark2.implicits._
+    new MergeInto(a, numBuckets = 4, saltBuckets = 2, recordMeta = false).apply(
+      Seq((maxLsn + 1, delKey.getString(0), delKey.getString(1), "D"))
+        .toDF("lsn", "repo", "path", "op"), 7777L)
+
+    val bRoot = s"$work/b"
+    val relay = spark.readStream.format("graft")
+      .option("includeTombstones", "true")
+      .option("maxVersionsPerTrigger", "1") // one commit per batch: epochs replay individually
+      .load(a.root)
+      .withColumn("op", when(col(LakeTable.DeletedCol), lit("D")).otherwise(lit("U")))
+      .drop(LakeTable.DeletedCol)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$work/cp")
+      .option("numBuckets", "4")
+      .trigger(Trigger.AvailableNow())
+      .start(bRoot)
+    relay.awaitTermination()
+
+    val b = new LakeTable(spark, bRoot)
+    assert(canon(b.read()) == canon(a.read()))
+    // resume: a new epoch in A flows through the same checkpoint into B
+    new MergeInto(a, numBuckets = 4, saltBuckets = 2, recordMeta = false).apply(
+      Seq((maxLsn + 2, "relay-new", "n.txt", "x", "U"))
+        .toDF("lsn", "repo", "path", "content", "op"), 7778L)
+    val relay2 = spark.readStream.format("graft")
+      .option("includeTombstones", "true")
+      .load(a.root)
+      .withColumn("op", when(col(LakeTable.DeletedCol), lit("D")).otherwise(lit("U")))
+      .drop(LakeTable.DeletedCol)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$work/cp")
+      .trigger(Trigger.AvailableNow())
+      .start(bRoot)
+    relay2.awaitTermination()
+    assert(canon(b.read()) == canon(a.read()))
+  }
+
+  test("readStream.table over a catalog table streams the CDC feed") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = TestSpark.tmpDir("dsv2ctstream")
+    spark.conf.set("spark.sql.catalog.graft_cts",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cts.warehouse", wh)
+    spark.sql("CREATE TABLE graft_cts.db.t (lsn BIGINT, repo STRING, path STRING, " +
+      "content STRING) TBLPROPERTIES ('buckets'='4')")
+    spark.sql("INSERT INTO graft_cts.db.t VALUES (1, 'r1', 'a', 'v1'), (2, 'r2', 'b', 'w1')")
+
+    val out = s"$wh/out"
+    val q = spark.readStream.table("graft_cts.db.t")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$wh/cp")
+      .option("path", out)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   // -------------------------------------------------------------------
   // readStream.format("graft"): incremental CDC source
   // -------------------------------------------------------------------
