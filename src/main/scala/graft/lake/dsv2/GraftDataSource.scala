@@ -45,7 +45,9 @@ class GraftDataSource extends TableProvider
   private def snapshotOpt(options: CaseInsensitiveStringMap): Option[graft.lake.Snapshot] = {
     val spark = SparkSession.active
     val table = new LakeTable(spark, rootOf(options))
-    Option(options.get("versionAsOf")) match {
+    require(!(options.containsKey("versionAsOf") && options.containsKey("changesTo")),
+      "versionAsOf and changesTo are the same endpoint — set one")
+    Option(options.get("versionAsOf")).orElse(Option(options.get("changesTo"))) match {
       case Some(v) => Some(table.snapshotAt(v.toLong))
       case None => table.currentSnapshot()
     }
@@ -258,19 +260,31 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan = {
-    val all = repoEq match {
+    // Batch CDC read: `option("changesFrom", v)` emits the rows CHANGED
+    // after version v up to `changesTo`/current — the batch twin of the
+    // streaming source (same manifest-driven planning via GraftChanges:
+    // only files added in the range, hw-bounded rows; a compaction-only
+    // range reads zero data files). Emitted rows are per-key upserts at
+    // their lsn; pair with includeTombstones for deletes.
+    val (all, changeBound) = Option(options.get("changesFrom")) match {
+      case Some(v) =>
+        GraftChanges.entriesAfter(
+          new LakeTable(SparkSession.active, root), v.toLong, snapshot)
+      case None => (snapshot.allFiles, Long.MinValue)
+    }
+    val bucketed = repoEq match {
       case Some(repo) =>
         val bucket = GraftScanBuilder.bucketOf(repo, snapshot.numBuckets)
-        snapshot.filesIn(Set(bucket))
-      case None => snapshot.allFiles
-    }
-    val files = lsnLowerBound match {
-      case Some(lo) => all.filter(f => !f.hasStats || f.maxLsn > lo)
+        all.filter(_.bucket == bucket)
       case None => all
     }
+    val rowBound = math.max(changeBound, lsnLowerBound.getOrElse(Long.MinValue))
+    val files =
+      if (rowBound == Long.MinValue) bucketed
+      else bucketed.filter(f => !f.hasStats || f.maxLsn > rowBound)
     new GraftScan(root, snapshot.schema, required, files,
-      bucketPruned = repoEq.isDefined, statsPruned = all.size - files.size,
-      options = options)
+      bucketPruned = repoEq.isDefined, statsPruned = bucketed.size - files.size,
+      options = options, rowBound = rowBound)
   }
 }
 
@@ -322,7 +336,13 @@ object GraftSplit {
 
 final class GraftScan(root: String, physicalSchema: StructType, required: StructType,
                       files: Seq[FileEntry], bucketPruned: Boolean, statsPruned: Int,
-                      options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+                      options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+                      /** Exclusive row-level lsn bound (Long.MinValue =
+                        * none): pushed into parquet row-group skipping and
+                        * enforced per row — carried copy-on-write rows
+                        * inside mixed files never surface in a changes
+                        * read. */
+                      rowBound: Long = Long.MinValue)
     extends Scan with Batch {
   private def includeTombstones = options.getBoolean("includeTombstones", false)
   private def maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
@@ -333,7 +353,7 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
     s"graft files=${files.size} bucketPruned=$bucketPruned statsPruned=$statsPruned " +
       s"cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    GraftSplit.partitions(root, files, Long.MinValue, maxSplitBytes)
+    GraftSplit.partitions(root, files, rowBound, maxSplitBytes)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(physicalSchema, required, includeTombstones)
   override def toMicroBatchStream(checkpointLocation: String)

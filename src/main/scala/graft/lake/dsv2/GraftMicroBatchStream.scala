@@ -93,26 +93,7 @@ final class GraftMicroBatchStream(
     val toV = end.asInstanceOf[GraftOffset].version
     if (toV <= fromV) return Array.empty
     val t = table
-    val to = t.snapshotAt(toV)
-    val (entries, bound) =
-      if (fromV < 0L) (to.allFiles, Long.MinValue)
-      else {
-        val from = t.snapshotAt(fromV)
-        val (fromEntries, toEntries) = Maintenance.differingEntries(from, to)
-        val fromPaths = fromEntries.map(_.relPath).toSet
-        val added = toEntries.filterNot(f => fromPaths(f.relPath))
-        from.highWaterLsn match {
-          // hw pruning is sound only across ORDERED commits (endpoint
-          // unordered-counters equal — see Snapshot.unorderedCommits);
-          // otherwise fall back to all added files with no row bound:
-          // the feed then re-emits a changed bucket's carried rows
-          // (at-least-once change delivery — harmless to LWW folds,
-          // which the CDC contract already requires of consumers)
-          case Some(hw) if from.unorderedCommits == to.unorderedCommits =>
-            (added.filter(f => !f.hasStats || f.maxLsn > hw), hw)
-          case _ => (added, Long.MinValue) // legacy/unordered: no row bound
-        }
-      }
+    val (entries, bound) = GraftChanges.entriesAfter(t, fromV, t.snapshotAt(toV))
     GraftSplit.partitions(root, entries, bound, GraftSplit.DefaultMaxSplitBytes)
   }
 
@@ -121,4 +102,29 @@ final class GraftMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Change-extraction planning shared by the streaming source and the batch
+  * `changesFrom` scan: the files that can hold rows changed in
+  * (fromVersion, to.version], plus the exclusive row-level lsn bound. */
+object GraftChanges {
+  def entriesAfter(table: LakeTable, fromVersion: Long,
+                   to: graft.lake.Snapshot): (Seq[graft.lake.FileEntry], Long) = {
+    if (fromVersion < 0L) return (to.allFiles, Long.MinValue) // full backfill
+    val from = table.snapshotAt(fromVersion)
+    val (fromEntries, toEntries) = Maintenance.differingEntries(from, to)
+    val fromPaths = fromEntries.map(_.relPath).toSet
+    val added = toEntries.filterNot(f => fromPaths(f.relPath))
+    from.highWaterLsn match {
+      // hw pruning is sound only across ORDERED commits (endpoint
+      // unordered-counters equal — see Snapshot.unorderedCommits);
+      // otherwise fall back to all added files with no row bound:
+      // the feed then re-emits a changed bucket's carried rows
+      // (at-least-once change delivery — harmless to LWW folds,
+      // which the CDC contract already requires of consumers)
+      case Some(hw) if from.unorderedCommits == to.unorderedCommits =>
+        (added.filter(f => !f.hasStats || f.maxLsn > hw), hw)
+      case _ => (added, Long.MinValue) // legacy/unordered: no row bound
+    }
+  }
 }

@@ -192,12 +192,74 @@ object TextOps {
       |SELECT doc_id, dataset_id, license FROM d
       |WHERE dataset_id NOT IN (SELECT dataset_id FROM bad)""".stripMargin
 
+  // q39: PII redaction — the scrub stage every training-data pipeline
+  // runs before anything else. Sequential passes (emails, then phone-ish
+  // digit runs on the email-redacted text so an address's digits are
+  // never double-counted, then IPv4s), each pass counting then replacing.
+  // Patterns stay in the Java-regex ∩ RE2 common subset (no \s, whose
+  // char class differs between the engines) so the DuckDB oracle computes
+  // the IDENTICAL function. Narrow scan-project: at 100 TB this is one
+  // codegen'd pass, bounded by IO. PII is deterministically injected
+  // (like q34's licenses) because the synthetic corpus carries none.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  private val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def q39Redact(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" contact: user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call +1 (555) 010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") * 7 % 256).cast("string")))
+        .otherwise(lit("")))
+    docs(s, dir)
+      .select(col("doc_id"), injected.as("t0"))
+      .withColumn("n_email", size(regexp_extract_all(col("t0"), lit(EmailRe), lit(0))))
+      .withColumn("t1", regexp_replace(col("t0"), EmailRe, "<EMAIL>"))
+      .withColumn("n_phone", size(regexp_extract_all(col("t1"), lit(PhoneRe), lit(0))))
+      .withColumn("t2", regexp_replace(col("t1"), PhoneRe, "<PHONE>"))
+      .withColumn("n_ip", size(regexp_extract_all(col("t2"), lit(Ipv4Re), lit(0))))
+      .withColumn("t3", regexp_replace(col("t2"), Ipv4Re, "<IP>"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        length(col("t3")).as("n_chars_red"),
+        sha2(col("t3"), 256).as("redacted_sha"))
+  }
+
+  val q39Sql: String =
+    s"""WITH injected AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 4 = 0 THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id * 7 % 256 AS VARCHAR) ELSE '' END
+       |    AS t0
+       |  FROM documents),
+       |p1 AS (SELECT doc_id, t0,
+       |  len(regexp_extract_all(t0, '$EmailRe')) AS n_email,
+       |  regexp_replace(t0, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM injected),
+       |p2 AS (SELECT doc_id, n_email,
+       |  len(regexp_extract_all(t1, '$PhoneRe')) AS n_phone,
+       |  regexp_replace(t1, '$PhoneRe', '<PHONE>', 'g') AS t2 FROM p1),
+       |p3 AS (SELECT doc_id, n_email, n_phone,
+       |  len(regexp_extract_all(t2, '$Ipv4Re')) AS n_ip,
+       |  regexp_replace(t2, '$Ipv4Re', '<IP>', 'g') AS t3 FROM p2)
+       |SELECT doc_id, n_email, n_phone, n_ip,
+       |  length(t3) AS n_chars_red, sha256(t3) AS redacted_sha
+       |FROM p3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_lang_id" -> (q10LangId _),
     "q11_quality_score" -> (q11Quality _),
     "q12_token_count" -> (q12TokenCount _),
     "q13_fingerprint" -> (q13Fingerprint _),
-    "q34_license_filter" -> (q34LicenseFilter _)
+    "q34_license_filter" -> (q34LicenseFilter _),
+    "q39_redact" -> (q39Redact _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -205,6 +267,7 @@ object TextOps {
     "q11_quality_score" -> q11Sql,
     "q12_token_count" -> q12Sql,
     "q13_fingerprint" -> q13Sql,
-    "q34_license_filter" -> q34Sql
+    "q34_license_filter" -> q34Sql,
+    "q39_redact" -> q39Sql
   )
 }

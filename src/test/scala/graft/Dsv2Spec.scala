@@ -287,6 +287,44 @@ class Dsv2Spec extends AnyFunSuite {
     assert(got.count() == 1)
   }
 
+  test("batch CDC read: changesFrom emits exactly the changed live rows; compaction ranges plan zero files") {
+    val table = build() // two epochs → versions 0, 1
+    val v = table.currentSnapshot().get.version
+    assert(v == 1)
+
+    val got = spark.read.format("graft")
+      .option("changesFrom", v - 1).load(table.root)
+      .select("repo", "path", "lsn").orderBy("repo", "path", "lsn")
+      .collect().map(_.toString).toSeq
+    val want = Maintenance.changesBetween(table, v - 1, v)
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .select("repo", "path", "lsn").orderBy("repo", "path", "lsn")
+      .collect().map(_.toString).toSeq
+    assert(got == want && got.nonEmpty)
+
+    // a compaction-only range emits nothing and plans ZERO data files
+    Maintenance.compact(table, maxFilesPerBucket = 1)
+    val v2 = table.currentSnapshot().get.version
+    val none = spark.read.format("graft")
+      .option("changesFrom", v).option("changesTo", v2).load(table.root)
+    assert(none.count() == 0)
+    assert(plannedFiles(none) == 0)
+
+    // a targeted epoch: planning tracks the CHANGE, not the table
+    val spark2 = spark
+    import spark2.implicits._
+    new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false).apply(
+      Seq((999999L, "zrepo", "z.txt", "zz", "U"))
+        .toDF("lsn", "repo", "path", "content", "op"), 4242L)
+    val v3 = table.currentSnapshot().get.version
+    val one = spark.read.format("graft").option("changesFrom", v2).load(table.root)
+    val all = spark.read.format("graft").load(table.root)
+    assert(one.count() == 1)
+    assert(plannedFiles(one) < plannedFiles(all))
+    assert(one.select("repo").head.getString(0) == "zrepo")
+    assert(v3 == v2 + 1)
+  }
+
   test("CDC relay: readStream from table A through the graft sink converges table B to A") {
     import org.apache.spark.sql.streaming.Trigger
     val work = TestSpark.tmpDir("dsv2relay")
