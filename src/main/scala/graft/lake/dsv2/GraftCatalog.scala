@@ -35,7 +35,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * columns comma-separated and the summed measures as
   * `name:sql-expression` pairs separated by `;` — the sum-class
   * (self-maintainable) aggregate surface of [[ViewDef]] in SQL form. */
-class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog {
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: Option[String] = None
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -98,6 +99,21 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
     toTable(path, new LakeTable(spark, path).snapshotAt(version.toLong))
   }
 
+  /** SQL `TIMESTAMP AS OF <t>` time travel: the highest version whose
+    * snapshot was committed at or before `timestamp` (micros since epoch —
+    * commit time IS the snapshot file's mtime; the rename that publishes
+    * it is the only commit point). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    if (snapshotIfAny(path).isEmpty) throw new NoSuchTableException(ident)
+    val t = new LakeTable(spark, path)
+    val tsMillis = timestamp / 1000L
+    val v = t.snapshotVersions().filter(v => t.snapshotMtime(v) <= tsMillis)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of $ident at or before timestamp ${tsMillis}ms"))
+    toTable(path, t.snapshotAt(v))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val base = new Path((warehouse.getOrElse(return Array.empty) +: namespace.toSeq).mkString("/"))
     val f = hfs(base)
@@ -144,6 +160,64 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
     if (f.exists(dst)) throw new TableAlreadyExistsException(to)
     f.mkdirs(dst.getParent)
     require(f.rename(src, dst), s"rename $src -> $dst failed")
+  }
+
+  // ---- SupportsNamespaces: directories under the warehouse --------------
+  // A namespace is a warehouse directory that is not itself a table
+  // (tables are marked by their `_snapshots` dir).
+
+  private def nsPath(ns: Array[String]): Path = {
+    ns.foreach(p => require(p.matches("[A-Za-z0-9_.-]+"), s"bad namespace part: $p"))
+    new Path((warehouse.getOrElse(throw new IllegalStateException(
+      s"catalog $catalogName has no 'warehouse' option")) +: ns.toSeq).mkString("/"))
+  }
+
+  private def isTableDir(f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    f.exists(new Path(p, "_snapshots"))
+
+  override def namespaceExists(ns: Array[String]): Boolean = {
+    val p = nsPath(ns)
+    val f = hfs(p)
+    f.exists(p) && f.getFileStatus(p).isDirectory && !isTableDir(f, p)
+  }
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] = {
+    if (parent.nonEmpty && !namespaceExists(parent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(parent)
+    val base = nsPath(parent)
+    val f = hfs(base)
+    if (!f.exists(base)) return Array.empty
+    f.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => isTableDir(f, p))
+      .map(p => parent :+ p.getName)
+  }
+
+  override def loadNamespaceMetadata(ns: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(ns))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(ns)
+    java.util.Collections.singletonMap("location", nsPath(ns).toString)
+  }
+
+  override def createNamespace(ns: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(ns))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(ns)
+    hfs(nsPath(ns)).mkdirs(nsPath(ns)): Unit
+  }
+
+  override def alterNamespace(ns: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata to alter")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) return false
+    val p = nsPath(ns)
+    val f = hfs(p)
+    if (!cascade && f.listStatus(p).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(ns)
+    f.delete(p, cascade)
   }
 }
 

@@ -253,13 +253,57 @@ object TextOps {
        |  length(t3) AS n_chars_red, sha256(t3) AS redacted_sha
        |FROM p3""".stripMargin
 
+  /** q40: corpus document-frequency analysis — the rare-token/quality
+    * primitive behind vocabulary pruning and TF-IDF-style filtering.
+    * Shape: explode words → DF per word (distinct-doc count) → join the
+    * tiny vocabulary BACK onto the per-doc term counts → per-doc stats.
+    * At 100 TB the vocabulary is ≪ the corpus, so the DF table is
+    * BROADCAST and the corpus never shuffles twice (one exchange for the
+    * per-(doc, word) count, one for the DF aggregate — both partial-agg
+    * friendly). Outputs stay integer/string so the oracle compare is
+    * hash-exact (no float-ulp traps); the rarest term rides a
+    * `lpad(df):word` string key, making the (df, word) argmin a plain
+    * byte-order min in BOTH engines. */
+  def q40DocFreq(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val perDoc = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfTable = words.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    perDoc.join(broadcast(dfTable), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_terms"),
+        count(lit(1)).as("n_distinct"),
+        min(concat(lpad(col("df").cast("string"), 6, "0"), lit(":"), col("w")))
+          .as("rarest"),
+        sum(when(col("df") <= 25, 1L).otherwise(0L)).as("n_rare_terms"))
+  }
+
+  val q40Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0),
+      |per_doc AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+      |dft AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(sum(tf) AS BIGINT) AS n_terms,
+      |  count(*) AS n_distinct,
+      |  min(lpad(CAST(df AS VARCHAR), 6, '0') || ':' || w) AS rarest,
+      |  CAST(sum(CASE WHEN df <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_terms
+      |FROM per_doc JOIN dft USING (w)
+      |GROUP BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_lang_id" -> (q10LangId _),
     "q11_quality_score" -> (q11Quality _),
     "q12_token_count" -> (q12TokenCount _),
     "q13_fingerprint" -> (q13Fingerprint _),
     "q34_license_filter" -> (q34LicenseFilter _),
-    "q39_redact" -> (q39Redact _)
+    "q39_redact" -> (q39Redact _),
+    "q40_doc_freq" -> (q40DocFreq _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,6 +312,7 @@ object TextOps {
     "q12_token_count" -> q12Sql,
     "q13_fingerprint" -> q13Sql,
     "q34_license_filter" -> q34Sql,
-    "q39_redact" -> q39Sql
+    "q39_redact" -> q39Sql,
+    "q40_doc_freq" -> q40Sql
   )
 }

@@ -203,6 +203,47 @@ class Dsv2Spec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft_wh.db").collect().isEmpty)
   }
 
+  test("catalog: namespaces, CTAS, TIMESTAMP AS OF, CALL expire_snapshots") {
+    val wh = TestSpark.tmpDir("dsv2cat2")
+    spark.conf.set("spark.sql.catalog.graft_c2",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_c2.warehouse", wh)
+
+    spark.sql("CREATE NAMESPACE graft_c2.ns1")
+    assert(spark.sql("SHOW NAMESPACES IN graft_c2").collect()
+      .map(_.getString(0)).contains("ns1"))
+
+    spark.sql("CREATE TABLE graft_c2.ns1.src (lsn BIGINT, repo STRING, path STRING, " +
+      "content STRING) TBLPROPERTIES ('buckets'='2')")
+    spark.sql("INSERT INTO graft_c2.ns1.src VALUES (1, 'r1', 'a', 'v1'), (2, 'r2', 'b', 'w1')")
+    // tables do not show up as namespaces
+    assert(!spark.sql("SHOW NAMESPACES IN graft_c2.ns1").collect()
+      .map(_.getString(0)).contains("src"))
+
+    // CTAS: createTable + insert through the same machinery
+    spark.sql("CREATE TABLE graft_c2.ns1.copy TBLPROPERTIES ('buckets'='2') AS " +
+      "SELECT * FROM graft_c2.ns1.src")
+    assert(spark.sql("SELECT count(*) FROM graft_c2.ns1.copy").head.getLong(0) == 2)
+
+    // TIMESTAMP AS OF: now() covers the latest version; epoch 0 covers none
+    assert(spark.sql("SELECT count(*) FROM graft_c2.ns1.src " +
+      "TIMESTAMP AS OF current_timestamp()").head.getLong(0) == 2)
+    intercept[Exception](spark.sql("SELECT count(*) FROM graft_c2.ns1.src " +
+      "TIMESTAMP AS OF TIMESTAMP'1999-01-01 00:00:00'").collect())
+
+    // expire through SQL: three versions (create/insert on src + insert again)
+    spark.sql("INSERT INTO graft_c2.ns1.src VALUES (3, 'r3', 'c', 'x1')")
+    val removed = spark.sql(
+      s"CALL graft_c2.system.expire_snapshots('$wh/ns1/src', 1, 0)").head.getInt(0)
+    assert(removed > 0)
+    assert(spark.sql("SELECT count(*) FROM graft_c2.ns1.src").head.getLong(0) == 3)
+
+    spark.sql("DROP TABLE graft_c2.ns1.src")
+    spark.sql("DROP TABLE graft_c2.ns1.copy")
+    spark.sql("DROP NAMESPACE graft_c2.ns1")
+    assert(spark.sql("SHOW NAMESPACES IN graft_c2").collect().isEmpty)
+  }
+
   test("DELETE FROM and TRUNCATE TABLE write tombstones through the merge") {
     val wh = TestSpark.tmpDir("dsv2del")
     spark.conf.set("spark.sql.catalog.graft_del",
