@@ -115,9 +115,18 @@ final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchem
                        tableOptions: CaseInsensitiveStringMap)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft.`$root`@v${snapshot.version}"
-  override def schema(): StructType = visibleSchema
+
+  /** The declared schema marks the CDC key columns non-nullable — an
+    * engine invariant (merge keys are never null: every write path groups
+    * on them), and a requirement for row-level DML (Spark refuses nullable
+    * row-id attributes). Parquet footers say nullable because the format
+    * has no way to record the invariant. */
+  private val declaredSchema = StructType(visibleSchema.fields.map(f =>
+    if (f.name == "repo" || f.name == "path") f.copy(nullable = false) else f))
+  override def schema(): StructType = declaredSchema
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE)
@@ -125,7 +134,7 @@ final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchem
     // merge creation-time options under runtime ones (runtime wins)
     val merged = new java.util.HashMap[String, String](tableOptions.asCaseSensitiveMap())
     merged.putAll(options.asCaseSensitiveMap())
-    new GraftScanBuilder(root, snapshot, visibleSchema, new CaseInsensitiveStringMap(merged))
+    new GraftScanBuilder(root, snapshot, declaredSchema, new CaseInsensitiveStringMap(merged))
   }
 
   /** `INSERT INTO` = one MERGE epoch with upsert semantics (this is an
@@ -159,6 +168,14 @@ final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchem
             }
         }
     }
+
+  /** SQL `UPDATE` / `MERGE INTO` as delta-based row-level operations —
+    * see [[GraftRowLevelOperation]]: Spark computes the changed rows,
+    * executors stage them as change events, commit is one MERGE epoch. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(root, snapshot, declaredSchema, tableOptions, info)
 
   /** SQL `DELETE FROM t WHERE ...` (and `TRUNCATE TABLE t` via the
     * inherited default, which delegates as delete-where-true): matching

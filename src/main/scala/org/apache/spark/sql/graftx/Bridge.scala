@@ -37,6 +37,35 @@ object Bridge {
       impl.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
   }
 
+  /** Executor-side `InternalRow` → JSON-line encoder for the row-level-DML
+    * delta staging path (UPDATE/MERGE/DELETE deltas are staged as JSONL
+    * change events, then merged as one LWW epoch). Schema-driven via
+    * Spark's own `JacksonGenerator` — handles every Spark type (maps,
+    * arrays, timestamps, binary-as-base64) bit-compatibly with the JSON
+    * reader that re-parses the staging files at commit. JacksonGenerator
+    * is `private[sql]`, hence this wrapper lives in the shim. */
+  final class JsonRowEncoder(schema: org.apache.spark.sql.types.StructType)
+      extends Serializable {
+    @transient private lazy val buf = new java.io.CharArrayWriter()
+    @transient private lazy val gen =
+      new org.apache.spark.sql.catalyst.json.JacksonGenerator(
+        schema, buf,
+        new org.apache.spark.sql.catalyst.json.JSONOptions(
+          Map.empty[String, String], "UTC"))
+    def toJson(row: org.apache.spark.sql.catalyst.InternalRow): String = {
+      gen.write(row); gen.flush()
+      val s = buf.toString; buf.reset(); s
+    }
+  }
+
+  /** The driver's Hadoop configuration in a serializable wrapper, so
+    * executor-side writers resolve the same filesystem the driver commits
+    * through (`SerializableConfiguration` is `private[spark]`). */
+  def serializableConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+
   /** Register a function builder on a live session's function registry
     * (the post-build counterpart of SparkSessionExtensions.injectFunction,
     * for sessions we don't construct — e.g. the driver's). */

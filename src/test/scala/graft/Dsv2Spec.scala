@@ -29,7 +29,12 @@ class Dsv2Spec extends AnyFunSuite {
   test("format(\"graft\") reads the current visible state identically to table.read()") {
     val table = build()
     val viaApi = spark.read.format("graft").load(table.root)
-    assert(viaApi.schema == table.read().schema)
+    // the DSv2 table declares the key-non-null invariant parquet can't record
+    assert(viaApi.schema.fields.filter(f => f.name == "repo" || f.name == "path")
+      .forall(!_.nullable))
+    def norm(s: org.apache.spark.sql.types.StructType) =
+      org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+    assert(norm(viaApi.schema) == norm(table.read().schema))
     assert(canon(viaApi) == canon(table.read()))
   }
 
@@ -242,6 +247,65 @@ class Dsv2Spec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_c2.ns1.copy")
     spark.sql("DROP NAMESPACE graft_c2.ns1")
     assert(spark.sql("SHOW NAMESPACES IN graft_c2").collect().isEmpty)
+  }
+
+  test("SQL UPDATE and MERGE INTO land as CDC epochs (row-level delta ops)") {
+    import spark.implicits._
+    val wh = TestSpark.tmpDir("dsv2dml")
+    spark.conf.set("spark.sql.catalog.graft_dml",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dml.warehouse", wh)
+
+    spark.sql("CREATE TABLE graft_dml.db.t (lsn BIGINT, repo STRING, path STRING, " +
+      "content STRING) TBLPROPERTIES ('buckets'='2')")
+    spark.sql("INSERT INTO graft_dml.db.t VALUES " +
+      "(1, 'r1', 'a', 'v1'), (2, 'r2', 'b', 'w1'), (3, 'r3', 'c', 'x1')")
+    val v1 = new LakeTable(spark, s"$wh/db/t").currentSnapshot().get.version
+
+    // plain UPDATE: content changes, lsn is engine-sequenced past the old hwm
+    spark.sql("UPDATE graft_dml.db.t SET content = 'v2' WHERE repo = 'r1'")
+    val r1 = spark.sql("SELECT content, lsn FROM graft_dml.db.t WHERE repo = 'r1'").head
+    assert(r1.getString(0) == "v2" && r1.getLong(1) > 3)
+    assert(spark.sql("SELECT count(*) FROM graft_dml.db.t").head.getLong(0) == 3)
+    // history intact: the pre-UPDATE version still shows v1
+    assert(spark.sql(s"SELECT content FROM graft_dml.db.t VERSION AS OF $v1 " +
+      "WHERE repo = 'r1'").head.getString(0) == "v1")
+
+    // key-moving UPDATE: old key tombstoned, new key present
+    spark.sql("UPDATE graft_dml.db.t SET path = 'a2' WHERE repo = 'r1'")
+    assert(spark.sql("SELECT count(*) FROM graft_dml.db.t WHERE repo = 'r1' " +
+      "AND path = 'a'").head.getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM graft_dml.db.t WHERE repo = 'r1' " +
+      "AND path = 'a2'").head.getLong(0) == 1)
+
+    // MERGE INTO: matched-delete, matched-update, not-matched-insert in one epoch
+    Seq(("r2", "del", ""), ("r3", "upd", "x2"), ("r9", "ins", "z1"))
+      .toDF("repo", "action", "newc").createOrReplaceTempView("dml_src")
+    val vPre = new LakeTable(spark, s"$wh/db/t").currentSnapshot().get.version
+    spark.sql("""MERGE INTO graft_dml.db.t AS t USING dml_src AS s ON t.repo = s.repo
+      WHEN MATCHED AND s.action = 'del' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET content = s.newc
+      WHEN NOT MATCHED THEN INSERT (lsn, repo, path, content) VALUES (0, s.repo, 'p9', s.newc)""")
+    val rows = spark.sql("SELECT repo, path, content FROM graft_dml.db.t ORDER BY repo")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("r1", "a2", "v2"), ("r3", "c", "x2"), ("r9", "p9", "z1")))
+
+    // exactly ONE new version, and its CDC feed shows the delete + changes
+    val tbl = new LakeTable(spark, s"$wh/db/t")
+    assert(tbl.currentSnapshot().get.version == vPre + 1)
+    val changes = spark.read.format("graft").option("changesFrom", vPre)
+      .option("includeTombstones", "true").load(s"$wh/db/t")
+    val ops = changes.collect().map(r =>
+      (r.getAs[String]("repo"),
+        if (r.getAs[Boolean](LakeTable.DeletedCol)) "D" else "U")).toSet
+    assert(ops == Set(("r2", "D"), ("r3", "U"), ("r9", "U")))
+    // no staging residue under the table root
+    val fs = new org.apache.hadoop.fs.Path(s"$wh/db/t/_dml")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/db/t/_dml")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$wh/db/t/_dml")).isEmpty)
+
+    spark.sql("DROP TABLE graft_dml.db.t")
   }
 
   test("DELETE FROM and TRUNCATE TABLE write tombstones through the merge") {
