@@ -46,7 +46,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
   override def name(): String = catalogName
 
   private val procNames =
-    Array("compact", "vacuum", "rebucket", "refresh_view", "expire_snapshots")
+    Array("compact", "vacuum", "rebucket", "refresh_view", "expire_snapshots", "history")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procNames.map(Identifier.of(Array("system"), _))
@@ -231,6 +231,8 @@ private final class GraftProcedure(procName: String)
     case "refresh_view" => "create or incrementally refresh a sum-class materialized view"
     case "expire_snapshots" =>
       "expire versions beyond keep_last and older_than_ms; reclaim their exclusive storage"
+    case "history" =>
+      "one row per retained snapshot: version, commit time, buckets, files, bytes, rows, high-water lsn"
   }
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -250,11 +252,36 @@ private final class GraftProcedure(procName: String)
     case "expire_snapshots" => Array(in("path", StringType),
       inDefault("keep_last", IntegerType, "2"),
       inDefault("older_than_ms", LongType, (7L * 24 * 3600 * 1000).toString))
+    case "history" => Array(in("path", StringType))
   }
 
   override def call(input: InternalRow): JIterator[Scan] = {
     val spark = SparkSession.active
     def table = new LakeTable(spark, input.getString(0))
+    if (procName == "history") {
+      // the DESCRIBE HISTORY surface: one row per RETAINED snapshot,
+      // newest first — commit time is the snapshot file's mtime (the
+      // rename that publishes it is the only commit point). Stats come
+      // from the manifest (no data files are opened); cost is bounded by
+      // the retention policy, and readers needing only the current
+      // version never pay it.
+      val t = table
+      val schema = StructType(Seq(
+        StructField("version", LongType), StructField("committed_at_ms", LongType),
+        StructField("num_buckets", IntegerType), StructField("files", IntegerType),
+        StructField("bytes", LongType), StructField("rows", LongType),
+        StructField("high_water_lsn", LongType)))
+      val rows = t.snapshotVersions().sorted.reverse.map { v =>
+        val s = t.snapshotAt(v)
+        val fs = s.allFiles
+        new GenericInternalRow(Array[Any](v, t.snapshotMtime(v), s.numBuckets,
+          fs.size, fs.map(f => math.max(f.nBytes, 0L)).sum,
+          fs.map(f => math.max(f.nKeys, 0L)).sum,
+          s.highWaterLsn.map(Long.box).orNull)): InternalRow
+      }.toArray
+      return java.util.Collections.singletonList[Scan](
+        new GraftResultScan(schema, rows)).iterator()
+    }
     val (schema, row): (StructType, Seq[Any]) = procName match {
       case "compact" =>
         val nBuckets = Maintenance.compact(table, input.getInt(1))

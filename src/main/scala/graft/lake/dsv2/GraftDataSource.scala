@@ -256,12 +256,14 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
 
   private var required: StructType = visibleSchema
   private var repoEq: Option[String] = None
+  private var pathEq: Option[String] = None
   private var lsnLowerBound: Option[Long] = None // exclusive bound (>= x → > x-1)
   private var residual: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
       case EqualTo("repo", v: String) => repoEq = Some(v)
+      case EqualTo("path", v: String) => pathEq = Some(v)
       case GreaterThan("lsn", v: Long) =>
         lsnLowerBound = Some(math.max(lsnLowerBound.getOrElse(Long.MinValue), v))
       case GreaterThanOrEqual("lsn", v: Long) =>
@@ -301,7 +303,8 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
       else bucketed.filter(f => !f.hasStats || f.maxLsn > rowBound)
     new GraftScan(root, snapshot.schema, required, files,
       bucketPruned = repoEq.isDefined, statsPruned = bucketed.size - files.size,
-      options = options, rowBound = rowBound)
+      options = options, rowBound = rowBound,
+      repoEq = repoEq.orNull, pathEq = pathEq.orNull)
   }
 }
 
@@ -323,7 +326,17 @@ final case class GraftInputPartition(absPath: String,
                                        * this partition (Spark's own
                                        * parquet split rule). */
                                      rangeStart: Long = 0L,
-                                     rangeEnd: Long = Long.MaxValue)
+                                     rangeEnd: Long = Long.MaxValue,
+                                     /** Key-equality predicates pushed into
+                                       * parquet row-group skipping (null =
+                                       * none). Merge output is sorted by
+                                       * (repo, path) within each file, so
+                                       * footer min/max make point lookups
+                                       * touch 1-2 row groups, not the whole
+                                       * bucket — the reference's index-side
+                                       * row-group pruning. */
+                                     repoEq: String = null,
+                                     pathEq: String = null)
     extends InputPartition
 
 object GraftSplit {
@@ -336,7 +349,8 @@ object GraftSplit {
     * tile [0, nBytes) disjointly, so every row-group midpoint lands in
     * exactly one split. */
   def partitions(root: String, files: Seq[FileEntry], bound: Long,
-                 maxSplitBytes: Long): Array[InputPartition] =
+                 maxSplitBytes: Long,
+                 repoEq: String = null, pathEq: String = null): Array[InputPartition] =
     files.flatMap { f =>
       val abs = s"$root/${f.relPath}"
       if (f.nBytes > maxSplitBytes) {
@@ -345,9 +359,9 @@ object GraftSplit {
         (0 until n).map { i =>
           val start = i.toLong * step
           val end = if (i == n - 1) Long.MaxValue else start + step
-          GraftInputPartition(abs, bound, start, end)
+          GraftInputPartition(abs, bound, start, end, repoEq, pathEq)
         }
-      } else Seq(GraftInputPartition(abs, bound))
+      } else Seq(GraftInputPartition(abs, bound, repoEq = repoEq, pathEq = pathEq))
     }.toArray
 }
 
@@ -359,7 +373,10 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
                         * enforced per row — carried copy-on-write rows
                         * inside mixed files never surface in a changes
                         * read. */
-                      rowBound: Long = Long.MinValue)
+                      rowBound: Long = Long.MinValue,
+                      /** Key equality pushed into parquet row-group
+                        * skipping (null = none). */
+                      repoEq: String = null, pathEq: String = null)
     extends Scan with Batch {
   private def includeTombstones = options.getBoolean("includeTombstones", false)
   private def maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
@@ -368,9 +385,11 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
   override def toBatch: Batch = this
   override def description(): String =
     s"graft files=${files.size} bucketPruned=$bucketPruned statsPruned=$statsPruned " +
+      s"keyFilter=${Seq(Option(repoEq).map(r => s"repo=$r"),
+        Option(pathEq).map(p => s"path=$p")).flatten.mkString("&")} " +
       s"cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    GraftSplit.partitions(root, files, rowBound, maxSplitBytes)
+    GraftSplit.partitions(root, files, rowBound, maxSplitBytes, repoEq, pathEq)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(physicalSchema, required, includeTombstones)
   override def toMicroBatchStream(checkpointLocation: String)

@@ -27,7 +27,8 @@ final class GraftReaderFactory(physicalSchema: StructType, required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.absPath, physicalSchema, required,
-      includeTombstones, p.lsnLowerExclusive, p.rangeStart, p.rangeEnd)
+      includeTombstones, p.lsnLowerExclusive, p.rangeStart, p.rangeEnd,
+      p.repoEq, p.pathEq)
   }
 }
 
@@ -40,7 +41,14 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
                                    * into parquet row-group skipping below. */
                                  lsnLowerExclusive: Long = Long.MinValue,
                                  rangeStart: Long = 0L,
-                                 rangeEnd: Long = Long.MaxValue)
+                                 rangeEnd: Long = Long.MaxValue,
+                                 /** Key equality predicates (null = none),
+                                   * pushed into parquet row-group skipping:
+                                   * merge output is sorted by (repo, path)
+                                   * per file, so footer min/max confine a
+                                   * point lookup to 1-2 row groups. */
+                                 repoEq: String = null,
+                                 pathEq: String = null)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -58,7 +66,9 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
   // always read the tombstone flag (filtered here unless surfaced) and,
   // when an lsn bound applies, the lsn column, plus the requested cols
   private val readNames: Seq[String] =
-    (required.fieldNames.toSeq ++ Seq(LakeTable.DeletedCol, "lsn")).distinct.filter(inFile)
+    (required.fieldNames.toSeq ++ Seq(LakeTable.DeletedCol, "lsn") ++
+      Option(repoEq).map(_ => "repo") ++ Option(pathEq).map(_ => "path"))
+      .distinct.filter(inFile)
   private val projection = new MessageType("graft_projection",
     readNames.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
 
@@ -68,16 +78,25 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
     // partition's range are read (0..MaxValue = the whole file)
     val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
       .withFileRange(rangeStart, rangeEnd)
-    // push the lsn bound into parquet (row-group stats + record skipping);
-    // only when the file HAS the column — a filter on an absent column
-    // evaluates against all-null and would drop every row
-    val withFilter =
-      if (lsnLowerExclusive != Long.MinValue && inFile("lsn"))
-        b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
-          org.apache.parquet.filter2.predicate.FilterApi.gt(
-            org.apache.parquet.filter2.predicate.FilterApi.longColumn("lsn"),
-            java.lang.Long.valueOf(lsnLowerExclusive))))
-      else b
+    // push the lsn bound and key equalities into parquet (row-group stats
+    // + dictionary + record skipping); only when the file HAS the column —
+    // a filter on an absent column evaluates against all-null and would
+    // drop every row
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    val preds = Seq.newBuilder[FilterPredicate]
+    if (lsnLowerExclusive != Long.MinValue && inFile("lsn"))
+      preds += FilterApi.gt(FilterApi.longColumn("lsn"),
+        java.lang.Long.valueOf(lsnLowerExclusive))
+    if (repoEq != null && inFile("repo"))
+      preds += FilterApi.eq(FilterApi.binaryColumn("repo"),
+        org.apache.parquet.io.api.Binary.fromString(repoEq))
+    if (pathEq != null && inFile("path"))
+      preds += FilterApi.eq(FilterApi.binaryColumn("path"),
+        org.apache.parquet.io.api.Binary.fromString(pathEq))
+    val withFilter = preds.result().reduceOption(FilterApi.and) match {
+      case Some(p) => b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(p))
+      case None => b
+    }
     withFilter.build()
   }
 

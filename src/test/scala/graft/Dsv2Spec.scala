@@ -84,6 +84,40 @@ class Dsv2Spec extends AnyFunSuite {
     assert(canon(some) == canon(table.read().where(col("lsn") > mid)))
   }
 
+  test("key-equality predicates push into parquet row-group skipping") {
+    val table = build()
+    val key = table.read().select("repo", "path").limit(1).collect().head
+    val (repo, path) = (key.getString(0), key.getString(1))
+
+    // point lookup: pushed predicates visible in the plan, result exact
+    val df = spark.read.format("graft").load(table.root)
+      .where(col("repo") === repo && col("path") === path)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains(s"keyFilter=repo=$repo&path=$path"), desc)
+    assert(canon(df) ==
+      canon(table.read().where(col("repo") === repo && col("path") === path)))
+    assert(df.count() == 1)
+
+    // merge output is sorted by (salt, repo, path) within each data file
+    // (the window sort) -- so row groups carry tight (repo, path) min/max
+    // except at the <=saltBuckets-1 run boundaries, which is what makes
+    // the pushed predicates effective
+    import org.apache.spark.sql.functions.{input_file_name, concat_ws}
+    val perRun = table.read()
+      .select(input_file_name().as("f"),
+        expr("pmod(xxhash64(path), 2)").as("salt"),
+        concat_ws(" ", col("repo"), col("path")).as("k"))
+      .groupBy(col("f"), col("salt"))
+      .agg(expr("collect_list(k)").as("ks"))
+      .collect()
+    assert(perRun.nonEmpty)
+    perRun.foreach { r =>
+      val ks = r.getSeq[String](2)
+      assert(ks == ks.sorted,
+        s"file ${r.getString(0)} salt ${r.get(1)} not sorted by (repo, path)")
+    }
+  }
+
   test("schema evolution: old files read through DSv2 with nulls for new columns") {
     import spark.implicits._
     val table = build()
@@ -166,6 +200,19 @@ class Dsv2Spec extends AnyFunSuite {
       "view => 'sqlview', group_cols => 'repo', " +
       "measures => 'bytes:length(content);files:1')").collect().head
     assert(v2.getBoolean(3))
+
+    // history: one row per retained snapshot, newest first, manifest stats
+    val hist = spark.sql(s"CALL graft_sys.system.history('${table.root}')").collect()
+    val versions = table.snapshotVersions()
+    assert(hist.map(_.getLong(0)).toSeq == versions.sorted.reverse)
+    val newest = hist.head
+    val snap = table.currentSnapshot().get
+    assert(newest.getInt(2) == snap.numBuckets)
+    assert(newest.getInt(3) == snap.allFiles.size)
+    // manifest row counts include tombstone rows; read() hides them
+    assert(newest.getLong(5) >= table.read().count() && newest.getLong(5) > 0)
+    assert(newest.getLong(6) == snap.highWaterLsn.get)
+    assert(hist.forall(_.getLong(1) > 0L)) // commit mtimes populated
 
     // retention-windowed vacuum: everything is referenced or fresh → 0
     val vac = spark.sql(s"CALL graft_sys.system.vacuum('${table.root}', 86400000)").collect()
