@@ -276,6 +276,7 @@ final class LakeTable(
 
   def snapshotDir: Path = new Path(root, "_snapshots")
   def manifestDir: Path = new Path(root, "_snapshots/manifests")
+  def refsDir: Path = new Path(root, "_snapshots/refs")
 
   /** Group-manifest loads performed by this table handle — observability
     * hook for specs asserting that untouched groups are never read. */
@@ -541,6 +542,54 @@ final class LakeTable(
   /** The committed snapshot with exactly this version (time travel). */
   def snapshotAt(version: Long): Snapshot =
     readSnapshotFile(fs, new Path(snapshotDir, s"v$version"))
+
+  // ---- named refs (tags) -------------------------------------------------
+  // A tag pins a committed version by NAME — time travel by meaning
+  // ("the audited training snapshot") rather than number, and
+  // Maintenance.expireSnapshots keeps tagged versions alive regardless of
+  // age/keepLast (the Iceberg tag-retention contract). One file per tag
+  // under `_snapshots/refs/`, holding the version number; creation is
+  // write-tmp + rename-if-absent, so tags are IMMUTABLE and a create race
+  // has exactly one winner (same commit protocol as snapshots).
+
+  def createTag(name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"bad tag name: $name")
+    val f = fs
+    require(f.exists(new Path(snapshotDir, s"v$version")),
+      s"cannot tag uncommitted version $version")
+    f.mkdirs(refsDir)
+    val dst = new Path(refsDir, name)
+    val tmp = new Path(refsDir, s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(version.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      throw new IllegalArgumentException(s"tag '$name' already exists (tags are immutable: " +
+        s"drop it first to re-point)")
+    }
+  }
+
+  def dropTag(name: String): Boolean = fs.delete(new Path(refsDir, name), false)
+
+  def tagVersion(name: String): Option[Long] = {
+    val p = new Path(refsDir, name)
+    val f = fs
+    if (!f.exists(p)) None else Some(readText(f, p).trim.toLong)
+  }
+
+  /** All tags as (name, version), name-sorted. */
+  def listTags(): Seq[(String, Long)] = {
+    val f = fs
+    if (!f.exists(refsDir)) Seq.empty
+    else f.listStatus(refsDir).filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName -> readText(f, s.getPath).trim.toLong)
+      .sortBy(_._1).toSeq
+  }
+
+  /** Snapshot pinned by a tag. */
+  def snapshotAtTag(name: String): Snapshot =
+    snapshotAt(tagVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"no tag '$name' at $root")))
 
   /** Visible state as of a past snapshot version (time travel). */
   def readVersion(version: Long): DataFrame = {

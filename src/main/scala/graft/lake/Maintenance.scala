@@ -90,6 +90,108 @@ object Maintenance {
     newVersion
   }
 
+  /** Roll the table back to an earlier committed version by publishing a
+    * NEW snapshot whose logical content equals `toVersion`'s — history
+    * stays linear and append-only (current = highest version), nothing is
+    * deleted, and the rolled-back-from versions remain time-travelable
+    * until `expireSnapshots` reclaims them. The restored snapshot:
+    *   - carries `toVersion`'s file listing BY REFERENCE (split-manifest
+    *     groups are never loaded — a rollback is metadata-only, zero data
+    *     IO regardless of table size);
+    *   - restores `toVersion`'s epoch ledger, so the undone epochs are
+    *     re-appliable (they are genuinely no longer applied) while a
+    *     crash-retry of a PRE-rollback epoch stays a no-op;
+    *   - restores `toVersion`'s high-water mark, and bumps the cumulative
+    *     `unorderedCommits` counter past the current head's: rows REVERT
+    *     to lsns at or below any spanning range's anchor mark — exactly
+    *     the failure mode the counter exists to flag — so incremental
+    *     readers (`changesBetween`, the CDC stream) cross the rollback on
+    *     the join-classification path and emit the reverted keys
+    *     correctly instead of hw-pruning them away.
+    * Caveat (inherent to metadata restores, same as Delta RESTORE): the
+    * restored rows carry their OLD lsns, so a downstream replica folding
+    * the CDC feed by lsn-LWW will keep the undone values. When downstream
+    * convergence matters, use [[revert]] — the forward-event form. */
+  def rollback(table: LakeTable, toVersion: Long): Long = {
+    val cur = table.currentSnapshot().getOrElse(
+      throw new IllegalStateException("cannot roll back an empty table"))
+    require(toVersion <= cur.version,
+      s"cannot roll back to v$toVersion: current is v${cur.version}")
+    if (toVersion == cur.version) return cur.version // no-op: already there
+    val target = table.snapshotAt(toVersion)
+    val newVersion = cur.version + 1
+    table.commitSnapshot(target.copy(
+      version = newVersion,
+      unorderedCommits = math.max(cur.unorderedCommits, target.unorderedCommits) + 1))
+    newVersion
+  }
+
+  /** Compensating FORWARD change events that, merged as one epoch, return
+    * the table's VISIBLE state to `toVersion` — the CDC-compatible twin of
+    * [[rollback]]. A metadata rollback restores old rows at their OLD
+    * lsns, which a downstream lsn-LWW replica cannot apply (it would keep
+    * the undone higher-lsn values); the revert instead inverts the
+    * retraction-complete feed over (toVersion, current]:
+    *   - keys CREATED after `toVersion`      → one `D` event;
+    *   - keys UPDATED after it               → `U` with the old values
+    *     (the feed's `update_preimage` row);
+    *   - keys DELETED after it               → `U` with the old values
+    *     (the feed's `delete` row carries the retracted values);
+    * all at one lsn just above the current high-water mark. The mistake
+    * and its correction both stay in the log, the commit is ORDERED, and
+    * the correction flows through `changesBetween`/the CDC stream like any
+    * other epoch — every downstream converges with no re-sync. Columns
+    * added by schema evolution after `toVersion` revert to null (the
+    * pre-evolution rows never had them). Apply via [[revert]] or merge the
+    * returned events yourself. */
+  def revertEvents(table: LakeTable, toVersion: Long): DataFrame = {
+    val cur = table.currentSnapshot().getOrElse(
+      throw new IllegalStateException("cannot revert an empty table"))
+    require(toVersion <= cur.version,
+      s"cannot revert to v$toVersion: current is v${cur.version}")
+    val revertLsn = cur.highWaterLsn.getOrElse(
+      table.read().agg(max(col("lsn"))).head.getLong(0)) + 1L
+    val feed = changesBetween(table, toVersion, cur.version, includePreimages = true)
+    val keyCols = Seq("repo", "path")
+    // an "update" whose pre- and post-image differ only in lsn needs no
+    // compensation (the VALUE never moved — e.g. a previous revert's own
+    // value-identical epoch): keep only value-changed updates, so a
+    // completed revert re-run produces zero events and no-ops
+    val valueStruct = struct(feed.columns
+      .filterNot(c => c == "_change_type" || c == "lsn" || keyCols.contains(c))
+      .map(col).toIndexedSeq: _*)
+    val post = feed.where(col("_change_type") === "update_postimage")
+      .select(keyCols.map(col) :+ valueStruct.as("_newv"): _*)
+    val realUpdates = feed.where(col("_change_type") === "update_preimage")
+      .join(post, keyCols)
+      .where(!(valueStruct <=> col("_newv")))
+      .drop("_newv")
+    feed.where(col("_change_type").isin("insert", "delete"))
+      .unionByName(realUpdates)
+      .withColumn("op",
+        when(col("_change_type") === "insert", lit("D")).otherwise(lit("U")))
+      .withColumn("lsn", lit(revertLsn))
+      .drop("_change_type")
+  }
+
+  /** Merge [[revertEvents]] as one epoch; returns the resulting version
+    * (the current one when nothing changed in the range). The epoch id
+    * derives from (current version, toVersion), so a platform retry of
+    * the same revert is a ledger no-op while a *later* revert (different
+    * head) is a fresh epoch. */
+  def revert(table: LakeTable, toVersion: Long, saltBuckets: Int = 2): Long = {
+    val cur = table.currentSnapshot().getOrElse(
+      throw new IllegalStateException("cannot revert an empty table"))
+    if (toVersion == cur.version) return cur.version
+    val events = revertEvents(table, toVersion)
+    if (events.isEmpty) return cur.version // range was data-identical
+    val seed = s"revert:v${cur.version}->v$toVersion"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val epoch = graft.functions.Hashing.hashBytes(seed, 0, seed.length, 0x5E7E47L)
+    new graft.merge.MergeInto(table, numBuckets = cur.numBuckets,
+      saltBuckets = saltBuckets, recordMeta = false).apply(events, epoch).tableVersion
+  }
+
   private[graft] val metaNames = Seq("lineage", "metrics", "stream_metrics")
 
   /** Complete an interrupted `compactMeta` swap so every crash state is
@@ -192,7 +294,9 @@ object Maintenance {
     * anchored at an expired version fail loudly (missing snapshot file);
     * a streaming CDC reader checkpointed below the earliest retained
     * version cannot resume. Size `keepLast`/`olderThanMs` above the
-    * slowest consumer's lag, as with any retention knob.
+    * slowest consumer's lag, as with any retention knob. TAGGED versions
+    * (LakeTable.createTag) never expire — a tag is precisely the promise
+    * that this version stays readable; drop the tag to release it.
     * Returns the removed artifacts. */
   def expireSnapshots(table: LakeTable, keepLast: Int = 2,
                       olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
@@ -200,7 +304,8 @@ object Maintenance {
     val versions = table.snapshotVersions() // ascending
     if (versions.size <= keepLast) return Seq.empty
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val protectedVersions = versions.takeRight(keepLast).toSet
+    val protectedVersions = versions.takeRight(keepLast).toSet ++
+      table.listTags().map(_._2)
     val expired = versions.filterNot(protectedVersions)
       .filter(v => table.snapshotMtime(v) <= cutoff)
     if (expired.isEmpty) return Seq.empty
@@ -323,7 +428,12 @@ object Maintenance {
 
   /** Post-image-only classification over a full-outer key join; sound
     * under any delivery order (carried rows fail the lsn inequality).
-    * Shuffle is bounded by whatever file sets the caller read. */
+    * Shuffle is bounded by whatever file sets the caller read.
+    *
+    * A key PHYSICALLY ABSENT from the new snapshot (no row, not even a
+    * tombstone — a rollback to a version predating the key's insert does
+    * this; forward merges always leave tombstones) is a delete: the row
+    * carries the key from the old side and null payload. */
   private def emitPostimagesFullOuter(newDf: DataFrame, oldDf: DataFrame): DataFrame = {
     val o = oldDf.select(col("repo"), col("path"), col("lsn").as("_old_lsn"),
       col(DeletedCol).as("_old_del"))
@@ -334,18 +444,24 @@ object Maintenance {
     // spurious all-null "insert" (latent with writers that drop keys,
     // even though current writers always rewrite buckets whole)
     val changeType =
-      when(col("_old_lsn").isNull || col("_old_del"),
-        when(col("n.repo").isNull || col(s"n.$DeletedCol"), lit(null))
-          .otherwise(lit("insert")))
+      when(col("n.repo").isNull, // physically dropped key
+        when(col("_old_del"), lit(null)).otherwise(lit("delete")))
+        .when(col("_old_lsn").isNull || col("_old_del"),
+          when(col(s"n.$DeletedCol"), lit(null)).otherwise(lit("insert")))
         .otherwise(
           when(col(s"n.$DeletedCol"), lit("delete"))
             .when(col("n.lsn") =!= col("_old_lsn"), lit("update_postimage"))
             .otherwise(lit(null)))
+    val outCols = newDf.columns.filterNot(_ == DeletedCol).map {
+      case "repo" => coalesce(col("n.repo"), col("o.repo")).as("repo")
+      case "path" => coalesce(col("n.path"), col("o.path")).as("path")
+      case "lsn" => coalesce(col("n.lsn"), col("_old_lsn")).as("lsn")
+      case c => col(s"n.$c")
+    }
     joined
       .withColumn("_change_type", changeType)
       .where(col("_change_type").isNotNull)
-      .select(col("_change_type") +:
-        newDf.columns.filterNot(_ == DeletedCol).map(c => col(s"n.$c")).toIndexedSeq: _*)
+      .select(col("_change_type") +: outCols.toIndexedSeq: _*)
   }
 
   /** Retraction-complete CDC emission: one pass over the key join, each
@@ -369,7 +485,9 @@ object Maintenance {
     // unchanged keys reach the join; on the stats path new rows postdate
     // the old high-water mark by construction
     val isUpdate = oldLive && newLive && col("n.lsn") =!= col("o.lsn")
-    val isDelete = oldLive && newDel
+    // a key physically ABSENT from the new snapshot (rollback past its
+    // insert — forward merges always leave tombstones) is also a delete
+    val isDelete = oldLive && (newDel || col("n.repo").isNull)
     def variant(prefix: String, tpe: String,
                 cond: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       val fields = lit(tpe).as("_change_type") +: outCols.map { c =>

@@ -46,7 +46,8 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
   override def name(): String = catalogName
 
   private val procNames =
-    Array("compact", "vacuum", "rebucket", "refresh_view", "expire_snapshots", "history")
+    Array("compact", "vacuum", "rebucket", "refresh_view", "expire_snapshots", "history",
+      "rollback", "revert", "create_tag", "drop_tag", "list_tags")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procNames.map(Identifier.of(Array("system"), _))
@@ -92,11 +93,15 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
     toTable(path, snapshotIfAny(path).getOrElse(throw new NoSuchTableException(ident)))
   }
 
-  /** SQL `VERSION AS OF <n>` time travel. */
+  /** SQL `VERSION AS OF <n>` time travel; a non-numeric version string
+    * resolves as a TAG name (`VERSION AS OF 'audited'`). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
     if (snapshotIfAny(path).isEmpty) throw new NoSuchTableException(ident)
-    toTable(path, new LakeTable(spark, path).snapshotAt(version.toLong))
+    val t = new LakeTable(spark, path)
+    val snap = if (version.matches("\\d+")) t.snapshotAt(version.toLong)
+               else t.snapshotAtTag(version)
+    toTable(path, snap)
   }
 
   /** SQL `TIMESTAMP AS OF <t>` time travel: the highest version whose
@@ -233,6 +238,13 @@ private final class GraftProcedure(procName: String)
       "expire versions beyond keep_last and older_than_ms; reclaim their exclusive storage"
     case "history" =>
       "one row per retained snapshot: version, commit time, buckets, files, bytes, rows, high-water lsn"
+    case "rollback" =>
+      "publish a new snapshot restoring the state of an earlier version (metadata-only)"
+    case "revert" =>
+      "merge compensating forward events returning the visible state to an earlier version"
+    case "create_tag" => "pin a committed version under an immutable name (-1 = current)"
+    case "drop_tag" => "remove a tag, releasing its version to expiry"
+    case "list_tags" => "one row per tag: name, version"
   }
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -253,6 +265,12 @@ private final class GraftProcedure(procName: String)
       inDefault("keep_last", IntegerType, "2"),
       inDefault("older_than_ms", LongType, (7L * 24 * 3600 * 1000).toString))
     case "history" => Array(in("path", StringType))
+    case "rollback" => Array(in("path", StringType), in("version", LongType))
+    case "revert" => Array(in("path", StringType), in("version", LongType))
+    case "create_tag" => Array(in("path", StringType), in("name", StringType),
+      inDefault("version", LongType, "-1"))
+    case "drop_tag" => Array(in("path", StringType), in("name", StringType))
+    case "list_tags" => Array(in("path", StringType))
   }
 
   override def call(input: InternalRow): JIterator[Scan] = {
@@ -278,6 +296,15 @@ private final class GraftProcedure(procName: String)
           fs.size, fs.map(f => math.max(f.nBytes, 0L)).sum,
           fs.map(f => math.max(f.nKeys, 0L)).sum,
           s.highWaterLsn.map(Long.box).orNull)): InternalRow
+      }.toArray
+      return java.util.Collections.singletonList[Scan](
+        new GraftResultScan(schema, rows)).iterator()
+    }
+    if (procName == "list_tags") {
+      val schema = StructType(Seq(
+        StructField("name", StringType), StructField("version", LongType)))
+      val rows = table.listTags().map { case (n, v) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(n), v)): InternalRow
       }.toArray
       return java.util.Collections.singletonList[Scan](
         new GraftResultScan(schema, rows)).iterator()
@@ -312,6 +339,24 @@ private final class GraftProcedure(procName: String)
       case "expire_snapshots" =>
         val removed = Maintenance.expireSnapshots(table, input.getInt(1), input.getLong(2))
         (StructType(Seq(StructField("removed_artifacts", IntegerType))), Seq(removed.size))
+      case "rollback" =>
+        val version = Maintenance.rollback(table, input.getLong(1))
+        (StructType(Seq(StructField("version", LongType))), Seq(version))
+      case "revert" =>
+        val version = Maintenance.revert(table, input.getLong(1))
+        (StructType(Seq(StructField("version", LongType))), Seq(version))
+      case "create_tag" =>
+        val t = table
+        val v = input.getLong(2) match {
+          case -1L => t.currentSnapshot().getOrElse(
+            throw new IllegalStateException("cannot tag an empty table")).version
+          case explicit => explicit
+        }
+        t.createTag(input.getString(1), v)
+        (StructType(Seq(StructField("version", LongType))), Seq(v))
+      case "drop_tag" =>
+        val dropped = table.dropTag(input.getString(1))
+        (StructType(Seq(StructField("dropped", BooleanType))), Seq(dropped))
     }
     val values = row.map {
       case s: String => UTF8String.fromString(s)

@@ -45,8 +45,12 @@ class GraftDataSource extends TableProvider
   private def snapshotOpt(options: CaseInsensitiveStringMap): Option[graft.lake.Snapshot] = {
     val spark = SparkSession.active
     val table = new LakeTable(spark, rootOf(options))
-    require(!(options.containsKey("versionAsOf") && options.containsKey("changesTo")),
-      "versionAsOf and changesTo are the same endpoint — set one")
+    require(Seq("versionAsOf", "changesTo", "tag").count(options.containsKey) <= 1,
+      "versionAsOf / changesTo / tag all pin the read endpoint — set at most one")
+    Option(options.get("tag")) match {
+      case Some(t) => return Some(table.snapshotAtTag(t))
+      case None => ()
+    }
     Option(options.get("versionAsOf")).orElse(Option(options.get("changesTo"))) match {
       case Some(v) => Some(table.snapshotAt(v.toLong))
       case None => table.currentSnapshot()
