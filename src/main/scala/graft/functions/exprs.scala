@@ -206,12 +206,36 @@ case class CubeCell(left: Expression, right: Expression, level: Int) extends Bin
     copy(left = newLeft, right = newRight)
 }
 
+/** splitmix64 finalizer over a bigint — the deterministic hash-sampling
+  * primitive (q42 stratified sampling): the same id maps to the same
+  * sample bucket on every worker, every run, and in the DuckDB oracle
+  * (SqlKernels.mix64Select reproduces it bit-for-bit), so a sample is a
+  * reproducible PROPERTY of the data rather than a run artifact. */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mix64 requires bigint, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(v: Any): Any = Hashing.mix64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.mix64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
 /** Public Column API over the custom expressions + composed helpers. */
 object fns {
   import org.apache.spark.sql.functions._
 
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def mix64(c: Column): Column =
+    Bridge.column(Mix64(Bridge.expression(c)))
 
   def minhashSig(c: Column, k: Int, seed: Long = 0L): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), k, seed))

@@ -34,6 +34,7 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> { args => SimHash64(args.head) },
+    "mix64" -> { args => Mix64(args.head) },
     "minhash_sig" -> { args =>
       MinHashSig(args(0), intLit(args(1), "k"), longLit(args(2), "seed")) },
     "minhash_bands" -> { args =>

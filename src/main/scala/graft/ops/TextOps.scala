@@ -296,6 +296,116 @@ object TextOps {
       |FROM per_doc JOIN dft USING (w)
       |GROUP BY doc_id""".stripMargin
 
+  /** q41: top-3 rarity-weighted terms per document (TF-IDF family with
+    * the LINEAR idf variant N/df — constant N drops out of the ranking,
+    * so ordering by `tf/df` is exactly ordering by tf·idf_linear). The
+    * log-idf variant would put a transcendental (`ln`) on the compare
+    * path, where a JVM-vs-DuckDB last-ulp disagreement could flip a
+    * near-tie rank and break the hash gate; the linear variant keeps the
+    * score a SINGLE IEEE division, bit-identical in both engines, with
+    * term-asc tie-break. Same plan shape as q40: the DF vocabulary is
+    * tiny and broadcast, the corpus shuffles once for the per-(doc,term)
+    * count; the per-doc top-k window partitions by doc_id (no hot key). */
+  def q41TfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+    val perDoc = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTable = words.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf") * lit(1.0) / col("df")).desc, col("term").asc)
+    perDoc.join(broadcast(dfTable), Seq("term"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+  }
+
+  val q41Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE length(term) > 0),
+      |per_doc AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+      |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+      |scored AS (SELECT doc_id, term, tf, df,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tf * 1.0 / df DESC, term) AS INT) AS rnk
+      |  FROM per_doc JOIN dft USING (term))
+      |SELECT doc_id, rnk, term, tf, df FROM scored WHERE rnk <= 3""".stripMargin
+
+  /** q42: deterministic stratified sampling — the reproducible
+    * train/eval-split primitive. A document's sample bucket is
+    * `mix64(doc_id) & 127` (splitmix64 finalizer, low 7 bits — a
+    * power-of-two mask so the signed-Spark and unsigned-oracle views of
+    * the same 64 bits agree), and each language stratum keeps buckets
+    * below its own rate: the sample is a pure function of the data, so
+    * it is identical on every worker, every run, and every engine —
+    * no shuffle, no state, a codegen'd scan-filter that at 100 TB is
+    * exactly as parallel as the scan itself. English (the majority
+    * stratum) keeps ~10%, every other language ~30% — the usual
+    * rebalance-toward-minority-strata shape. */
+  def q42StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.fns.mix64(col("doc_id")).bitwiseAND(lit(127L))
+    docs(s, dir)
+      .withColumn("bucket", bucket)
+      .where(col("bucket") < when(col("lang") === "en", lit(13L)).otherwise(lit(38L)))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("bucket"))
+  }
+
+  val q42Sql: String = {
+    import SqlKernels._
+    val inner =
+      "(SELECT doc_id, lang, source, n_chars, doc_id::HUGEINT AS h0 FROM documents)"
+    s"""SELECT doc_id, lang, source, n_chars, CAST(hu % 128 AS BIGINT) AS bucket
+       |FROM ${mix64Select(inner, "h0", "hu")}
+       |WHERE hu % 128 < CASE WHEN lang = 'en' THEN 13 ELSE 38 END""".stripMargin
+  }
+
+  /** q43: exact per-stratum quantiles (p50/p90 by the percentile_disc
+    * rule: the value at row ⌈q·n⌉ of the sorted stratum) of document
+    * length — the corpus-profiling op behind length-filter thresholds.
+    * Computed relationally as a window rank + conditional aggregate, not
+    * `percentile_approx`: the outputs are exact INTEGERS, so the oracle
+    * compare is hash-exact and the same formulation runs in both
+    * engines. One exchange on the stratum key; the per-stratum sort is
+    * the spillable window sort. Approximate sketches remain the 100-TB
+    * scale path when strata are huge; this is the exact baseline. */
+  def q43LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val all = Window.partitionBy(col("lang"))
+    docs(s, dir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(byLen))
+      .withColumn("n", count(lit(1)).over(all))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(when(col("rn") === ceil(col("n") * lit(0.5)).cast("long"), col("n_chars")))
+          .as("p50"),
+        max(when(col("rn") === ceil(col("n") * lit(0.9)).cast("long"), col("n_chars")))
+          .as("p90"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
+  val q43Sql: String =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT lang,
+      |  max(n) AS n_docs,
+      |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50,
+      |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90,
+      |  min(n_chars) AS min_chars,
+      |  max(n_chars) AS max_chars
+      |FROM ranked
+      |GROUP BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_lang_id" -> (q10LangId _),
     "q11_quality_score" -> (q11Quality _),
@@ -303,7 +413,10 @@ object TextOps {
     "q13_fingerprint" -> (q13Fingerprint _),
     "q34_license_filter" -> (q34LicenseFilter _),
     "q39_redact" -> (q39Redact _),
-    "q40_doc_freq" -> (q40DocFreq _)
+    "q40_doc_freq" -> (q40DocFreq _),
+    "q41_tfidf_topk" -> (q41TfidfTopK _),
+    "q42_stratified_sample" -> (q42StratifiedSample _),
+    "q43_length_quantiles" -> (q43LengthQuantiles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -313,6 +426,9 @@ object TextOps {
     "q13_fingerprint" -> q13Sql,
     "q34_license_filter" -> q34Sql,
     "q39_redact" -> q39Sql,
-    "q40_doc_freq" -> q40Sql
+    "q40_doc_freq" -> q40Sql,
+    "q41_tfidf_topk" -> q41Sql,
+    "q42_stratified_sample" -> q42Sql,
+    "q43_length_quantiles" -> q43Sql
   )
 }

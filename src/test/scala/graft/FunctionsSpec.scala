@@ -81,7 +81,8 @@ class FunctionsSpec extends AnyFunSuite {
       fns.simhash64(fns.wsTokens(col("text"))).as("sh"),
       fns.minhashSig(fns.tokenSet(col("text")), 16, 3L).as("mh"),
       fns.winnowFingerprint(col("text"), 8, 4).as("fp"),
-      fns.cubeCell(col("id") * 37.5 - 20.0, col("id") * 91.25 - 100.0, 9).as("cell"))
+      fns.cubeCell(col("id") * 37.5 - 20.0, col("id") * 91.25 - 100.0, 9).as("cell"),
+      fns.mix64(col("id") * 1000003L).as("mx"))
     val on = withCodegen("CODEGEN_ONLY") { cols.collect().sortBy(_.getLong(0)) }
     val off = withCodegen("NO_CODEGEN") { cols.collect().sortBy(_.getLong(0)) }
     assert(on.map(_.toString).toSeq == off.map(_.toString).toSeq)

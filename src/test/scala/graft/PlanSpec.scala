@@ -144,4 +144,18 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastNestedLoop")) == 0,
       s"nested-loop join in q17:\n${plan.toString.take(1500)}")
   }
+
+  test("q41 broadcasts the DF vocabulary (corpus shuffles for counts, never for the join)") {
+    val plan = executed(SparkEntry.queries("q41_tfidf_topk")(spark, sf))
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastHashJoin")) >= 1,
+      s"vocabulary join should broadcast:\n${plan.toString.take(1500)}")
+  }
+
+  test("q42 stratified sample is a shuffle-free codegen'd scan-filter") {
+    val plan = executed(SparkEntry.queries("q42_stratified_sample")(spark, sf))
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("ShuffleExchange")) == 0,
+      s"sampling must not shuffle:\n${plan.toString.take(1500)}")
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("WholeStageCodegen")) >= 1,
+      s"mix64 fell out of codegen:\n${plan.toString.take(1500)}")
+  }
 }
