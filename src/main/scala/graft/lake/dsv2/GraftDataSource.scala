@@ -308,7 +308,8 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
     new GraftScan(root, snapshot.schema, required, files,
       bucketPruned = repoEq.isDefined, statsPruned = bucketed.size - files.size,
       options = options, rowBound = rowBound,
-      repoEq = repoEq.orNull, pathEq = pathEq.orNull)
+      repoEq = repoEq.orNull, pathEq = pathEq.orNull,
+      numBuckets = snapshot.numBuckets)
   }
 }
 
@@ -370,7 +371,7 @@ object GraftSplit {
 }
 
 final class GraftScan(root: String, physicalSchema: StructType, required: StructType,
-                      files: Seq[FileEntry], bucketPruned: Boolean, statsPruned: Int,
+                      initialFiles: Seq[FileEntry], bucketPruned: Boolean, statsPruned: Int,
                       options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
                       /** Exclusive row-level lsn bound (Long.MinValue =
                         * none): pushed into parquet row-group skipping and
@@ -380,8 +381,13 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
                       rowBound: Long = Long.MinValue,
                       /** Key equality pushed into parquet row-group
                         * skipping (null = none). */
-                      repoEq: String = null, pathEq: String = null)
-    extends Scan with Batch {
+                      repoEq: String = null, pathEq: String = null,
+                      numBuckets: Int = -1)
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+  /** Shrinks under runtime filtering; statistics follow. */
+  private var files: Seq[FileEntry] = initialFiles
+  private var runtimePruned: Int = 0
   private def includeTombstones = options.getBoolean("includeTombstones", false)
   private def maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
     .getOrElse(GraftSplit.DefaultMaxSplitBytes)
@@ -389,11 +395,59 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
   override def toBatch: Batch = this
   override def description(): String =
     s"graft files=${files.size} bucketPruned=$bucketPruned statsPruned=$statsPruned " +
+      s"runtimePruned=$runtimePruned " +
       s"keyFilter=${Seq(Option(repoEq).map(r => s"repo=$r"),
         Option(pathEq).map(p => s"path=$p")).flatten.mkString("&")} " +
       s"cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
     GraftSplit.partitions(root, files, rowBound, maxSplitBytes, repoEq, pathEq)
+
+  /** Manifest-only statistics over the files that SURVIVED pruning, so
+    * Spark's join planning sees the size of what will actually be read:
+    * a `repo =`-pruned scan of a huge table reports one bucket's bytes
+    * and auto-broadcasts where a naive estimate would sort-merge.
+    * `numRows` counts physical rows (tombstones included — an upper
+    * bound, which is the safe direction for broadcast decisions).
+    * Legacy entries without recorded sizes report empty → Spark falls
+    * back to its own conservative default. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (files.forall(_.nBytes >= 0L))
+        java.util.OptionalLong.of(files.map(_.nBytes).sum)
+      else java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong =
+      if (files.forall(_.hasStats))
+        java.util.OptionalLong.of(files.map(_.nKeys).sum)
+      else java.util.OptionalLong.empty()
+  }
+
+  /** Runtime (dynamic) bucket pruning: when this scan sits under a join
+    * whose other side is small, Spark collects the join-key values at
+    * runtime and hands them back here — `repo IN (...)` prunes to the
+    * matching hash buckets BEFORE any task launches, the DSv2 twin of
+    * dynamic partition pruning. Unrecognized filter shapes are ignored
+    * (pruning is a pure reduction; row-level semantics are unchanged
+    * because Spark re-applies the join itself). */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (numBuckets > 0) Array(org.apache.spark.sql.connector.expressions.Expressions.column("repo"))
+    else Array.empty
+  override def filter(filters: Array[Filter]): Unit = {
+    def asRepo(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None // unexpected runtime type: MUST NOT prune on a guess
+    }
+    val repos: Option[Seq[String]] = filters.collectFirst {
+      case org.apache.spark.sql.sources.In("repo", vs) => vs.toSeq.map(asRepo)
+      case EqualTo("repo", v) => Seq(asRepo(v))
+    }.flatMap(os => if (os.forall(_.isDefined)) Some(os.flatten.toSeq) else None)
+    repos.filter(_ => numBuckets > 0).foreach { vs =>
+      val keep = vs.map(GraftScanBuilder.bucketOf(_, numBuckets)).toSet
+      val before = files.size
+      files = files.filter(f => keep(f.bucket))
+      runtimePruned += before - files.size
+    }
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(physicalSchema, required, includeTombstones)
   override def toMicroBatchStream(checkpointLocation: String)

@@ -118,6 +118,55 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("manifest statistics: the optimizer sees pruned-scan sizes and auto-broadcasts") {
+    val table = build()
+    val snap = table.currentSnapshot().get
+    val manifestBytes = snap.allFiles.map(_.nBytes).sum
+    val manifestRows = snap.allFiles.map(_.nKeys).sum
+    val df = spark.read.format("graft").load(table.root)
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes == BigInt(manifestBytes),
+      s"sizeInBytes ${stats.sizeInBytes} != manifest $manifestBytes")
+    assert(stats.rowCount.forall(_ == BigInt(manifestRows)),
+      s"rowCount ${stats.rowCount} != manifest $manifestRows")
+
+    // a repo-pruned scan reports only the surviving bucket's bytes: join
+    // planning sees the size of what will actually be READ
+    val repo = table.read().select("repo").limit(1).collect().head.getString(0)
+    val pruned = spark.read.format("graft").load(table.root).where(col("repo") === repo)
+    assert(pruned.queryExecution.optimizedPlan.stats.sizeInBytes < stats.sizeInBytes)
+
+    // join with NO broadcast hint: the manifest size is what lets Spark
+    // pick the broadcast join — without reported statistics a V2
+    // relation defaults to spark.sql.defaultSizeInBytes (effectively
+    // infinite) and this degrades to a sort-merge join
+    val big = spark.range(0, 2000000).select(
+      concat(lit("r"), col("id") % 97).as("repo"), col("id"))
+    val joined = big.join(df, Seq("repo"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
+
+  test("runtime bucket pruning: a broadcast join hands its keys back to the scan") {
+    val table = build()
+    val repo = table.read().select("repo").limit(1).collect().head.getString(0)
+    // the dim must keep a real Filter node (a LocalRelation would fold it
+    // away and the pruning rule requires a selective predicate)
+    val dim = spark.range(0, 10)
+      .select(when(col("id") === 0, repo).otherwise(concat(lit("absent-"), col("id")))
+        .as("repo"), col("id").as("w"))
+      .where(col("w") < 1)
+    val fact = spark.read.format("graft").load(table.root)
+    val joined = fact.join(broadcast(dim), Seq("repo"))
+    val rows = joined.collect()
+    assert(rows.nonEmpty && rows.map(_.getAs[String]("repo")).forall(_ == repo))
+    assert(rows.length == canon(fact.where(col("repo") === repo)).length)
+    val desc = joined.queryExecution.executedPlan.toString
+    val m = "runtimePruned=(\\d+)".r.findAllMatchIn(desc).map(_.group(1).toInt).toSeq
+    assert(m.exists(_ > 0), s"no runtime bucket pruning in:\n${desc.take(3000)}")
+  }
+
   test("schema evolution: old files read through DSv2 with nulls for new columns") {
     import spark.implicits._
     val table = build()
