@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `name:sql-expression` pairs separated by `;` — the sum-class
   * (self-maintainable) aggregate surface of [[ViewDef]] in SQL form. */
 class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: Option[String] = None
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -58,6 +59,18 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
       s"unknown procedure $n (have: ${procNames.mkString(", ")})")
     new GraftProcedure(n)
   }
+
+  // ---- FunctionCatalog: the layout's bucket transform -------------------
+  // Spark resolves the `bucket(n, repo)` transform each graft scan reports
+  // (storage-partitioned joins) through here; the empty namespace is where
+  // V2ExpressionUtils looks transform functions up.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket")) else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // ---- TableCatalog: lake tables under `warehouse` ----------------------
   // `CREATE TABLE g.db.t (...) TBLPROPERTIES ('buckets'='16')`,

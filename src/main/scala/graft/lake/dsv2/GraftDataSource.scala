@@ -341,8 +341,16 @@ final case class GraftInputPartition(absPath: String,
                                        * bucket — the reference's index-side
                                        * row-group pruning. */
                                      repoEq: String = null,
-                                     pathEq: String = null)
-    extends InputPartition
+                                     pathEq: String = null,
+                                     /** The file's hash bucket — the
+                                       * partition key for storage-
+                                       * partitioned joins. */
+                                     bucket: Int = -1)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 
 object GraftSplit {
   val DefaultMaxSplitBytes: Long = 128L * 1024 * 1024
@@ -364,9 +372,11 @@ object GraftSplit {
         (0 until n).map { i =>
           val start = i.toLong * step
           val end = if (i == n - 1) Long.MaxValue else start + step
-          GraftInputPartition(abs, bound, start, end, repoEq, pathEq)
+          GraftInputPartition(abs, bound, start, end, repoEq, pathEq, f.bucket)
         }
-      } else Seq(GraftInputPartition(abs, bound, repoEq = repoEq, pathEq = pathEq))
+      } else
+        Seq(GraftInputPartition(abs, bound, repoEq = repoEq, pathEq = pathEq,
+          bucket = f.bucket))
     }.toArray
 }
 
@@ -384,7 +394,8 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
                       repoEq: String = null, pathEq: String = null,
                       numBuckets: Int = -1)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
   /** Shrinks under runtime filtering; statistics follow. */
   private var files: Seq[FileEntry] = initialFiles
   private var runtimePruned: Int = 0
@@ -401,6 +412,27 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
       s"cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
     GraftSplit.partitions(root, files, rowBound, maxSplitBytes, repoEq, pathEq)
+
+  /** The table's layout as a partitioning CONTRACT: every partition this
+    * scan plans holds rows of exactly one `bucket(numBuckets, repo)`
+    * value (files never span buckets; byte-range splits inherit their
+    * file's bucket). With `spark.sql.sources.v2.bucketing.enabled` Spark
+    * groups the splits per bucket and resolves the transform through the
+    * catalog's [[GraftBucketFunction]] — so a join of two graft tables
+    * with the same bucket count on `repo` (or a groupBy over it) runs
+    * with ZERO shuffle on the graft sides: the 100-TB fact-to-fact join
+    * that would otherwise move both tables over the network. Scans
+    * outside a catalog (plain `format("graft")`) can't resolve the
+    * function and Spark falls back to normal shuffling — a graceful
+    * no-op, never a wrong plan. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (numBuckets > 0)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(numBuckets, "repo")),
+        files.map(_.bucket).distinct.size)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   /** Manifest-only statistics over the files that SURVIVED pruning, so
     * Spark's join planning sees the size of what will actually be read:

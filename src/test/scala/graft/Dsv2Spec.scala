@@ -167,6 +167,57 @@ class Dsv2Spec extends AnyFunSuite {
     assert(m.exists(_ > 0), s"no runtime bucket pruning in:\n${desc.take(3000)}")
   }
 
+  test("storage-partitioned join: same-bucketed catalog tables join with zero shuffle") {
+    val wh = TestSpark.tmpDir("dsv2spj")
+    spark.conf.set("spark.sql.catalog.graft_spj",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_spj.warehouse", wh)
+    def mk(t: String, v: String): Unit = {
+      spark.sql(s"CREATE TABLE graft_spj.db.$t (lsn BIGINT, ts TIMESTAMP, repo STRING, " +
+        "path STRING, commit STRING, lang STRING, content STRING) " +
+        "TBLPROPERTIES ('buckets'='4')")
+      val rows = (1 to 40).map(i =>
+        s"($i, TIMESTAMP'2024-01-01 00:00:00', 'repo-${i % 7}', 'f$i.txt', 'c$i', 'scala', '$v$i')")
+      spark.sql(s"INSERT INTO graft_spj.db.$t VALUES ${rows.mkString(", ")}")
+    }
+    mk("a", "a"); mk("b", "b")
+
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val j = spark.sql("SELECT a.repo, a.path, a.content AS ca, b.content AS cb " +
+        "FROM graft_spj.db.a a JOIN graft_spj.db.b b ON a.repo = b.repo")
+      val rows = j.collect()
+      // 7 repos; per-repo row counts multiply across the two sides
+      val perRepo = (1 to 40).groupBy(i => i % 7).view.mapValues(_.size)
+      assert(rows.length == perRepo.values.map(n => n * n).sum)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join shuffled:\n${plan.take(3000)}")
+
+      // a groupBy on the partitioning key is shuffle-free too
+      val agg = spark.sql("SELECT repo, count(*) AS n FROM graft_spj.db.a GROUP BY repo")
+      val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == perRepo.map { case (k, v) => s"repo-$k" -> v.toLong }.toMap)
+      val aplan = agg.queryExecution.executedPlan.toString
+      assert(!aplan.contains("ShuffleExchange") && !aplan.contains("Exchange hashpartitioning"),
+        s"bucket-key aggregation shuffled:\n${aplan.take(3000)}")
+      // negative control — with v2 bucketing off the same join DOES
+      // shuffle, proving the assertions above actually detect exchanges
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = spark.sql("SELECT a.repo FROM graft_spj.db.a a " +
+        "JOIN graft_spj.db.b b ON a.repo = b.repo")
+      off.collect()
+      assert(off.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        "control failed: expected a shuffle with v2 bucketing disabled")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("schema evolution: old files read through DSv2 with nulls for new columns") {
     import spark.implicits._
     val table = build()
