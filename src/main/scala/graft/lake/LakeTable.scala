@@ -38,7 +38,15 @@ final case class FileEntry(
     /** File length in bytes (from the commit-time listing — free); lets
       * scans split large files into byte-range partitions without an FS
       * stat per file at planning. -1 = unknown (legacy entry). */
-    nBytes: Long = -1L
+    nBytes: Long = -1L,
+    /** Rows with `_deleted = false` — the file's contribution to the
+      * VISIBLE row count, which is what lets `SELECT count(*)` answer
+      * from the manifest with zero data IO. Computed at commit from the
+      * boolean row-group statistics (free when every row group is
+      * all-live or all-tombstone; a mixed row group costs one
+      * single-column read of the file). -1 = unknown (legacy entry or
+      * unreadable stats); readers must then fall back. */
+    nLive: Long = -1L
 ) {
   def hasStats: Boolean = nKeys >= 0L
 }
@@ -167,7 +175,9 @@ object Snapshot {
   }
 
   private def fileLine(f: FileEntry): String =
-    if (f.hasStats && f.nBytes >= 0L)
+    if (f.hasStats && f.nBytes >= 0L && f.nLive >= 0L)
+      s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\t${f.nBytes}\t${f.nLive}\n"
+    else if (f.hasStats && f.nBytes >= 0L)
       s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\t${f.nBytes}\n"
     else if (f.hasStats)
       s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\n"
@@ -181,7 +191,10 @@ object Snapshot {
 
   private[lake] def parseFileLine(v: String): FileEntry = {
     val parts = v.split('\t')
-    if (parts.length >= 6)
+    if (parts.length >= 7)
+      FileEntry(parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong,
+        parts(4).toLong, parts(5).toLong, parts(6).toLong)
+    else if (parts.length >= 6)
       FileEntry(parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong,
         parts(4).toLong, parts(5).toLong)
     else if (parts.length >= 5)
@@ -470,12 +483,70 @@ final class LakeTable(
               case None => ok = false
             }
           }
-          if (nRows == 0) e.copy(minLsn = Long.MaxValue, maxLsn = Long.MinValue, nKeys = 0)
-          else if (ok) e.copy(minLsn = mn, maxLsn = mx, nKeys = nRows)
-          else e
+          // live-row count from the tombstone flag's boolean row-group
+          // statistics: an all-false row group is wholly live, an
+          // all-true one wholly tombstone — both free; a MIXED row
+          // group forces one single-column read of the file (rare: most
+          // merges write few tombstones, so most row groups decide on
+          // stats alone)
+          var live = 0L; var liveKnown = true; var needColumnRead = false
+          blocks.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == LakeTable.DeletedCol) match {
+              case Some(c) =>
+                val st = c.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) needColumnRead = true
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (lo: java.lang.Boolean, hi: java.lang.Boolean) =>
+                    if (!lo.booleanValue() && !hi.booleanValue()) live += b.getRowCount
+                    else if (lo.booleanValue() && hi.booleanValue()) () // all tombstones
+                    else needColumnRead = true
+                  case _ => needColumnRead = true
+                }
+              case None => liveKnown = false
+            }
+          }
+          val nLive =
+            if (nRows == 0) 0L
+            else if (!liveKnown) -1L
+            else if (needColumnRead)
+              countLiveRows(new Path(s"$rootPath/${e.relPath}"), conf)
+            else live
+          if (nRows == 0)
+            e.copy(minLsn = Long.MaxValue, maxLsn = Long.MinValue, nKeys = 0, nLive = 0)
+          else if (ok) e.copy(minLsn = mn, maxLsn = mx, nKeys = nRows, nLive = nLive)
+          else e.copy(nLive = nLive)
         } finally reader.close()
       } catch { case scala.util.control.NonFatal(_) => e }
     }.collect(java.util.stream.Collectors.toList[FileEntry]).asScala.toSeq
+  }
+
+  /** Exact count of `_deleted = false` rows via a single-column read —
+    * the fallback when a row group's boolean statistics can't decide.
+    * Reads one RLE-encoded boolean column of a file this process just
+    * wrote; -1 on any failure (readers fall back to a data scan). */
+  private def countLiveRows(p: Path, conf: org.apache.hadoop.conf.Configuration): Long = {
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val schema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      if (!schema.containsField(LakeTable.DeletedCol)) return -1L
+      val proj = new org.apache.parquet.schema.MessageType("graft_live",
+        schema.getType(schema.getFieldIndex(LakeTable.DeletedCol)))
+      val c = new org.apache.hadoop.conf.Configuration(conf) // parallelStream: never mutate shared conf
+      c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+        .withConf(c).build()
+      try {
+        var n = 0L
+        var g = reader.read()
+        while (g != null) {
+          if (g.getFieldRepetitionCount(0) > 0 && !g.getBoolean(0, 0)) n += 1L
+          g = reader.read()
+        }
+        n
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => -1L }
   }
 
   /** Data directory names currently present under `data/`. */

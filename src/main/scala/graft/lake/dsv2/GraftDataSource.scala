@@ -256,13 +256,47 @@ private[dsv2] object FilterToColumn {
 final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
                              visibleSchema: StructType,
                              options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = visibleSchema
   private var repoEq: Option[String] = None
   private var pathEq: Option[String] = None
   private var lsnLowerBound: Option[Long] = None // exclusive bound (>= x → > x-1)
   private var residual: Array[Filter] = Array.empty
+  private var pushedCountCols: Int = 0 // >0: COUNT(*) answered from the manifest
+
+  /** `SELECT count(*)` answered from MANIFEST stats — zero data files
+    * opened (the metadata-only count the reference's index header serves,
+    * place_index.rs:107-145). Sound only when the manifest knows every
+    * file's live-row count (`nLive`, recorded at commit), the scan is the
+    * plain current/time-travel state (not a CDC range), and there are no
+    * filters — Spark only attempts aggregate pushdown when all filters
+    * were consumed, and this builder keeps every filter residual, so the
+    * no-filter invariant is structural; `residual.isEmpty` re-checks it. */
+  private def manifestCount: Option[Long] = {
+    if (residual.nonEmpty || options.containsKey("changesFrom")) return None
+    val fs = snapshot.allFiles
+    if (options.getBoolean("includeTombstones", false))
+      if (fs.forall(_.hasStats)) Some(fs.map(_.nKeys).sum) else None
+    else if (fs.forall(_.nLive >= 0L)) Some(fs.map(_.nLive).sum)
+    else None
+  }
+  private def canPushAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
+      manifestCount.isDefined
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPushAgg(agg)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!canPushAgg(agg)) return false
+    pushedCountCols = agg.aggregateExpressions.length
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
@@ -283,6 +317,8 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan = {
+    if (pushedCountCols > 0)
+      return new GraftCountScan(manifestCount.get, pushedCountCols)
     // Batch CDC read: `option("changesFrom", v)` emits the rows CHANGED
     // after version v up to `changesTo`/current — the batch twin of the
     // streaming source (same manifest-driven planning via GraftChanges:
@@ -311,6 +347,20 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
       repoEq = repoEq.orNull, pathEq = pathEq.orNull,
       numBuckets = snapshot.numBuckets)
   }
+}
+
+/** The completely-pushed-down `COUNT(*)`: a driver-local one-row scan —
+  * Spark plans it as a LocalTableScan, so the query touches no data file
+  * and launches no task. */
+final class GraftCountScan(count: Long, nCols: Int) extends LocalScan {
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array.fill[Any](nCols)(count)))
+  override def readSchema(): StructType = StructType(
+    (0 until nCols).map(i => org.apache.spark.sql.types.StructField(
+      if (i == 0) "count(*)" else s"count(*)_$i",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def description(): String = s"graft manifest count(*)=$count"
 }
 
 object GraftScanBuilder {

@@ -218,6 +218,51 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("count(*) answers from the manifest: LocalTableScan, zero data files") {
+    val table = build()
+    def cnt(df: org.apache.spark.sql.DataFrame): (Long, String) =
+      (df.head.getLong(0), df.queryExecution.executedPlan.toString)
+
+    val base = spark.read.format("graft").load(table.root)
+    val (n0, p0) = cnt(base.groupBy().count())
+    assert(n0 == table.read().count())
+    assert(p0.contains("LocalTableScan") && !p0.contains("BatchScan"),
+      s"count(*) was not manifest-served:\n${p0.take(2000)}")
+
+    // a tombstone epoch decrements the manifest count (nLive re-recorded
+    // for the rewritten bucket, carried files keep theirs)
+    val victim = table.read().select("repo", "path").limit(1).collect().head
+    val del = spark.createDataFrame(Seq(
+      (victim.getString(0), victim.getString(1), 999999L, "D")))
+      .toDF("repo", "path", "lsn", "op")
+    new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+      .apply(del, epochId = 4242L)
+    val after = spark.read.format("graft").load(table.root)
+    val (n1, p1) = cnt(after.groupBy().count())
+    assert(n1 == n0 - 1, s"count after delete: $n1 vs ${n0 - 1}")
+    assert(p1.contains("LocalTableScan"), p1.take(2000))
+
+    // includeTombstones counts physical rows (live + every tombstone) —
+    // verified against a raw parquet read that bypasses the manifest
+    val (nT, pT) = cnt(spark.read.format("graft").option("includeTombstones", true)
+      .load(table.root).groupBy().count())
+    val physical = table.currentSnapshot().get.allFiles
+      .map(f => spark.read.parquet(s"${table.root}/${f.relPath}").count()).sum
+    assert(nT == physical && nT > n1 && pT.contains("LocalTableScan"),
+      s"nT=$nT physical=$physical n1=$n1")
+
+    // a WHERE clause blocks pushdown — normal scan, correct result
+    val repo = victim.getString(0)
+    val filtered = after.where(col("repo") === repo).groupBy().count()
+    assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(filtered.head.getLong(0) == table.read().where(col("repo") === repo).count())
+
+    // time travel counts the pinned version
+    val (nV, pV) = cnt(spark.read.format("graft").option("versionAsOf", 1)
+      .load(table.root).groupBy().count())
+    assert(nV == table.readVersion(1).count() && pV.contains("LocalTableScan"))
+  }
+
   test("schema evolution: old files read through DSv2 with nulls for new columns") {
     import spark.implicits._
     val table = build()
