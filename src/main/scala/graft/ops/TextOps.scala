@@ -406,6 +406,100 @@ object TextOps {
       |FROM ranked
       |GROUP BY lang""".stripMargin
 
+  /** q44: benchmark decontamination — flag training documents sharing
+    * any word n-gram with a held-out EVAL set (the standard
+    * train/test-overlap rule; web-scale pipelines use 13-grams, scaled
+    * here to 4-grams to match the synthetic corpus's 10-99-token docs).
+    * The eval set is a deterministic slice of the corpus
+    * (`doc_id % 37 = 0` — benchmarks are tiny next to training data),
+    * so the plan shape is the one that matters at 100 TB: the eval
+    * gram vocabulary is built once, DISTINCT'd small, and BROADCAST;
+    * the training corpus explodes its grams in place and never
+    * shuffles for the join — the only exchange is the per-doc
+    * count-distinct aggregation, partitioned by doc_id (no hot key). */
+  def q44Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .withColumn("ts", split(trim(col("text")), "\\s+"))
+      .where(size(col("ts")) >= 4)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ts")) - lit(3)),
+          i => concat_ws(" ", slice(col("ts"), i, lit(4))))).as("gram"))
+    val evalGrams = grams.where(col("doc_id") % 37 === 0)
+      .select(col("gram")).distinct()
+    grams.where(col("doc_id") % 37 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  val q44Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS gram
+      |  FROM toks, unnest(generate_series(1, greatest(len(ts) - 3, 0))) AS t(i)),
+      |eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0)
+      |SELECT doc_id, count(DISTINCT gram) AS n_shared
+      |FROM grams
+      |WHERE doc_id % 37 <> 0 AND gram IN (SELECT gram FROM eval_g)
+      |GROUP BY doc_id""".stripMargin
+
+  /** q45: repetition-based quality filter (the Gopher-rules family):
+    * per document, the most-frequent-token fraction and the duplicate
+    * bigram fraction, with a keep flag under fixed thresholds. Both
+    * fractions are a SINGLE IEEE division (the q41 rule: no
+    * transcendentals on the compare path, bit-identical across
+    * engines); the top token breaks count ties lexicographically so
+    * both engines pick the same witness. One exchange on doc_id
+    * (the per-doc token counts); everything after is windowed inside
+    * the same partitioning. */
+  def q45Repetition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).withColumn("ts", split(trim(col("text")), "\\s+"))
+    val toks = d.select(col("doc_id"), explode(col("ts")).as("t"))
+    val cnt = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("t").asc)
+    val top = cnt
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_tokens", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("t").as("top_token"),
+        (col("c") * lit(1.0) / col("n_tokens")).as("top_frac"))
+    val bigr = d.where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ts")) - lit(1)),
+          i => concat_ws(" ", slice(col("ts"), i, lit(2))))).as("g"))
+      .groupBy(col("doc_id"))
+      .agg((lit(1.0) - countDistinct(col("g")) * lit(1.0) / count(lit(1)))
+        .as("dup_bigram_frac"))
+    top.join(bigr, Seq("doc_id"))
+      .withColumn("keep", col("top_frac") < 0.15 && col("dup_bigram_frac") < 0.2)
+  }
+
+  val q45Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      |cnt AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id, n_tokens, t AS top_token, c * 1.0 / n_tokens AS top_frac
+      |  FROM (SELECT doc_id, t, c,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t) AS rn,
+      |          CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens
+      |        FROM cnt)
+      |  WHERE rn = 1),
+      |bigr AS (
+      |  SELECT doc_id,
+      |    1.0 - count(DISTINCT g) * 1.0 / count(*) AS dup_bigram_frac
+      |  FROM (
+      |    SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g
+      |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+      |         unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+      |    WHERE len(ts) >= 2)
+      |  GROUP BY doc_id)
+      |SELECT top.doc_id, n_tokens, top_token, top_frac, dup_bigram_frac,
+      |  top_frac < 0.15 AND dup_bigram_frac < 0.2 AS keep
+      |FROM top JOIN bigr ON top.doc_id = bigr.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_lang_id" -> (q10LangId _),
     "q11_quality_score" -> (q11Quality _),
@@ -416,7 +510,9 @@ object TextOps {
     "q40_doc_freq" -> (q40DocFreq _),
     "q41_tfidf_topk" -> (q41TfidfTopK _),
     "q42_stratified_sample" -> (q42StratifiedSample _),
-    "q43_length_quantiles" -> (q43LengthQuantiles _)
+    "q43_length_quantiles" -> (q43LengthQuantiles _),
+    "q44_decontaminate" -> (q44Decontaminate _),
+    "q45_repetition" -> (q45Repetition _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -429,6 +525,8 @@ object TextOps {
     "q40_doc_freq" -> q40Sql,
     "q41_tfidf_topk" -> q41Sql,
     "q42_stratified_sample" -> q42Sql,
-    "q43_length_quantiles" -> q43Sql
+    "q43_length_quantiles" -> q43Sql,
+    "q44_decontaminate" -> q44Sql,
+    "q45_repetition" -> q45Sql
   )
 }

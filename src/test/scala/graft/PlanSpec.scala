@@ -151,6 +151,12 @@ class PlanSpec extends AnyFunSuite {
       s"vocabulary join should broadcast:\n${plan.toString.take(1500)}")
   }
 
+  test("q44 broadcasts the eval-gram vocabulary (training corpus never shuffles for the join)") {
+    val plan = executed(SparkEntry.queries("q44_decontaminate")(spark, sf))
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastHashJoin")) >= 1,
+      s"eval-gram join should broadcast:\n${plan.toString.take(1500)}")
+  }
+
   test("q42 stratified sample is a shuffle-free codegen'd scan-filter") {
     val plan = executed(SparkEntry.queries("q42_stratified_sample")(spark, sf))
     assert(countNodes(plan, _.getClass.getSimpleName.contains("ShuffleExchange")) == 0,
