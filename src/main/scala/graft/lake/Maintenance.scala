@@ -43,9 +43,15 @@ object Maintenance {
     val writeDir = s"v$newVersion-${java.util.UUID.randomUUID().toString.take(8)}"
     // one output file per oversized bucket: tombstones and winners are
     // already resolved in the stored rows — this is a pure rewrite
+    // sortWithinPartitions keeps the rewritten files key-sorted so the
+    // footer (repo, path) min/max stay TIGHT per row group — without it
+    // compaction would silently degrade the point-lookup row-group
+    // pruning the merge write path establishes (a compacted bucket file
+    // with shuffled keys has every row group spanning the whole range)
     table.readFiles(snap.schema, snap.filesIn(oversized))
       .withColumn("b", pmod(xxhash64(col("repo")), lit(snap.numBuckets)).cast("int"))
       .repartition(oversized.size, col("b"))
+      .sortWithinPartitions(col("b"), col("repo"), col("path"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("b").parquet(s"${table.root}/data/$writeDir")
 
@@ -80,6 +86,9 @@ object Maintenance {
     table.readFiles(snap.schema, snap.allFiles)
       .withColumn("b", pmod(xxhash64(col("repo")), lit(newNumBuckets)).cast("int"))
       .repartition(newNumBuckets, col("b"))
+      // key-sorted rewrite: keeps footer (repo, path) min/max tight per
+      // row group so point-lookup pruning survives the layout change
+      .sortWithinPartitions(col("b"), col("repo"), col("path"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("b").parquet(s"${table.root}/data/$writeDir")
     val newFiles = table.listDataFilesWithStats(writeDir)

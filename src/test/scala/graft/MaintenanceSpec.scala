@@ -41,6 +41,20 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(old == stateBefore)
     // idempotent: nothing left to compact
     assert(Maintenance.compact(table, maxFilesPerBucket = 1) == 0)
+
+    // files compaction WROTE stay KEY-SORTED (globally, not just per
+    // salt run), so footer (repo, path) min/max remain tight per row
+    // group and point-lookup row-group pruning survives compaction.
+    // Each file is read alone so row order is the file's own order.
+    val afterCompact = table.currentSnapshot().get.allFiles
+      .filter(_.relPath.contains(s"data/v${after.version}-"))
+    assert(afterCompact.nonEmpty, "no compaction-written files found")
+    afterCompact.foreach { f =>
+      val ks = spark.read.parquet(s"${table.root}/${f.relPath}")
+        .select("repo", "path")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(ks == ks.sorted, s"compacted file ${f.relPath} not key-sorted")
+    }
   }
 
   test("changesBetween: emits exactly the keys that changed, typed I/U/D") {
