@@ -257,7 +257,7 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
                              visibleSchema: StructType,
                              options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = visibleSchema
   private var repoEq: Option[String] = None
@@ -296,6 +296,36 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
     if (!canPushAgg(agg)) return false
     pushedCountCols = agg.aggregateExpressions.length
     true
+  }
+
+  /** LIMIT k planned as a FILE-PREFIX scan: a limit promises an arbitrary
+    * k-row subset, and the manifest knows each file's live-row count, so
+    * it suffices to plan the first files whose counts sum to ≥ k —
+    * `LIMIT 10` on a million-file table opens one file. Partial push
+    * (Spark still cuts to exactly k); sound only when every surviving
+    * row of a planned file is emitted, i.e. no filters and no CDC range
+    * — otherwise refused and the scan plans normally. */
+  private var limitRows: Option[Int] = None
+  override def pushLimit(l: Int): Boolean = {
+    if (residual.nonEmpty || options.containsKey("changesFrom")) return false
+    limitRows = Some(l)
+    true
+  }
+
+  private def limitPrefix(files: Seq[FileEntry]): Seq[FileEntry] = limitRows match {
+    case Some(k) =>
+      val counts =
+        if (options.getBoolean("includeTombstones", false)) files.map(_.nKeys)
+        else files.map(_.nLive)
+      if (counts.exists(_ < 0L)) files // a file without stats: no pruning
+      else {
+        val ordered = files.sortBy(f => (f.bucket, f.relPath))
+        val cum = ordered.map(f =>
+          if (options.getBoolean("includeTombstones", false)) f.nKeys else f.nLive)
+          .scanLeft(0L)(_ + _)
+        ordered.take(cum.segmentLength(_ < k, 1) + 1) // first prefix reaching k (≤ all)
+      }
+    case None => files
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -338,11 +368,12 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
       case None => all
     }
     val rowBound = math.max(changeBound, lsnLowerBound.getOrElse(Long.MinValue))
-    val files =
+    val statsFiltered =
       if (rowBound == Long.MinValue) bucketed
       else bucketed.filter(f => !f.hasStats || f.maxLsn > rowBound)
+    val files = limitPrefix(statsFiltered)
     new GraftScan(root, snapshot.schema, required, files,
-      bucketPruned = repoEq.isDefined, statsPruned = bucketed.size - files.size,
+      bucketPruned = repoEq.isDefined, statsPruned = bucketed.size - statsFiltered.size,
       options = options, rowBound = rowBound,
       repoEq = repoEq.orNull, pathEq = pathEq.orNull,
       numBuckets = snapshot.numBuckets)

@@ -263,6 +263,34 @@ class Dsv2Spec extends AnyFunSuite {
     assert(nV == table.readVersion(1).count() && pV.contains("LocalTableScan"))
   }
 
+  test("LIMIT k plans a file prefix: opens only enough files to cover k live rows") {
+    val table = build()
+    val total = plannedFiles(spark.read.format("graft").load(table.root))
+    assert(total > 1, "test needs multiple files")
+
+    val lim = spark.read.format("graft").load(table.root).limit(5)
+    val rows = lim.collect()
+    assert(rows.length == 5)
+    assert(plannedFiles(lim) < total, s"no limit file pruning (files=$total)")
+    // the 5 rows are genuine table rows
+    val keys = table.read().select("repo", "path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows.map(r => (r.getAs[String]("repo"), r.getAs[String]("path")))
+      .forall(keys))
+
+    // a limit beyond the table keeps every file and every row
+    val all = spark.read.format("graft").load(table.root).limit(10000000)
+    assert(all.count() == table.read().count())
+
+    // LIMIT under a WHERE is refused (filters make file counts unusable):
+    // plan is unpruned by the limit, result still correct
+    val repo = table.read().select("repo").limit(1).collect().head.getString(0)
+    val fl = spark.read.format("graft").load(table.root)
+      .where(col("repo") === repo).limit(3)
+    assert(fl.collect().length == math.min(3,
+      table.read().where(col("repo") === repo).count()).toInt)
+  }
+
   test("schema evolution: old files read through DSv2 with nulls for new columns") {
     import spark.implicits._
     val table = build()
