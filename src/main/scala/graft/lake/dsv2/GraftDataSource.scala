@@ -568,5 +568,6 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
     new GraftMicroBatchStream(root, physicalSchema, required,
       includeTombstones = includeTombstones,
       startingVersion = Option(options.get("startingVersion")).map(_.toLong),
-      maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+      maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 }

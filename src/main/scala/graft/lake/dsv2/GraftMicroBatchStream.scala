@@ -46,9 +46,15 @@ final case class GraftOffset(version: Long) extends Offset {
   *
   * `maxVersionsPerTrigger` bounds how many commits one micro-batch may
   * cover (the reference's bounded-channel backpressure,
-  * src/atp/mod.rs:36, as source admission control). Retention caveat:
-  * resuming from a checkpoint needs `start`'s snapshot file — vacuum
-  * retention must cover the maximum expected stream downtime.
+  * src/atp/mod.rs:36, as source admission control);
+  * `maxBytesPerTrigger` bounds the batch by the manifest-recorded SIZE
+  * of the files added in the range — the knob that actually protects
+  * executor memory when commit sizes vary by orders of magnitude (a
+  * version count can't). Both caps always admit at least one version so
+  * the stream progresses; they compose (the tighter one wins).
+  * Retention caveat: resuming from a checkpoint needs `start`'s
+  * snapshot file — vacuum retention must cover the maximum expected
+  * stream downtime.
   */
 final class GraftMicroBatchStream(
     root: String,
@@ -56,7 +62,8 @@ final class GraftMicroBatchStream(
     required: StructType,
     includeTombstones: Boolean,
     startingVersion: Option[Long],
-    maxVersionsPerTrigger: Option[Int])
+    maxVersionsPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def table = new LakeTable(SparkSession.active, root)
@@ -78,9 +85,35 @@ final class GraftMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val target = availableNowTarget.getOrElse(currentVersion)
     val s = start.asInstanceOf[GraftOffset].version
-    val end = maxVersionsPerTrigger match {
+    val versionCapped = maxVersionsPerTrigger match {
       case Some(n) => math.min(target, s + n)
       case None => target
+    }
+    val end = maxBytesPerTrigger match {
+      case Some(maxB) if versionCapped > s =>
+        // walk forward, accumulating each commit's ADDED-file bytes from
+        // the manifests (no data IO); always admit the first version
+        val t = table
+        var v = s
+        var bytes = 0L
+        var prev = if (s < 0L) None else Some(t.snapshotAt(s))
+        while (v < versionCapped && bytes < maxB) {
+          val next = t.snapshotAt(v + 1L)
+          val added = prev match {
+            case None => next.allFiles
+            case Some(p) =>
+              val (pe, ne) = Maintenance.differingEntries(p, next)
+              val pPaths = pe.map(_.relPath).toSet
+              ne.filterNot(f => pPaths(f.relPath))
+          }
+          // unknown sizes (legacy entries) count as the full budget so a
+          // stats-less commit is never silently batched with others
+          bytes += added.map(f => if (f.nBytes >= 0L) f.nBytes else maxB).sum
+          prev = Some(next)
+          v += 1L
+        }
+        v
+      case _ => versionCapped
     }
     GraftOffset(math.max(end, s))
   }

@@ -725,6 +725,37 @@ class Dsv2Spec extends AnyFunSuite {
     * sink cannot recover from a checkpoint, so cross-run resume needs a
     * durable sink). Returns (ALL rows accumulated in the sink so far,
     * the stopped query for progress inspection). */
+  test("streaming: maxBytesPerTrigger paces batches by manifest-recorded added bytes") {
+    import spark.implicits._
+    val table = build() // 2 commits, each adding files of known manifest size
+    val work = TestSpark.tmpDir("dsv2bytes")
+
+    // budget of 1 byte: every commit exceeds it alone → one commit per
+    // micro-batch (the cap still admits ≥1 version so the stream moves)
+    val (rows, q) = runStream(table.root, s"$work/cp", s"$work/out",
+      Map("maxBytesPerTrigger" -> "1", "includeTombstones" -> "true"))
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+      s"expected one micro-batch per commit: ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+
+    // a huge budget takes everything in one batch; same total feed
+    val (rows2, q2) = runStream(table.root, s"$work/cp2", s"$work/out2",
+      Map("maxBytesPerTrigger" -> s"${Long.MaxValue / 2}", "includeTombstones" -> "true"))
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 1,
+      s"expected a single batch: ${q2.recentProgress.map(_.numInputRows).mkString(",")}")
+    // byte-paced feed folds to the same state as the single-batch feed
+    def fold(rs: Seq[org.apache.spark.sql.Row]) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("repo"), col("path")).orderBy(col("lsn").desc)
+      rs.map(r => (r.getAs[String]("repo"), r.getAs[String]("path"),
+        r.getAs[Long]("lsn"), r.getAs[Boolean]("_deleted")))
+        .toDF("repo", "path", "lsn", "_deleted")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && !col("_deleted")).select("repo", "path", "lsn")
+    }
+    assert(canon(fold(rows)) == canon(fold(rows2)))
+    assert(canon(fold(rows)) == canon(table.read().select("repo", "path", "lsn")))
+  }
+
   private def runStream(root: String, cp: String, out: String,
                         options: Map[String, String] = Map.empty) = {
     var r = spark.readStream.format("graft")
