@@ -203,6 +203,21 @@ class Dsv2Spec extends AnyFunSuite {
       val aplan = agg.queryExecution.executedPlan.toString
       assert(!aplan.contains("ShuffleExchange") && !aplan.contains("Exchange hashpartitioning"),
         s"bucket-key aggregation shuffled:\n${aplan.take(3000)}")
+      // a one-sided bucket-pruning filter makes the two sides report
+      // DIFFERENT partition-value sets; whatever Spark decides (pad the
+      // missing partitions or fall back to a shuffle) the result must
+      // match the bucketing-off plan exactly
+      val oneSided = spark.sql("SELECT a.repo, a.path, b.content FROM graft_spj.db.a a " +
+        "JOIN graft_spj.db.b b ON a.repo = b.repo WHERE a.repo = 'repo-3'")
+      val gotSided = oneSided.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val want = spark.sql("SELECT a.repo, a.path, b.content FROM graft_spj.db.a a " +
+        "JOIN graft_spj.db.b b ON a.repo = b.repo WHERE a.repo = 'repo-3'")
+        .collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      assert(gotSided == want && gotSided.nonEmpty,
+        s"one-sided-filter SPJ mismatch: ${gotSided.length} vs ${want.length}")
+
       // negative control — with v2 bucketing off the same join DOES
       // shuffle, proving the assertions above actually detect exchanges
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
