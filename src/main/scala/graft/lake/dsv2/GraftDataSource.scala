@@ -287,6 +287,7 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
+      limitRows.isEmpty && // count over LIMIT k is k-bounded, not the manifest total
       manifestCount.isDefined
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -508,7 +509,7 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
     * no-op, never a wrong plan. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (numBuckets > 0)
+    if (numBuckets > 0 && files.nonEmpty)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .bucket(numBuckets, "repo")),

@@ -107,8 +107,14 @@ final class GraftMicroBatchStream(
               ne.filterNot(f => pPaths(f.relPath))
           }
           // unknown sizes (legacy entries) count as the full budget so a
-          // stats-less commit is never silently batched with others
-          bytes += added.map(f => if (f.nBytes >= 0L) f.nBytes else maxB).sum
+          // stats-less commit is never silently batched with others;
+          // saturating adds — an overflow would wrap negative and
+          // silently re-open the budget
+          val chunk = added.foldLeft(0L) { (a, f) =>
+            val b = if (f.nBytes >= 0L) f.nBytes else maxB
+            if (a > Long.MaxValue - b) Long.MaxValue else a + b
+          }
+          bytes = if (bytes > Long.MaxValue - chunk) Long.MaxValue else bytes + chunk
           prev = Some(next)
           v += 1L
         }

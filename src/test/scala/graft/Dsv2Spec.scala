@@ -306,6 +306,23 @@ class Dsv2Spec extends AnyFunSuite {
       table.read().where(col("repo") === repo).count()).toInt)
   }
 
+  test("count(*) over LIMIT is k, not the manifest total; empty table reads under SPJ") {
+    val table = build()
+    val c = spark.read.format("graft").load(table.root).limit(5).groupBy().count()
+    assert(c.head.getLong(0) == 5L, "count over LIMIT must not be manifest-served")
+
+    // an EMPTY catalog table (v0, zero files) must stay readable with
+    // v2 bucketing on (KeyGroupedPartitioning cannot report 0 partitions)
+    val wh = TestSpark.tmpDir("dsv2empty")
+    spark.conf.set("spark.sql.catalog.graft_e", classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_e.warehouse", wh)
+    spark.sql("CREATE TABLE graft_e.db.t (lsn BIGINT, repo STRING, path STRING) " +
+      "TBLPROPERTIES ('buckets'='4')")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try assert(spark.sql("SELECT * FROM graft_e.db.t").collect().isEmpty)
+    finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
   test("schema evolution: old files read through DSv2 with nulls for new columns") {
     import spark.implicits._
     val table = build()
