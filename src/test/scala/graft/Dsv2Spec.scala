@@ -560,6 +560,38 @@ class Dsv2Spec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_dml.db.t")
   }
 
+  test("MERGE INTO with NOT MATCHED BY SOURCE: one-epoch full sync to the source") {
+    import spark.implicits._
+    val wh = TestSpark.tmpDir("dsv2sync")
+    spark.conf.set("spark.sql.catalog.graft_sync",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sync.warehouse", wh)
+    spark.sql("CREATE TABLE graft_sync.db.t (lsn BIGINT, repo STRING, path STRING, " +
+      "content STRING) TBLPROPERTIES ('buckets'='2')")
+    spark.sql("INSERT INTO graft_sync.db.t VALUES " +
+      "(1, 'r1', 'a', 'v1'), (2, 'r2', 'b', 'w1'), (3, 'r3', 'c', 'x1')")
+
+    Seq(("r1", "v2"), ("r4", "z1")).toDF("repo", "c").createOrReplaceTempView("sync_src")
+    val vPre = new LakeTable(spark, s"$wh/db/t").currentSnapshot().get.version
+    spark.sql("""MERGE INTO graft_sync.db.t AS t USING sync_src AS s ON t.repo = s.repo
+      WHEN MATCHED THEN UPDATE SET content = s.c
+      WHEN NOT MATCHED THEN INSERT (lsn, repo, path, content) VALUES (0, s.repo, 'p', s.c)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+
+    val rows = spark.sql("SELECT repo, content FROM graft_sync.db.t ORDER BY repo")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("r1", "v2"), ("r4", "z1")), rows.toString)
+    // one epoch; the feed carries the two deletes as tombstones
+    val tbl = new LakeTable(spark, s"$wh/db/t")
+    assert(tbl.currentSnapshot().get.version == vPre + 1)
+    val ops = spark.read.format("graft").option("changesFrom", vPre)
+      .option("includeTombstones", "true").load(s"$wh/db/t")
+      .collect().map(r => (r.getAs[String]("repo"),
+        if (r.getAs[Boolean](LakeTable.DeletedCol)) "D" else "U")).toSet
+    assert(ops == Set(("r1", "U"), ("r4", "U"), ("r2", "D"), ("r3", "D")), ops.toString)
+    spark.sql("DROP TABLE graft_sync.db.t")
+  }
+
   test("DELETE FROM and TRUNCATE TABLE write tombstones through the merge") {
     val wh = TestSpark.tmpDir("dsv2del")
     spark.conf.set("spark.sql.catalog.graft_del",
