@@ -489,18 +489,27 @@ final class LakeTable(
           // group forces one single-column read of the file (rare: most
           // merges write few tombstones, so most row groups decide on
           // stats alone)
-          var live = 0L; var liveKnown = true; var needColumnRead = false
+          var live = 0L; var liveKnown = true
+          // byte extents of row groups the stats can't decide — only
+          // those are read back (midpoint-range selection)
+          var undecided = List.empty[(Long, Long)]
           blocks.foreach { b =>
             b.getColumns.asScala.find(_.getPath.toDotString == LakeTable.DeletedCol) match {
               case Some(c) =>
                 val st = c.getStatistics
-                if (st == null || st.isEmpty || !st.hasNonNullValue) needColumnRead = true
+                def mixed(): Unit =
+                  undecided ::= (b.getStartingPos, b.getCompressedSize)
+                // a NULL tombstone flag reads as not-live (read()'s
+                // `!_deleted` drops it), so stats are trusted only for
+                // null-free row groups
+                if (st == null || st.isEmpty || !st.hasNonNullValue ||
+                    !st.isNumNullsSet || st.getNumNulls > 0L) mixed()
                 else (st.genericGetMin, st.genericGetMax) match {
                   case (lo: java.lang.Boolean, hi: java.lang.Boolean) =>
                     if (!lo.booleanValue() && !hi.booleanValue()) live += b.getRowCount
                     else if (lo.booleanValue() && hi.booleanValue()) () // all tombstones
-                    else needColumnRead = true
-                  case _ => needColumnRead = true
+                    else mixed()
+                  case _ => mixed()
                 }
               case None => liveKnown = false
             }
@@ -508,9 +517,11 @@ final class LakeTable(
           val nLive =
             if (nRows == 0) 0L
             else if (!liveKnown) -1L
-            else if (needColumnRead)
-              countLiveRows(new Path(s"$rootPath/${e.relPath}"), conf)
-            else live
+            else if (undecided.nonEmpty) {
+              val partial = countLiveRows(new Path(s"$rootPath/${e.relPath}"),
+                conf, reader.getFooter.getFileMetaData.getSchema, undecided)
+              if (partial < 0L) -1L else live + partial
+            } else live
           if (nRows == 0)
             e.copy(minLsn = Long.MaxValue, maxLsn = Long.MinValue, nKeys = 0, nLive = 0)
           else if (ok) e.copy(minLsn = mn, maxLsn = mx, nKeys = nRows, nLive = nLive)
@@ -520,32 +531,35 @@ final class LakeTable(
     }.collect(java.util.stream.Collectors.toList[FileEntry]).asScala.toSeq
   }
 
-  /** Exact count of `_deleted = false` rows via a single-column read —
-    * the fallback when a row group's boolean statistics can't decide.
-    * Reads one RLE-encoded boolean column of a file this process just
-    * wrote; -1 on any failure (readers fall back to a data scan). */
-  private def countLiveRows(p: Path, conf: org.apache.hadoop.conf.Configuration): Long = {
+  /** Exact count of `_deleted = false` rows in the given row-group byte
+    * extents, via a single-column read scoped to EXACTLY those row
+    * groups (midpoint-range selection — Spark's own parquet split rule):
+    * the stats-decided groups of the same file are never re-read. NULL
+    * flags count as not-live, matching `read()`'s `!_deleted` filter.
+    * -1 on any failure (readers fall back to a data scan). */
+  private def countLiveRows(p: Path, conf: org.apache.hadoop.conf.Configuration,
+                            schema: org.apache.parquet.schema.MessageType,
+                            extents: Seq[(Long, Long)]): Long = {
     try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val schema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
       if (!schema.containsField(LakeTable.DeletedCol)) return -1L
       val proj = new org.apache.parquet.schema.MessageType("graft_live",
         schema.getType(schema.getFieldIndex(LakeTable.DeletedCol)))
       val c = new org.apache.hadoop.conf.Configuration(conf) // parallelStream: never mutate shared conf
       c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-      val reader = org.apache.parquet.hadoop.ParquetReader
-        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
-        .withConf(c).build()
-      try {
-        var n = 0L
-        var g = reader.read()
-        while (g != null) {
-          if (g.getFieldRepetitionCount(0) > 0 && !g.getBoolean(0, 0)) n += 1L
-          g = reader.read()
-        }
-        n
-      } finally reader.close()
+      extents.foldLeft(0L) { case (acc, (start, len)) =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+          .withConf(c).withFileRange(start, start + math.max(len, 1L)).build()
+        try {
+          var n = acc
+          var g = reader.read()
+          while (g != null) {
+            if (g.getFieldRepetitionCount(0) > 0 && !g.getBoolean(0, 0)) n += 1L
+            g = reader.read()
+          }
+          n
+        } finally reader.close()
+      }
     } catch { case scala.util.control.NonFatal(_) => -1L }
   }
 

@@ -274,13 +274,20 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
     * filters — Spark only attempts aggregate pushdown when all filters
     * were consumed, and this builder keeps every filter residual, so the
     * no-filter invariant is structural; `residual.isEmpty` re-checks it. */
-  private def manifestCount: Option[Long] = {
-    if (residual.nonEmpty || options.containsKey("changesFrom")) return None
-    val fs = snapshot.allFiles
-    if (options.getBoolean("includeTombstones", false))
-      if (fs.forall(_.hasStats)) Some(fs.map(_.nKeys).sum) else None
-    else if (fs.forall(_.nLive >= 0L)) Some(fs.map(_.nLive).sum)
-    else None
+  // lazy: evaluated at most once per query (Spark probes it up to three
+  // times — supportCompletePushDown, pushAggregation, build — and each
+  // evaluation walks the full manifest). Safe to cache: snapshot and
+  // options are immutable, and by the time aggregates are pushed the
+  // filter set is final (filters push before aggregates).
+  private lazy val manifestCount: Option[Long] = {
+    if (residual.nonEmpty || options.containsKey("changesFrom")) None
+    else {
+      val fs = snapshot.allFiles
+      if (options.getBoolean("includeTombstones", false))
+        if (fs.forall(_.hasStats)) Some(fs.map(_.nKeys).sum) else None
+      else if (fs.forall(_.nLive >= 0L)) Some(fs.map(_.nLive).sum)
+      else None
+    }
   }
   private def canPushAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
@@ -315,15 +322,12 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
 
   private def limitPrefix(files: Seq[FileEntry]): Seq[FileEntry] = limitRows match {
     case Some(k) =>
-      val counts =
-        if (options.getBoolean("includeTombstones", false)) files.map(_.nKeys)
-        else files.map(_.nLive)
-      if (counts.exists(_ < 0L)) files // a file without stats: no pruning
+      val rowsOf: FileEntry => Long =
+        if (options.getBoolean("includeTombstones", false)) _.nKeys else _.nLive
+      if (files.exists(rowsOf(_) < 0L)) files // a file without stats: no pruning
       else {
         val ordered = files.sortBy(f => (f.bucket, f.relPath))
-        val cum = ordered.map(f =>
-          if (options.getBoolean("includeTombstones", false)) f.nKeys else f.nLive)
-          .scanLeft(0L)(_ + _)
+        val cum = ordered.map(rowsOf).scanLeft(0L)(_ + _)
         ordered.take(cum.segmentLength(_ < k, 1) + 1) // first prefix reaching k (≤ all)
       }
     case None => files

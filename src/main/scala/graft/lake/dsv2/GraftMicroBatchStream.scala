@@ -66,6 +66,13 @@ final class GraftMicroBatchStream(
     maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
+  // a non-positive cap would stall the stream forever (latestOffset could
+  // never advance) — refuse loudly at construction instead
+  require(maxVersionsPerTrigger.forall(_ > 0),
+    s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
+  require(maxBytesPerTrigger.forall(_ > 0L),
+    s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
+
   private def table = new LakeTable(SparkSession.active, root)
   private def currentVersion: Long = table.snapshotVersions().lastOption.getOrElse(-1L)
 

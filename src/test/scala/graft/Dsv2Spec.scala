@@ -818,6 +818,23 @@ class Dsv2Spec extends AnyFunSuite {
     }
     assert(canon(fold(rows)) == canon(fold(rows2)))
     assert(canon(fold(rows)) == canon(table.read().select("repo", "path", "lsn")))
+
+    // a non-positive cap can never advance the offset — refused loudly
+    // instead of stalling the stream forever
+    intercept[IllegalArgumentException] {
+      new graft.lake.dsv2.GraftMicroBatchStream(table.root,
+        new org.apache.spark.sql.types.StructType(),
+        new org.apache.spark.sql.types.StructType(),
+        includeTombstones = false, startingVersion = None,
+        maxVersionsPerTrigger = None, maxBytesPerTrigger = Some(0L))
+    }
+    intercept[IllegalArgumentException] {
+      new graft.lake.dsv2.GraftMicroBatchStream(table.root,
+        new org.apache.spark.sql.types.StructType(),
+        new org.apache.spark.sql.types.StructType(),
+        includeTombstones = false, startingVersion = None,
+        maxVersionsPerTrigger = Some(0), maxBytesPerTrigger = None)
+    }
   }
 
   private def runStream(root: String, cp: String, out: String,
