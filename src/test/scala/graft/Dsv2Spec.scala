@@ -203,6 +203,19 @@ class Dsv2Spec extends AnyFunSuite {
       val aplan = agg.queryExecution.executedPlan.toString
       assert(!aplan.contains("ShuffleExchange") && !aplan.contains("Exchange hashpartitioning"),
         s"bucket-key aggregation shuffled:\n${aplan.take(3000)}")
+      // partially-clustered distribution (Spark's SPJ skew mode:
+      // replicate the smaller side's groups instead of grouping both)
+      // must stay correct — it leans on the same HasPartitionKey keys
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      try {
+        val pc = spark.sql("SELECT a.repo, count(*) AS n " +
+          "FROM graft_spj.db.a a JOIN graft_spj.db.b b ON a.repo = b.repo GROUP BY a.repo")
+        val pcRows = pc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(pcRows == perRepo.map { case (k, v) => s"repo-$k" -> (v.toLong * v) }.toMap)
+      } finally spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "false")
+
       // a one-sided bucket-pruning filter makes the two sides report
       // DIFFERENT partition-value sets; whatever Spark decides (pad the
       // missing partitions or fall back to a shuffle) the result must
