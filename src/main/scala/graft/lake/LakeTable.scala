@@ -46,9 +46,39 @@ final case class FileEntry(
       * all-live or all-tombstone; a mixed row group costs one
       * single-column read of the file). -1 = unknown (legacy entry or
       * unreadable stats); readers must then fall back. */
-    nLive: Long = -1L
+    nLive: Long = -1L,
+    /** Per-file KEY ranges (min/max of the `repo` and `path` columns,
+      * from the parquet footer's binary column statistics). Lets a point
+      * lookup (`repo = x [AND path = y]`) prune at FILE granularity on
+      * the driver, before any task launches. The ranges BITE on
+      * compaction's byte-budget splits, which are range-partitioned on
+      * (bucket, repo, path) and therefore KEY-DISJOINT — a lookup plans
+      * exactly the one range file of its bucket; the merge's salt files
+      * spread keys by hash, so their ranges overlap and survive the
+      * filter (row-group stats bound IO inside them instead). Order is
+      * UNSIGNED UTF-8 BYTE order (parquet's binary stats order — NOT
+      * String.compareTo). Truncated footer stats stay sound: parquet
+      * truncation only widens the range. null = unknown (legacy entry /
+      * absent stats) — never prunable. */
+    minRepo: String = null,
+    maxRepo: String = null,
+    minPath: String = null,
+    maxPath: String = null
 ) {
   def hasStats: Boolean = nKeys >= 0L
+  def hasKeyStats: Boolean =
+    minRepo != null && maxRepo != null && minPath != null && maxPath != null
+
+  /** Could this file contain the given key values? (unsigned UTF-8 byte
+    * order; conservative true when key stats are absent). An EMPTY file
+    * (nKeys == 0) carries no key stats and stays unprunable — harmless. */
+  def mayContain(repoEq: String, pathEq: String): Boolean = {
+    import LakeTable.utf8Le
+    (repoEq == null || !hasKeyStats ||
+      (utf8Le(minRepo, repoEq) && utf8Le(repoEq, maxRepo))) &&
+    (pathEq == null || !hasKeyStats ||
+      (utf8Le(minPath, pathEq) && utf8Le(pathEq, maxPath)))
+  }
 }
 
 /** How a snapshot's file list is stored and resolved.
@@ -174,8 +204,38 @@ object Snapshot {
     sb.toString
   }
 
+  /** Key-stat field encoding for the tab-separated file lines: a leading
+    * marker char (so the token is never empty and never starts with a
+    * digit) + percent-escaped value (%, tab, newline, CR). */
+  private[lake] def encKey(v: String): String =
+    "k" + v.flatMap {
+      case '%' => "%25"
+      case '\t' => "%09"
+      case '\n' => "%0A"
+      case '\r' => "%0D"
+      case c => c.toString
+    }
+  private[lake] def decKey(tok: String): String = {
+    val v = tok.stripPrefix("k")
+    if (!v.contains('%')) v
+    else {
+      val sb = new StringBuilder(v.length)
+      var i = 0
+      while (i < v.length) {
+        if (v.charAt(i) == '%' && i + 3 <= v.length) {
+          sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(v.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
   private def fileLine(f: FileEntry): String =
-    if (f.hasStats && f.nBytes >= 0L && f.nLive >= 0L)
+    if (f.hasStats && f.nBytes >= 0L && f.nLive >= 0L && f.hasKeyStats)
+      s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\t${f.nBytes}\t${f.nLive}\t" +
+        s"${encKey(f.minRepo)}\t${encKey(f.maxRepo)}\t${encKey(f.minPath)}\t${encKey(f.maxPath)}\n"
+    else if (f.hasStats && f.nBytes >= 0L && f.nLive >= 0L)
       s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\t${f.nBytes}\t${f.nLive}\n"
     else if (f.hasStats && f.nBytes >= 0L)
       s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\t${f.nBytes}\n"
@@ -183,15 +243,19 @@ object Snapshot {
       s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\n"
     else s"file=${f.bucket}\t${f.relPath}\n"
 
-  private[lake] def serializeFileLines(files: Seq[FileEntry]): String = {
+  private[graft] def serializeFileLines(files: Seq[FileEntry]): String = {
     val sb = new StringBuilder
     files.sortBy(f => (f.bucket, f.relPath)).foreach(f => sb.append(fileLine(f)))
     sb.toString
   }
 
-  private[lake] def parseFileLine(v: String): FileEntry = {
+  private[graft] def parseFileLine(v: String): FileEntry = {
     val parts = v.split('\t')
-    if (parts.length >= 7)
+    if (parts.length >= 11)
+      FileEntry(parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong,
+        parts(4).toLong, parts(5).toLong, parts(6).toLong,
+        decKey(parts(7)), decKey(parts(8)), decKey(parts(9)), decKey(parts(10)))
+    else if (parts.length >= 7)
       FileEntry(parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong,
         parts(4).toLong, parts(5).toLong, parts(6).toLong)
     else if (parts.length >= 6)
@@ -202,7 +266,7 @@ object Snapshot {
     else FileEntry(parts(0).toInt, parts(1))
   }
 
-  private[lake] def parseFileLines(text: String): Seq[FileEntry] =
+  private[graft] def parseFileLines(text: String): Seq[FileEntry] =
     text.split('\n').filter(_.startsWith("file=")).toSeq
       .map(ln => parseFileLine(ln.stripPrefix("file=")))
 
@@ -483,6 +547,49 @@ final class LakeTable(
               case None => ok = false
             }
           }
+          // per-file key ranges from the repo/path binary column stats —
+          // unsigned-byte min/max across row groups (parquet's own stats
+          // order). Any block without usable stats → no key stats for the
+          // file (conservative: mayContain stays true).
+          def binRange(colName: String): Option[(String, String)] = {
+            var lo: Array[Byte] = null; var hi: Array[Byte] = null
+            def le(x: Array[Byte], y: Array[Byte]): Boolean = {
+              val n = math.min(x.length, y.length); var i = 0
+              while (i < n) {
+                val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+                if (c != 0) return c < 0
+                i += 1
+              }
+              x.length <= y.length
+            }
+            blocks.foreach { b =>
+              if (b.getRowCount > 0) b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+                case Some(c) =>
+                  val st = c.getStatistics
+                  if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+                  (st.genericGetMin, st.genericGetMax) match {
+                    case (mnB: org.apache.parquet.io.api.Binary, mxB: org.apache.parquet.io.api.Binary) =>
+                      val (mb, xb) = (mnB.getBytes, mxB.getBytes)
+                      if (lo == null || le(mb, lo)) lo = mb
+                      if (hi == null || le(hi, xb)) hi = xb
+                    case _ => return None
+                  }
+                case None => return None
+              }
+            }
+            if (lo == null) None
+            else Some((new String(lo, java.nio.charset.StandardCharsets.UTF_8),
+              new String(hi, java.nio.charset.StandardCharsets.UTF_8)))
+          }
+          val keyRange: Option[(String, String, String, String)] =
+            if (nRows == 0) None
+            else for ((rLo, rHi) <- binRange("repo"); (pLo, pHi) <- binRange("path"))
+              yield (rLo, rHi, pLo, pHi)
+          def withKeys(fe: FileEntry): FileEntry = keyRange match {
+            case Some((rLo, rHi, pLo, pHi)) =>
+              fe.copy(minRepo = rLo, maxRepo = rHi, minPath = pLo, maxPath = pHi)
+            case None => fe
+          }
           // live-row count from the tombstone flag's boolean row-group
           // statistics: an all-false row group is wholly live, an
           // all-true one wholly tombstone — both free; a MIXED row
@@ -524,8 +631,8 @@ final class LakeTable(
             } else live
           if (nRows == 0)
             e.copy(minLsn = Long.MaxValue, maxLsn = Long.MinValue, nKeys = 0, nLive = 0)
-          else if (ok) e.copy(minLsn = mn, maxLsn = mx, nKeys = nRows, nLive = nLive)
-          else e.copy(nLive = nLive)
+          else if (ok) withKeys(e.copy(minLsn = mn, maxLsn = mx, nKeys = nRows, nLive = nLive))
+          else withKeys(e.copy(nLive = nLive))
         } finally reader.close()
       } catch { case scala.util.control.NonFatal(_) => e }
     }.collect(java.util.stream.Collectors.toList[FileEntry]).asScala.toSeq
@@ -700,4 +807,21 @@ object LakeTable {
     * upsert for a key deleted at a higher lsn loses the lsn argmax against
     * the tombstone instead of resurrecting the key. */
   val DeletedCol = "_deleted"
+
+  /** a ≤ b in UNSIGNED UTF-8 byte order — the order parquet uses for
+    * binary column min/max statistics. `String.compareTo` (UTF-16 code
+    * units) disagrees for code points ≥ U+10000 vs U+E000..U+FFFF, so key
+    * pruning must compare the bytes parquet compared. */
+  private[graft] def utf8Le(a: String, b: String): Boolean = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
 }

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * Compaction — streaming upsert epochs leave `saltBuckets` files per
   * touched bucket per epoch; over many epochs a bucket accumulates small
   * files (the classic streaming-ingest small-file problem). `compact`
-  * rewrites each oversized bucket's current winners into one file and
+  * rewrites each oversized bucket's current winners into one key-sorted
+  * file (or several key-DISJOINT files under a byte budget) and
   * commits a new snapshot — data-identical, metadata smaller. This is a
   * pure metadata+layout operation: concurrent readers keep reading their
   * pinned snapshot (reference analogue: stage outputs replaced atomically
@@ -24,11 +25,25 @@ import org.apache.spark.sql.functions._
 object Maintenance {
   import LakeTable.DeletedCol
 
-  /** Rewrite buckets having more than `maxFilesPerBucket` files into one
-    * file each; returns the number of compacted buckets (0 → no new
-    * snapshot committed). Also compacts the appended meta tables on the
-    * same trigger — they accrete one small file per epoch otherwise. */
-  def compact(table: LakeTable, maxFilesPerBucket: Int = 4): Int = {
+  /** Rewrite buckets having more than `maxFilesPerBucket` files; returns
+    * the number of compacted buckets (0 → no new snapshot committed). Also
+    * compacts the appended meta tables on the same trigger — they accrete
+    * one small file per epoch otherwise.
+    *
+    * Output layout: a bucket whose rows fit `targetFileBytes` (manifest
+    * byte sum) becomes ONE key-sorted file; a bucket beyond the budget
+    * splits into KEY-DISJOINT sorted files via range partitioning on
+    * (bucket, repo, path). Key-disjoint splits are what make the
+    * manifest's per-file (repo, path) ranges PRUNABLE — a point lookup
+    * plans exactly the one range file of its bucket. (The merge's salt
+    * files spread keys by hash, so their ranges overlap by construction
+    * and only row-group stats help there; compaction is where file-level
+    * key pruning is established.) The executor-memory story is the same:
+    * no single task ever materializes more than ~targetFileBytes of one
+    * bucket, so compaction survives buckets far larger than executor
+    * memory. */
+  def compact(table: LakeTable, maxFilesPerBucket: Int = 4,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     compactMeta(table, maxFilesPerBucket * 4)
     val snap = table.currentSnapshot().getOrElse(return 0)
     // full-table maintenance pass: enumerating every bucket's file count
@@ -41,16 +56,35 @@ object Maintenance {
     // unique writer-suffixed dir, same protocol as MergeInto: never
     // overwrite a directory a concurrent committer may already own
     val writeDir = s"v$newVersion-${java.util.UUID.randomUUID().toString.take(8)}"
-    // one output file per oversized bucket: tombstones and winners are
-    // already resolved in the stored rows — this is a pure rewrite
-    // sortWithinPartitions keeps the rewritten files key-sorted so the
-    // footer (repo, path) min/max stay TIGHT per row group — without it
-    // compaction would silently degrade the point-lookup row-group
-    // pruning the merge write path establishes (a compacted bucket file
-    // with shuffled keys has every row group spanning the whole range)
-    table.readFiles(snap.schema, snap.filesIn(oversized))
+    // tombstones and winners are already resolved in the stored rows —
+    // this is a pure rewrite. sortWithinPartitions keeps the rewritten
+    // files key-sorted so the footer (repo, path) min/max stay TIGHT per
+    // row group — without it compaction would silently degrade the
+    // point-lookup row-group pruning the merge write path establishes (a
+    // compacted bucket file with shuffled keys has every row group
+    // spanning the whole range)
+    val src = table.readFiles(snap.schema, snap.filesIn(oversized))
       .withColumn("b", pmod(xxhash64(col("repo")), lit(snap.numBuckets)).cast("int"))
-      .repartition(oversized.size, col("b"))
+    // byte-budget split count from manifest stats (unknown sizes count 0 —
+    // conservative toward the single-file layout, never toward a skewed
+    // over-split); Int.MaxValue cap is a formality (2^31 × 128 MB ≫ any
+    // table)
+    val nSplits = oversized.toSeq.map { b =>
+      val bytes = byBucket(b).map(f => math.max(f.nBytes, 0L)).sum
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    }.sum
+    val arranged =
+      if (nSplits <= oversized.size)
+        // every bucket fits the budget: exactly one file per bucket
+        src.repartition(oversized.size, col("b"))
+      else
+        // range partitioning on (bucket, repo, path): within a bucket the
+        // resulting files hold contiguous, DISJOINT key ranges (the write's
+        // partitionBy("b") keeps a sampled range straddling two buckets in
+        // separate files), sized by the global sort sample ≈ targetFileBytes
+        src.repartitionByRange(math.min(nSplits, Int.MaxValue.toLong).toInt,
+          col("b"), col("repo"), col("path"))
+    arranged
       .sortWithinPartitions(col("b"), col("repo"), col("path"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("b").parquet(s"${table.root}/data/$writeDir")

@@ -376,9 +376,22 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
     val statsFiltered =
       if (rowBound == Long.MinValue) bucketed
       else bucketed.filter(f => !f.hasStats || f.maxLsn > rowBound)
-    val files = limitPrefix(statsFiltered)
+    // file-level KEY pruning: manifest-recorded (repo, path) min/max (in
+    // parquet's unsigned UTF-8 byte order) drop whole files a point lookup
+    // cannot match. This bites on compaction's KEY-DISJOINT range splits —
+    // a big bucket compacted under the byte budget plans exactly ONE file
+    // for a point lookup, and an absent key plans zero; the merge's
+    // hash-salted files have overlapping ranges and survive (row-group
+    // stats bound IO inside them). Files without key stats (legacy
+    // manifests) always survive; every filter stays residual, so pruning
+    // is a pure reduction.
+    val keyFiltered =
+      if (repoEq.isEmpty && pathEq.isEmpty) statsFiltered
+      else statsFiltered.filter(_.mayContain(repoEq.orNull, pathEq.orNull))
+    val files = limitPrefix(keyFiltered)
     new GraftScan(root, snapshot.schema, required, files,
       bucketPruned = repoEq.isDefined, statsPruned = bucketed.size - statsFiltered.size,
+      keyPruned = statsFiltered.size - keyFiltered.size,
       options = options, rowBound = rowBound,
       repoEq = repoEq.orNull, pathEq = pathEq.orNull,
       numBuckets = snapshot.numBuckets)
@@ -468,6 +481,7 @@ object GraftSplit {
 
 final class GraftScan(root: String, physicalSchema: StructType, required: StructType,
                       initialFiles: Seq[FileEntry], bucketPruned: Boolean, statsPruned: Int,
+                      keyPruned: Int = 0,
                       options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
                       /** Exclusive row-level lsn bound (Long.MinValue =
                         * none): pushed into parquet row-group skipping and
@@ -492,6 +506,7 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
   override def toBatch: Batch = this
   override def description(): String =
     s"graft files=${files.size} bucketPruned=$bucketPruned statsPruned=$statsPruned " +
+      s"keyPruned=$keyPruned " +
       s"runtimePruned=$runtimePruned " +
       s"keyFilter=${Seq(Option(repoEq).map(r => s"repo=$r"),
         Option(pathEq).map(p => s"path=$p")).flatten.mkString("&")} " +

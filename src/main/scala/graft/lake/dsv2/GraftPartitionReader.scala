@@ -133,11 +133,22 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
   private def readValue(g: Group, f: StructField): Any = {
     val name = f.name
     if (!inFile(name) || g.getFieldRepetitionCount(name) == 0) return null
+    // WIDENED columns (SchemaRegistry: int->long, float->double): an old
+    // file written before the widen stores the narrow physical type — read
+    // what the file has and upcast, the tolerant-reader rule applied to
+    // types as well as presence
+    def fileIs(t: PrimitiveType.PrimitiveTypeName): Boolean =
+      fileSchema.getType(fileSchema.getFieldIndex(name))
+        .asPrimitiveType().getPrimitiveTypeName == t
     f.dataType match {
       case StringType => UTF8String.fromBytes(g.getBinary(name, 0).getBytes)
-      case LongType => g.getLong(name, 0)
+      case LongType =>
+        if (fileIs(PrimitiveType.PrimitiveTypeName.INT32)) g.getInteger(name, 0).toLong
+        else g.getLong(name, 0)
       case IntegerType => g.getInteger(name, 0)
-      case DoubleType => g.getDouble(name, 0)
+      case DoubleType =>
+        if (fileIs(PrimitiveType.PrimitiveTypeName.FLOAT)) g.getFloat(name, 0).toDouble
+        else g.getDouble(name, 0)
       case FloatType => g.getFloat(name, 0)
       case BooleanType => g.getBoolean(name, 0)
       case TimestampType | TimestampNTZType => readTimestampMicros(g, name)

@@ -40,6 +40,15 @@ final case class MergeStats(
     tableVersion: Long,
     skipped: Boolean,
     eventsIn: Long,
+    /** Malformed events diverted from the merge: null key columns (repo/
+      * path), null lsn, or an op outside {I, U, D}. A CDC engine must not
+      * let one poison event abort the stream (a null repo would otherwise
+      * land in an unparseable `b=__HIVE_DEFAULT_PARTITION__` directory and
+      * fail the commit); they are counted here, recorded in meta/metrics,
+      * and — when `recordMeta` — persisted to `meta/quarantine` (JSONL,
+      * schema-tolerant across evolving event schemas) for replay after
+      * upstream repair. */
+    eventsQuarantined: Long,
     /** HLL estimate (~2% rsd) of distinct lsns in the batch — an
       * observability metric, NOT an exact duplicate-delivery count;
       * exactness would cost a dedicated distinct exchange. */
@@ -110,7 +119,7 @@ final class MergeInto(
       val snapOpt = table.currentSnapshot()
       snapOpt.find(_.epochs.contains(epochId)) match {
         case Some(s) =>
-          return MergeStats(epochId, s.version, skipped = true, 0, 0, 0, 0, 0,
+          return MergeStats(epochId, s.version, skipped = true, 0, 0, 0, 0, 0, 0,
             (System.nanoTime() - t0) / 1000000)
         case None =>
           try return applyNew(events, epochId, snapOpt, t0)
@@ -151,7 +160,10 @@ final class MergeInto(
     val currentState = snapOpt.map(s => StructType(s.schema.fields.filterNot(_.name == DeletedCol)))
     val evolvedState = currentState match {
       case Some(cur) => SchemaRegistry.evolve(cur, incomingState)
-      case None => incomingState
+      // creation: type all-null (NullType) columns off the canonical event
+      // schema — JSON inference (or an all-poison first batch) must not
+      // bake `void` into the table schema
+      case None => SchemaRegistry.resolveNullTypes(incomingState)
     }
     val evolvedWithOp = StructType(evolvedState.fields :+ StructField("op", StringType, nullable = false))
     val physicalSchema = evolvedState.add(StructField(DeletedCol, BooleanType, nullable = false))
@@ -165,11 +177,25 @@ final class MergeInto(
     // for cross-batch redelivery; see ingest.StreamingReplay.) Metrics
     // still report the distinct-lsn count via an HLL sketch riding the
     // same pass, rather than paying an exact-distinct exchange.
+    // Malformed-event quarantine: a poison event (null repo/path/lsn, or
+    // an op outside {I,U,D}) must neither abort the stream nor corrupt
+    // state — a null repo would land in an unparseable
+    // `b=__HIVE_DEFAULT_PARTITION__` directory and fail the commit. The
+    // classification rides the SAME observation pass as the metrics (no
+    // extra job on the hot path); the rare persist of the quarantined
+    // rows themselves happens only when some exist (count seen by the
+    // touched-bucket action below). `op` is null-safe-compared so a null
+    // op is quarantined rather than silently dropped by both branches.
+    val opOk = coalesce(col("op").isin("I", "U", "D"), lit(false))
+    val badCond = col("lsn").isNull || col("repo").isNull || col("path").isNull || !opOk
     val inObs = Observation(s"merge-in-$epochId")
-    val source0 = align(events, evolvedWithOp)
+    val aligned = align(events, evolvedWithOp)
+    val source0 = aligned
       .observe(inObs, count(lit(1)).as("n"),
         approx_count_distinct(col("lsn")).as("n_lsn"),
-        min(col("lsn")).as("min_lsn"))
+        min(col("lsn")).as("min_lsn"),
+        sum(when(badCond, 1L).otherwise(0L)).as("n_bad"))
+      .where(!badCond)
     val source = if (cacheSource) source0.persist() else source0
 
     try {
@@ -180,6 +206,15 @@ final class MergeInto(
       // scan-only job, no cache materialization.
       val touched = timed("touched")(source.select(bucketExpr.as(BucketCol)).distinct()
         .collect().map(_.getInt(0)).toSet)
+
+      // the touched action evaluated the observed plan, so the quarantine
+      // count is known; persist the rows themselves only when some exist
+      // (JSONL: schema-tolerant across evolving event schemas) — replay
+      // after upstream repair is `spark.read.json(...)` → merge.apply
+      val nQuarantined = asLong(inObs.get, "n_bad")
+      if (nQuarantined > 0 && recordMeta)
+        aligned.where(badCond).withColumn("_epoch", lit(epochId))
+          .write.mode("append").json(s"${table.root}/meta/quarantine")
 
       val targetFiles = snapOpt.map(_.filesIn(touched)).getOrElse(Seq.empty)
       val target = align(
@@ -331,7 +366,7 @@ final class MergeInto(
               // our own epoch landed concurrently (a speculative retry of
               // one logical writer): degrade to a ledger skip
               skippedStats = Some(MergeStats(epochId, cur.version, skipped = true,
-                0, 0, 0, 0, 0, (System.nanoTime() - t0) / 1000000))
+                0, 0, 0, 0, 0, 0, (System.nanoTime() - t0) / 1000000))
             } else {
               val fastOk = snapOpt.isDefined &&
                 cur.numBuckets == numBuckets &&
@@ -349,6 +384,7 @@ final class MergeInto(
         case None =>
           val stats = MergeStats(epochId, committedVersion, skipped = false,
             eventsIn = asLong(inObs.get, "n"),
+            eventsQuarantined = nQuarantined,
             approxDistinctLsn = asLong(inObs.get, "n_lsn"),
             keysWritten = asLong(outObs.get, "keys"),
             tombstonesWritten = asLong(outObs.get, "tombstones"),
@@ -387,9 +423,11 @@ object Meta {
         .coalesce(1)
         .write.mode("append").parquet(s"${table.root}/meta/lineage")
     }
-    Seq((epochId, version, stats.eventsIn, stats.approxDistinctLsn, stats.keysWritten,
+    Seq((epochId, version, stats.eventsIn, stats.eventsQuarantined,
+      stats.approxDistinctLsn, stats.keysWritten,
       stats.tombstonesWritten, stats.bucketsTouched, stats.durationMs))
-      .toDF("epoch", "version", "events_in", "approx_distinct_lsn", "keys_written",
+      .toDF("epoch", "version", "events_in", "events_quarantined",
+        "approx_distinct_lsn", "keys_written",
         "tombstones_written", "buckets_touched", "duration_ms")
       .coalesce(1)
       .write.mode("append").parquet(s"${table.root}/meta/metrics")

@@ -73,9 +73,27 @@ object SchemaRegistry {
 
   private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
     case (a, b) if a == b => true
+    // an all-null column (JSON inference — or an all-poison batch — yields
+    // NullType) carries no type information: any concrete type covers it
+    case (NullType, _) => true
     case (IntegerType, LongType) => true
     case (FloatType, DoubleType) => true
     case _ => false
+  }
+
+  /** Resolve NullType (all-null) columns at TABLE CREATION, where there is
+    * no current schema to inherit a type from: fall back to the canonical
+    * event schema's type when the column name is known there, and drop the
+    * column otherwise (all its values are null — nothing is lost, and the
+    * column joins the table properly typed the first time a producer sends
+    * a real value). Without this, one all-null inferred column would bake
+    * `void` into the table schema forever. */
+  def resolveNullTypes(schema: StructType, fallback: StructType = eventSchemaV1): StructType = {
+    val fb = fallback.fields.map(f => f.name -> f.dataType).toMap
+    StructType(schema.fields.flatMap { f =>
+      if (f.dataType != NullType) Some(f)
+      else fb.get(f.name).map(t => StructField(f.name, t, nullable = true))
+    })
   }
 
   /** Evolve `current` to also cover `incoming`.
@@ -103,10 +121,14 @@ object SchemaRegistry {
         case _ => curF
       }
     }
-    val added = incoming.fields.filterNot(f => curByName.contains(f.name)).map { f =>
-      require(f.nullable, s"new column ${f.name} must be nullable")
-      f
-    }
+    val added = incoming.fields.filterNot(f => curByName.contains(f.name))
+      // a NEW all-null column carries no type to store — it joins the
+      // schema properly typed once a producer sends a real value
+      .filterNot(_.dataType == NullType)
+      .map { f =>
+        require(f.nullable, s"new column ${f.name} must be nullable")
+        f
+      }
     StructType(mergedExisting ++ added)
   }
 }

@@ -118,6 +118,74 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("manifest key-range stats prune point lookups at FILE granularity") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("dsv2-keyprune")
+    val table = new LakeTable(spark, s"$work/table")
+    // ONE bucket so bucket pruning can't help — only the per-file
+    // (repo, path) ranges can. The merge copy-on-writes whole buckets and
+    // its salt files spread keys by HASH (overlapping ranges — honestly
+    // unprunable); the prunable layout is compaction's byte-budget
+    // KEY-DISJOINT range splits, so that is what this test builds.
+    val merge = new MergeInto(table, numBuckets = 1, saltBuckets = 2,
+      recordMeta = false)
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val events = (0 until 200).map { i =>
+      (i.toLong, "I", ts, f"org/repo-$i%03d", f"src/f$i%03d.txt", "c", "text",
+        s"body-$i-" + java.lang.Long.toHexString(i * 0x9e3779b97f4a7c15L))
+    }.toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+    merge.apply(events, epochId = 0L): Unit
+
+    // split the one bucket into ~5 key-disjoint files (budget = bytes/5)
+    val bytes = table.currentSnapshot().get.allFiles.map(f => math.max(f.nBytes, 0L)).sum
+    assert(bytes > 0L)
+    assert(Maintenance.compact(table, maxFilesPerBucket = 1,
+      targetFileBytes = math.max(bytes / 5, 1L)) == 1)
+
+    val snap = table.currentSnapshot().get
+    val files = snap.allFiles.filter(_.nKeys > 0)
+    assert(files.size >= 3, s"expected a multi-file split, got ${files.size}")
+    assert(files.forall(_.hasKeyStats), "compaction did not record key-range stats")
+    // the split is genuinely key-disjoint: repo ranges do not overlap
+    val ranges = files.map(f => (f.minRepo, f.maxRepo)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping ranges: $ranges")
+      case _ =>
+    }
+
+    val all = spark.read.format("graft").load(table.root)
+    assert(plannedFiles(all) == files.size)
+    // an existing key lives in exactly one range file
+    val hit = spark.read.format("graft").load(table.root)
+      .where(col("repo") === "org/repo-120")
+    assert(plannedFiles(hit) == 1,
+      s"expected 1 planned file, got ${plannedFiles(hit)}")
+    assert(canon(hit) == canon(table.read().where(col("repo") === "org/repo-120")))
+    // a key no file can contain plans ZERO files
+    val miss = spark.read.format("graft").load(table.root)
+      .where(col("repo") === "zzz/absent")
+    assert(plannedFiles(miss) == 0)
+    assert(miss.count() == 0)
+  }
+
+  test("key-range stats survive manifest round-trip incl. hostile characters") {
+    import graft.lake.{FileEntry, Snapshot}
+    val entries = Seq(
+      FileEntry(0, "data/v0/b=0/p.parquet", 1L, 9L, 3L, 100L, 3L,
+        "a%b\tc", "z\nrepo", "", "p\rq"),
+      FileEntry(1, "data/v0/b=1/q.parquet", 2L, 8L, 2L, 50L, 2L)) // no key stats
+    val parsed = Snapshot.parseFileLines(Snapshot.serializeFileLines(entries))
+    assert(parsed.toSet == entries.toSet)
+    // byte-order comparator: a supplementary-plane code point (4-byte
+    // UTF-8, surrogate pair in UTF-16) sorts ABOVE U+FFFF in byte order —
+    // the order parquet stats use — while String.compareTo says the
+    // opposite (the high surrogate D800 < FFFF)
+    val uFFFF = "\uffff"
+    val u10000 = new String(Character.toChars(0x10000))
+    assert(LakeTable.utf8Le(uFFFF, u10000))
+    assert(uFFFF.compareTo(u10000) > 0, "JVM order differs — which is why utf8Le exists")
+  }
+
   test("manifest statistics: the optimizer sees pruned-scan sizes and auto-broadcasts") {
     val table = build()
     val snap = table.currentSnapshot().get

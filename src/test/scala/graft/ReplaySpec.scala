@@ -161,6 +161,83 @@ class ReplaySpec extends AnyFunSuite {
       Set("bucket", "n_keys", "min_lsn", "max_lsn", "version", "epoch"))
   }
 
+  test("schema evolution: int->long widen reads old int32 files on BOTH read paths") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val work = TestSpark.tmpDir("widen")
+    val table = new LakeTable(spark, s"$work/table")
+    val merge = new MergeInto(table, numBuckets = 2, saltBuckets = 1, recordMeta = false)
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val base = SchemaRegistry.eventSchemaV1
+    def mk(schema: StructType, rows: Row*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    // epoch 0: `stars` is an INT column — files store int32
+    val vInt = base.add(StructField("stars", IntegerType, nullable = true))
+    merge.apply(mk(vInt,
+      Row(1L, "I", ts, "r/a", "f1", "c", "text", "one", 7),
+      Row(2L, "I", ts, "r/b", "f2", "c", "text", "two", 9)), 0L)
+    // epoch 1: a producer widened `stars` to LONG — table schema widens,
+    // epoch-0 files stay int32 on disk
+    val vLong = base.add(StructField("stars", LongType, nullable = true))
+    merge.apply(mk(vLong,
+      Row(3L, "I", ts, "r/c", "f3", "c", "text", "three", 5000000000L)), 1L)
+    assert(table.currentSnapshot().get.schema("stars").dataType == LongType)
+    val expect = Map("r/a" -> 7L, "r/b" -> 9L, "r/c" -> 5000000000L)
+    // native-reader path (merge target reads + read())
+    val viaNative = table.read().select("repo", "stars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaNative == expect)
+    // row-based DSv2 reader path must upcast the int32 file too
+    val viaDsv2 = spark.read.format("graft").load(table.root)
+      .select("repo", "stars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaDsv2 == expect)
+    // and a further epoch merging on top of the mixed layout still works
+    merge.apply(mk(vLong,
+      Row(4L, "U", ts, "r/a", "f1", "c", "text", "one2", 8L)), 2L)
+    assert(table.read().where(col("repo") === "r/a").select("stars").head.getLong(0) == 8L)
+  }
+
+  test("malformed events are quarantined, not applied and not fatal") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("quarantine")
+    val table = new LakeTable(spark, s"$work/table")
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = true)
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    // two valid events + four poison shapes: null repo (would otherwise
+    // write an unparseable b=__HIVE_DEFAULT_PARTITION__ dir and fail the
+    // commit), null path, null lsn, unknown op
+    val events = Seq(
+      (java.lang.Long.valueOf(1L), "I", ts, "r/a", "f1", "c", "text", "one"),
+      (java.lang.Long.valueOf(2L), "U", ts, "r/b", "f2", "c", "text", "two"),
+      (java.lang.Long.valueOf(3L), "I", ts, null, "fx", "c", "text", "bad-repo"),
+      (java.lang.Long.valueOf(4L), "I", ts, "r/c", null, "c", "text", "bad-path"),
+      (null.asInstanceOf[java.lang.Long], "I", ts, "r/d", "f4", "c", "text", "bad-lsn"),
+      (java.lang.Long.valueOf(6L), "X", ts, "r/e", "f5", "c", "text", "bad-op")
+    ).toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+    val stats = merge.apply(events, epochId = 0L)
+    assert(!stats.skipped)
+    assert(stats.eventsIn == 6 && stats.eventsQuarantined == 4 && stats.keysWritten == 2)
+    assert(stateOf(table).keySet == Set(("r/a", "f1"), ("r/b", "f2")))
+    // quarantined rows persisted for replay-after-repair, tagged by epoch
+    val q = spark.read.json(s"${table.root}/meta/quarantine")
+    assert(q.count() == 4)
+    assert(q.where(col("_epoch") === 0L).count() == 4)
+    assert(q.where(col("op") === "X").count() == 1)
+    // metrics table records the count
+    val m = Meta.metrics(table).collect()
+    assert(m.length == 1)
+    assert(Meta.metrics(table).select("events_quarantined").head.getLong(0) == 4L)
+    // an all-poison epoch still commits (ledgered for exactly-once) and
+    // leaves state untouched
+    val bad = Seq((null.asInstanceOf[java.lang.Long], "I", ts, null, null, "c", "t", "x"))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+    val s2 = merge.apply(bad, epochId = 1L)
+    assert(!s2.skipped && s2.eventsQuarantined == 1 && s2.keysWritten == 0)
+    assert(stateOf(table).keySet == Set(("r/a", "f1"), ("r/b", "f2")))
+    assert(table.currentSnapshot().get.epochs.contains(1L))
+  }
+
   test("schema registry: widen ok, narrow/illegal rejected") {
     import org.apache.spark.sql.types._
     val v1 = SchemaRegistry.eventSchemaV1
