@@ -345,13 +345,23 @@ final class LakeTable(
     /** Bucket-group count for split manifests (group = bucket % this).
       * Size so one group ≈ a few thousand file entries at the target
       * bucket count. */
-    val manifestGroupCount: Int = 64) {
+    val manifestGroupCount: Int = 64,
+    /** Snapshot LINEAGE this handle commits to and reads from. "main" is
+      * the primary lineage under `_snapshots/`; any other name is a
+      * branch under `_snapshots/branches/<name>/` (write-audit-publish:
+      * stage risky epochs on a branch, audit them, then `fastForward`
+      * main — a metadata-only publish). All lineages SHARE the root's
+      * data pool and content-addressed manifests, so branching and
+      * publishing move no data. */
+    val branch: String = LakeTable.MainBranch) {
   import LakeTable._
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
 
-  def snapshotDir: Path = new Path(root, "_snapshots")
+  def snapshotDir: Path =
+    if (branch == MainBranch) new Path(root, "_snapshots")
+    else new Path(root, s"_snapshots/branches/$branch")
   def manifestDir: Path = new Path(root, "_snapshots/manifests")
   def refsDir: Path = new Path(root, "_snapshots/refs")
 
@@ -783,6 +793,118 @@ final class LakeTable(
     snapshotAt(tagVersion(name).getOrElse(
       throw new IllegalArgumentException(s"no tag '$name' at $root")))
 
+  // ---- branches (write-audit-publish) ------------------------------------
+  // A branch is a SEPARATE snapshot lineage under `_snapshots/branches/
+  // <name>/`, sharing the root's data pool and content-addressed
+  // manifests: creating one copies a single snapshot file, committing to
+  // one is the ordinary commit protocol against its own directory, and
+  // publishing (`fastForward`) copies the branch's immutable snapshot
+  // files onto the target lineage — all metadata-only, no data moves.
+  // The WAP (write-audit-publish) flow for a risky backfill: fork a
+  // branch, MERGE the suspect epochs there, audit the branch (readers of
+  // main never see it), then fast-forward main; because the branch's
+  // snapshots carry the full epoch ledger, exactly-once holds across the
+  // publish (re-delivering a published epoch to main is a ledger skip).
+  // Time travel below the fork point goes through the lineage that owns
+  // those versions (usually main).
+
+  private def branchesDir: Path = new Path(root, "_snapshots/branches")
+
+  /** A handle on the same table committing to/reading from `name`'s
+    * lineage ("main" = the primary). */
+  def forBranch(name: String): LakeTable =
+    if (name == branch) this
+    else new LakeTable(spark, root, manifestSplitThreshold, manifestGroupCount, name)
+
+  private def snapshotText(version: Long): String =
+    readText(fs, new Path(snapshotDir, s"v$version"))
+
+  /** Fork a branch at `fromVersion` of THIS handle's lineage. Returns the
+    * branch handle. Creation is one atomic snapshot-file copy; a create
+    * race has exactly one winner (rename-if-absent, like tags). */
+  def createBranch(name: String, fromVersion: Long): LakeTable = {
+    require(name.matches("[A-Za-z0-9_.-]+") && name != MainBranch,
+      s"bad branch name: $name")
+    val f = fs
+    require(f.exists(new Path(snapshotDir, s"v$fromVersion")),
+      s"cannot branch from uncommitted version $fromVersion")
+    val b = forBranch(name)
+    require(!f.exists(b.snapshotDir), s"branch '$name' already exists")
+    f.mkdirs(b.snapshotDir)
+    val body = snapshotText(fromVersion)
+    val tmp = new Path(b.snapshotDir,
+      s".v$fromVersion.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, new Path(b.snapshotDir, s"v$fromVersion"))) {
+      f.delete(tmp, false)
+      throw new CommitConflictException(s"branch '$name' creation lost a race")
+    }
+    b
+  }
+
+  /** Branch names present at this root (excluding "main"). */
+  def branchNames(): Seq[String] = {
+    val f = fs
+    if (!f.exists(branchesDir)) Seq.empty
+    else f.listStatus(branchesDir).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** All branches as (name, currentVersion), name-sorted. */
+  def listBranches(): Seq[(String, Long)] =
+    branchNames().flatMap(n => forBranch(n).currentSnapshot().map(s => (n, s.version)))
+
+  /** Drop a branch lineage (its snapshot files only — shared data and
+    * manifests stay; `vacuum` reclaims anything now unreachable). */
+  def dropBranch(name: String): Boolean =
+    fs.delete(new Path(branchesDir, name), true)
+
+  /** Every lineage handle at this root: main first, then branches. Vacuum
+    * and snapshot expiry compute reachability across ALL of these — a
+    * file referenced only by an unpublished audit branch is live. */
+  def lineageHandles(): Seq[LakeTable] =
+    forBranch(MainBranch) +: branchNames().map(forBranch)
+
+  /** Publish branch `from` onto THIS handle's lineage by fast-forward:
+    * requires this lineage's current version to be an ancestor the branch
+    * forked from (present in the branch's lineage with IDENTICAL
+    * content — otherwise the histories diverged and the publish fails
+    * loudly; replay the branch's epochs as ordinary CDC merges instead).
+    * Copies each newer branch snapshot file in version order, so a crash
+    * mid-publish leaves a consistent prefix and re-running resumes
+    * (identical content → skip; different content → conflict). Returns
+    * the published current version. */
+  def fastForward(from: String): Long = {
+    require(from != branch, s"cannot fast-forward '$branch' from itself")
+    val src = forBranch(from)
+    val srcVersions = src.snapshotVersions()
+    require(srcVersions.nonEmpty, s"branch '$from' does not exist or is empty")
+    val cur = currentSnapshot().map(_.version).getOrElse(
+      throw new IllegalStateException(s"cannot fast-forward an empty lineage — use createBranch"))
+    if (!srcVersions.contains(cur) || snapshotText(cur) != src.snapshotText(cur))
+      throw new CommitConflictException(
+        s"'$branch' (at v$cur) and '$from' have diverged — fast-forward impossible; " +
+          s"replay the branch's epochs as CDC merges instead")
+    val f = fs
+    srcVersions.filter(_ > cur).foreach { v =>
+      val body = src.snapshotText(v)
+      val dst = new Path(snapshotDir, s"v$v")
+      val tmp = new Path(snapshotDir,
+        s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      if (!f.rename(tmp, dst)) {
+        f.delete(tmp, false)
+        // an interrupted earlier publish already landed this version: fine
+        if (readText(f, dst) != body)
+          throw new CommitConflictException(
+            s"concurrent commit at v$v during fast-forward from '$from'")
+      }
+    }
+    srcVersions.max
+  }
+
   /** Visible state as of a past snapshot version (time travel). */
   def readVersion(version: Long): DataFrame = {
     val snap = snapshotAt(version)
@@ -807,6 +929,9 @@ object LakeTable {
     * upsert for a key deleted at a higher lsn loses the lsn argmax against
     * the tombstone instead of resurrecting the key. */
   val DeletedCol = "_deleted"
+
+  /** Name of the primary snapshot lineage. */
+  val MainBranch = "main"
 
   /** a ≤ b in UNSIGNED UTF-8 byte order — the order parquet uses for
     * binary column min/max statistics. `String.compareTo` (UTF-16 code

@@ -303,16 +303,19 @@ object Maintenance {
     * writer can be active (e.g. tests, single-writer maintenance
     * windows). */
   def vacuum(table: LakeTable, retentionMs: Long = 24L * 3600 * 1000): Seq[String] = {
-    val versions = table.snapshotVersions()
+    // reachability spans EVERY lineage at the root (main + branches): a
+    // file referenced only by an unpublished audit branch is live
+    val lineages = table.lineageHandles()
     val cutoff = System.currentTimeMillis() - retentionMs
-    val referenced: Set[String] = versions
-      .flatMap(v => table.snapshotAt(v).allFiles)
+    val referenced: Set[String] = lineages
+      .flatMap(t => t.snapshotVersions().flatMap(v => t.snapshotAt(v).allFiles))
       .map(_.relPath.stripPrefix("data/").takeWhile(_ != '/')).toSet
     val orphans = table.dataDirNames()
       .filterNot(referenced)
       .filter(d => table.dataDirMtime(d) <= cutoff)
     orphans.foreach(table.deleteDataDir)
-    val refManifests: Set[String] = versions.flatMap(table.manifestRefsOf).toSet
+    val refManifests: Set[String] = lineages
+      .flatMap(t => t.snapshotVersions().flatMap(t.manifestRefsOf)).toSet
     val orphanManifests = table.manifestFileNames()
       .filterNot(refManifests)
       .filter(m => table.manifestMtime(m) <= cutoff)
@@ -354,10 +357,16 @@ object Maintenance {
     if (expired.isEmpty) return Seq.empty
     val expiredSet = expired.toSet
     val retained = versions.filterNot(expiredSet)
-    val keepFiles = retained.flatMap(v => table.snapshotAt(v).allFiles.map(_.relPath)).toSet
+    // expiry acts on THIS handle's lineage only, but a reclaimed file must
+    // be unreferenced by every OTHER lineage too (an audit branch may
+    // still hold a version main just expired)
+    val others = table.lineageHandles().filterNot(_.branch == table.branch)
+    val keepFiles = retained.flatMap(v => table.snapshotAt(v).allFiles.map(_.relPath)).toSet ++
+      others.flatMap(t => t.snapshotVersions().flatMap(v => t.snapshotAt(v).allFiles.map(_.relPath)))
     val dropFiles = expired.flatMap(v => table.snapshotAt(v).allFiles.map(_.relPath))
       .distinct.filterNot(keepFiles)
-    val keepManifests = retained.flatMap(table.manifestRefsOf).toSet
+    val keepManifests = retained.flatMap(table.manifestRefsOf).toSet ++
+      others.flatMap(t => t.snapshotVersions().flatMap(t.manifestRefsOf))
     val dropManifests = expired.flatMap(table.manifestRefsOf).distinct.filterNot(keepManifests)
     expired.foreach(table.deleteSnapshotFile)
     dropFiles.foreach(table.deleteDataFile)

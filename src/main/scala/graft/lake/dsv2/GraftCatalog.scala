@@ -48,7 +48,8 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
 
   private val procNames =
     Array("compact", "vacuum", "rebucket", "refresh_view", "expire_snapshots", "history",
-      "rollback", "revert", "create_tag", "drop_tag", "list_tags")
+      "rollback", "revert", "create_tag", "drop_tag", "list_tags",
+      "create_branch", "fast_forward", "drop_branch", "list_branches")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procNames.map(Identifier.of(Array("system"), _))
@@ -258,6 +259,12 @@ private final class GraftProcedure(procName: String)
     case "create_tag" => "pin a committed version under an immutable name (-1 = current)"
     case "drop_tag" => "remove a tag, releasing its version to expiry"
     case "list_tags" => "one row per tag: name, version"
+    case "create_branch" =>
+      "fork a write-audit-publish branch at a version (-1 = current); metadata-only"
+    case "fast_forward" =>
+      "publish a branch onto main by fast-forward (fails loudly if histories diverged)"
+    case "drop_branch" => "drop a branch lineage; vacuum reclaims its exclusive storage"
+    case "list_branches" => "one row per branch: name, current version"
   }
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -284,6 +291,11 @@ private final class GraftProcedure(procName: String)
       inDefault("version", LongType, "-1"))
     case "drop_tag" => Array(in("path", StringType), in("name", StringType))
     case "list_tags" => Array(in("path", StringType))
+    case "create_branch" => Array(in("path", StringType), in("name", StringType),
+      inDefault("version", LongType, "-1"))
+    case "fast_forward" => Array(in("path", StringType), in("branch", StringType))
+    case "drop_branch" => Array(in("path", StringType), in("name", StringType))
+    case "list_branches" => Array(in("path", StringType))
   }
 
   override def call(input: InternalRow): JIterator[Scan] = {
@@ -309,6 +321,15 @@ private final class GraftProcedure(procName: String)
           fs.size, fs.map(f => math.max(f.nBytes, 0L)).sum,
           fs.map(f => math.max(f.nKeys, 0L)).sum,
           s.highWaterLsn.map(Long.box).orNull)): InternalRow
+      }.toArray
+      return java.util.Collections.singletonList[Scan](
+        new GraftResultScan(schema, rows)).iterator()
+    }
+    if (procName == "list_branches") {
+      val schema = StructType(Seq(
+        StructField("name", StringType), StructField("version", LongType)))
+      val rows = table.listBranches().map { case (n, v) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(n), v)): InternalRow
       }.toArray
       return java.util.Collections.singletonList[Scan](
         new GraftResultScan(schema, rows)).iterator()
@@ -369,6 +390,21 @@ private final class GraftProcedure(procName: String)
         (StructType(Seq(StructField("version", LongType))), Seq(v))
       case "drop_tag" =>
         val dropped = table.dropTag(input.getString(1))
+        (StructType(Seq(StructField("dropped", BooleanType))), Seq(dropped))
+      case "create_branch" =>
+        val t = table
+        val v = input.getLong(2) match {
+          case -1L => t.currentSnapshot().getOrElse(
+            throw new IllegalStateException("cannot branch an empty table")).version
+          case explicit => explicit
+        }
+        t.createBranch(input.getString(1), v)
+        (StructType(Seq(StructField("version", LongType))), Seq(v))
+      case "fast_forward" =>
+        val v = table.fastForward(input.getString(1))
+        (StructType(Seq(StructField("version", LongType))), Seq(v))
+      case "drop_branch" =>
+        val dropped = table.dropBranch(input.getString(1))
         (StructType(Seq(StructField("dropped", BooleanType))), Seq(dropped))
     }
     val values = row.map {

@@ -44,7 +44,11 @@ class GraftDataSource extends TableProvider
 
   private def snapshotOpt(options: CaseInsensitiveStringMap): Option[graft.lake.Snapshot] = {
     val spark = SparkSession.active
+    // branch selects the snapshot LINEAGE (write-audit-publish audits read
+    // the staged state: .option("branch", "audit")); data and manifests
+    // are shared, so everything downstream is lineage-agnostic
     val table = new LakeTable(spark, rootOf(options))
+      .forBranch(Option(options.get("branch")).getOrElse(LakeTable.MainBranch))
     require(Seq("versionAsOf", "changesTo", "tag").count(options.containsKey) <= 1,
       "versionAsOf / changesTo / tag all pin the read endpoint — set at most one")
     Option(options.get("tag")) match {

@@ -1,0 +1,130 @@
+package graft
+
+import graft.lake.{CommitConflictException, LakeTable, Maintenance}
+import graft.merge.MergeInto
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-audit-publish branches: a branch is a separate snapshot lineage
+  * sharing the root's data pool and content-addressed manifests. Risky
+  * epochs merge onto the branch (invisible on main), get audited there,
+  * and publish by metadata-only fast-forward; vacuum and snapshot expiry
+  * treat every lineage's references as live. */
+class BranchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+
+  private def events(rows: (Long, String, String, String, String)*) = {
+    import spark.implicits._
+    rows.map { case (lsn, op, repo, path, content) =>
+      (lsn, op, ts, repo, path, "c", "text", content)
+    }.toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+  }
+
+  private def stateOf(table: LakeTable): Map[(String, String), String] =
+    table.read().select("repo", "path", "content").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+
+  private def freshTable(): (LakeTable, MergeInto) = {
+    val table = new LakeTable(spark, s"${TestSpark.tmpDir("branch")}/table")
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 1, recordMeta = false)
+    merge.apply(events((1L, "I", "r/a", "f", "one"), (2L, "I", "r/b", "f", "two")), 0L): Unit
+    (table, merge)
+  }
+
+  test("WAP: branch epochs are invisible on main until fast-forward publishes them") {
+    val (table, mainMerge) = freshTable()
+    val fork = table.currentSnapshot().get.version
+
+    val audit = table.createBranch("audit", fork)
+    val branchMerge = new MergeInto(audit, numBuckets = 4, saltBuckets = 1, recordMeta = false)
+    branchMerge.apply(events((3L, "U", "r/a", "f", "one-v2"), (4L, "I", "r/c", "f", "three")), 1L): Unit
+    branchMerge.apply(events((5L, "D", "r/b", "f", null)), 2L): Unit
+
+    // audit the staged state; main is untouched
+    assert(stateOf(audit) == Map(("r/a", "f") -> "one-v2", ("r/c", "f") -> "three"))
+    assert(table.currentSnapshot().get.version == fork)
+    assert(stateOf(table) == Map(("r/a", "f") -> "one", ("r/b", "f") -> "two"))
+    assert(table.listBranches() == Seq(("audit", fork + 2)))
+
+    // the DSv2 surface reads the lineage the option names
+    val viaDsv2 = spark.read.format("graft").option("branch", "audit").load(table.root)
+      .select("repo", "path", "content").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(viaDsv2 == stateOf(audit))
+    assert(spark.read.format("graft").load(table.root).count() == 2) // main unchanged
+
+    // publish: metadata-only fast-forward
+    assert(table.fastForward("audit") == fork + 2)
+    assert(table.currentSnapshot().get.version == fork + 2)
+    assert(stateOf(table) == stateOf(audit))
+    // re-running a publish is a no-op resume, not a conflict
+    assert(table.fastForward("audit") == fork + 2)
+    // exactly-once survives the publish: the branch's ledger came along
+    assert(mainMerge.apply(events((3L, "U", "r/a", "f", "one-v2")), 1L).skipped)
+  }
+
+  test("fast-forward fails loudly once the lineages diverge") {
+    val (table, mainMerge) = freshTable()
+    val fork = table.currentSnapshot().get.version
+    val audit = table.createBranch("audit", fork)
+    new MergeInto(audit, numBuckets = 4, saltBuckets = 1, recordMeta = false)
+      .apply(events((3L, "I", "r/c", "f", "branch-side")), 1L): Unit
+    // main advances independently → histories diverge
+    mainMerge.apply(events((4L, "I", "r/d", "f", "main-side")), 2L): Unit
+    val e = intercept[CommitConflictException](table.fastForward("audit"))
+    assert(e.getMessage.contains("diverged"))
+    // both lineages stay readable and correct after the failed publish
+    assert(stateOf(table).contains(("r/d", "f")) && !stateOf(table).contains(("r/c", "f")))
+    assert(stateOf(audit).contains(("r/c", "f")) && !stateOf(audit).contains(("r/d", "f")))
+  }
+
+  test("vacuum and snapshot expiry treat branch references as live") {
+    val (table, mainMerge) = freshTable()
+    val fork = table.currentSnapshot().get.version
+    val audit = table.createBranch("audit", fork)
+    new MergeInto(audit, numBuckets = 4, saltBuckets = 1, recordMeta = false)
+      .apply(events((3L, "I", "r/c", "f", "staged")), 1L): Unit
+    val staged = stateOf(audit)
+
+    // vacuum from the MAIN handle with zero retention: the branch's data
+    // dirs are unreferenced by main but must survive
+    Maintenance.vacuum(table, retentionMs = 0L)
+    assert(stateOf(audit) == staged, "vacuum reclaimed a live branch's files")
+
+    // advance main twice and expire all but the newest version: files the
+    // branch still references (the fork-era files) must survive
+    mainMerge.apply(events((10L, "U", "r/a", "f", "one-v10")), 5L): Unit
+    mainMerge.apply(events((11L, "U", "r/b", "f", "two-v11")), 6L): Unit
+    Maintenance.expireSnapshots(table, keepLast = 1, olderThanMs = 0L): Unit
+    assert(stateOf(audit) == staged, "expiry reclaimed files a branch references")
+
+    // dropping the branch releases its exclusive storage to vacuum
+    val before = table.dataDirNames().size
+    assert(table.dropBranch("audit"))
+    Maintenance.vacuum(table, retentionMs = 0L)
+    assert(table.dataDirNames().size < before, "branch-only dirs were not reclaimed")
+    assert(stateOf(table) == Map(("r/a", "f") -> "one-v10", ("r/b", "f") -> "two-v11"))
+  }
+
+  test("CALL procedures: create_branch, list_branches, fast_forward, drop_branch") {
+    val (table, _) = freshTable()
+    spark.conf.set("spark.sql.catalog.graft_sys",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    val root = table.root
+    assert(spark.sql(s"CALL graft_sys.system.create_branch('$root', 'audit')")
+      .collect().head.getLong(0) == 0L)
+    new MergeInto(table.forBranch("audit"), numBuckets = 4, saltBuckets = 1, recordMeta = false)
+      .apply(events((3L, "I", "r/c", "f", "staged")), 1L): Unit
+    val listed = spark.sql(s"CALL graft_sys.system.list_branches('$root')").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(listed == Seq(("audit", 1L)))
+    assert(spark.sql(s"CALL graft_sys.system.fast_forward('$root', 'audit')")
+      .collect().head.getLong(0) == 1L)
+    assert(stateOf(table).contains(("r/c", "f")))
+    assert(spark.sql(s"CALL graft_sys.system.drop_branch('$root', 'audit')")
+      .collect().head.getBoolean(0))
+    assert(table.listBranches().isEmpty)
+  }
+}
