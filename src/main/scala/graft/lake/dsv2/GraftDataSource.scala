@@ -42,13 +42,15 @@ class GraftDataSource extends TableProvider
     p
   }
 
+  private def branchOf(options: CaseInsensitiveStringMap): String =
+    BranchOpt.of(options)
+
   private def snapshotOpt(options: CaseInsensitiveStringMap): Option[graft.lake.Snapshot] = {
     val spark = SparkSession.active
     // branch selects the snapshot LINEAGE (write-audit-publish audits read
     // the staged state: .option("branch", "audit")); data and manifests
     // are shared, so everything downstream is lineage-agnostic
-    val table = new LakeTable(spark, rootOf(options))
-      .forBranch(Option(options.get("branch")).getOrElse(LakeTable.MainBranch))
+    val table = new LakeTable(spark, rootOf(options)).forBranch(branchOf(options))
     require(Seq("versionAsOf", "changesTo", "tag").count(options.containsKey) <= 1,
       "versionAsOf / changesTo / tag all pin the read endpoint — set at most one")
     Option(options.get("tag")) match {
@@ -106,8 +108,17 @@ class GraftDataSource extends TableProvider
     new GraftSink(path, opt("checkpointLocation").getOrElse(path),
       numBuckets = opt("numBuckets").map(_.toInt),
       saltBuckets = opt("saltBuckets").map(_.toInt).getOrElse(2),
-      recordMeta = opt("recordMeta").exists(_.toBoolean))
+      recordMeta = opt("recordMeta").exists(_.toBoolean),
+      branch = opt("branch").getOrElse(LakeTable.MainBranch))
   }
+}
+
+/** The snapshot lineage an option map names ("main" when absent) — every
+  * DSv2 path that builds a LakeTable goes through this, so a branch read,
+  * write, CDC range, or stream never silently mixes lineages. */
+private[dsv2] object BranchOpt {
+  def of(options: CaseInsensitiveStringMap): String =
+    Option(options.get("branch")).getOrElse(graft.lake.LakeTable.MainBranch)
 }
 
 /** Placeholder for a streaming-sink target whose table does not exist yet
@@ -125,6 +136,7 @@ final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchem
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  private val branch = BranchOpt.of(tableOptions)
   override def name(): String = s"graft.`$root`@v${snapshot.version}"
 
   /** The declared schema marks the CDC key columns non-nullable — an
@@ -162,7 +174,7 @@ final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchem
               require(!overwrite, "INSERT OVERWRITE is not supported: this is an " +
                 "upsert table — delete via CDC 'D' events")
               val spark = data.sparkSession
-              val table = new LakeTable(spark, root)
+              val table = new LakeTable(spark, root).forBranch(branch)
               val snap = table.currentSnapshot().getOrElse(snapshot)
               val merge = new graft.merge.MergeInto(table,
                 numBuckets = snap.numBuckets,
@@ -200,13 +212,14 @@ final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchem
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions._
     val spark = SparkSession.active
-    val table = new LakeTable(spark, root)
+    val table = new LakeTable(spark, root).forBranch(branch)
     val snap = table.currentSnapshot().getOrElse(return)
     val cond = filters.flatMap(FilterToColumn.translate)
       .reduceOption(_ && _).getOrElse(lit(true))
     // read through the DSv2 source so a `repo =` predicate keeps its
     // manifest-level bucket pruning; victims are just the key columns
-    val victims = spark.read.format("graft").load(root).where(cond)
+    val victims = spark.read.format("graft").option("branch", branch)
+      .load(root).where(cond)
       .select(col("repo"), col("path")).distinct().cache()
     try {
       if (victims.isEmpty) return // no-op: no new version, no empty epoch
@@ -367,7 +380,8 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
     val (all, changeBound) = Option(options.get("changesFrom")) match {
       case Some(v) =>
         GraftChanges.entriesAfter(
-          new LakeTable(SparkSession.active, root), v.toLong, snapshot)
+          new LakeTable(SparkSession.active, root).forBranch(BranchOpt.of(options)),
+          v.toLong, snapshot)
       case None => (snapshot.allFiles, Long.MinValue)
     }
     val bucketed = repoEq match {
@@ -593,5 +607,6 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
       includeTombstones = includeTombstones,
       startingVersion = Option(options.get("startingVersion")).map(_.toLong),
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      branch = BranchOpt.of(options))
 }

@@ -63,7 +63,8 @@ final class GraftMicroBatchStream(
     includeTombstones: Boolean,
     startingVersion: Option[Long],
     maxVersionsPerTrigger: Option[Int],
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    branch: String = graft.lake.LakeTable.MainBranch)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // a non-positive cap would stall the stream forever (latestOffset could
@@ -73,7 +74,7 @@ final class GraftMicroBatchStream(
   require(maxBytesPerTrigger.forall(_ > 0L),
     s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
 
-  private def table = new LakeTable(SparkSession.active, root)
+  private def table = new LakeTable(SparkSession.active, root).forBranch(branch)
   private def currentVersion: Long = table.snapshotVersions().lastOption.getOrElse(-1L)
 
   /** Trigger.AvailableNow pins the target at stream start so the run

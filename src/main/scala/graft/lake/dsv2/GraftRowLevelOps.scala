@@ -76,9 +76,10 @@ final class GraftRowLevelOperation(
     Array(Expressions.column("repo"), Expressions.column("path"))
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 
+  private val branch = BranchOpt.of(tableOptions)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new GraftDeltaWrite(root, snapshot, info)
+      override def build(): DeltaWrite = new GraftDeltaWrite(root, snapshot, info, branch)
     }
 }
 
@@ -92,18 +93,20 @@ private object GraftDeltaWrite {
   }
 }
 
-final class GraftDeltaWrite(root: String, snapshot: Snapshot, info: LogicalWriteInfo)
+final class GraftDeltaWrite(root: String, snapshot: Snapshot, info: LogicalWriteInfo,
+                            branch: String = graft.lake.LakeTable.MainBranch)
     extends DeltaWrite {
   override def description(): String = s"GraftDeltaWrite[$root, query=${info.queryId()}]"
   override def toBatch(): DeltaBatchWrite = {
     val spark = SparkSession.active
     import org.apache.spark.sql.functions.{col, max}
     val hwm = snapshot.highWaterLsn.getOrElse {
-      val m = new LakeTable(spark, root).read().agg(max(col("lsn"))).head()
+      val m = new LakeTable(spark, root).forBranch(branch)
+        .read().agg(max(col("lsn"))).head()
       if (m.isNullAt(0)) 0L else m.getLong(0)
     }
     new GraftDeltaBatchWrite(root, info.queryId(), info.schema(),
-      info.rowIdSchema().orElse(null), hwm, Bridge.serializableConf(spark))
+      info.rowIdSchema().orElse(null), hwm, Bridge.serializableConf(spark), branch)
   }
 }
 
@@ -113,7 +116,8 @@ private final case class GraftDeltaFiles(paths: Seq[String]) extends WriterCommi
 
 final class GraftDeltaBatchWrite(
     root: String, queryId: String, rowSchema: StructType, rowIdSchema: StructType,
-    highWater: Long, conf: org.apache.spark.util.SerializableConfiguration)
+    highWater: Long, conf: org.apache.spark.util.SerializableConfiguration,
+    branch: String = graft.lake.LakeTable.MainBranch)
     extends DeltaBatchWrite {
 
   private val stagingDir = s"$root/_dml/$queryId"
@@ -129,7 +133,7 @@ final class GraftDeltaBatchWrite(
       val stagedSchema = rowSchema.add("op", StringType, nullable = true)
       val events = spark.read.schema(stagedSchema)
         .option("timeZone", "UTC").json(files: _*)
-      val table = new LakeTable(spark, root)
+      val table = new LakeTable(spark, root).forBranch(branch)
       val buckets = table.currentSnapshot().map(_.numBuckets).getOrElse(16)
       val qid = s"dml:$queryId".getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val epoch = graft.functions.Hashing.hashBytes(qid, 0, qid.length, 0xD31AL)

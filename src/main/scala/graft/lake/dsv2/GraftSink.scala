@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions.lit
   */
 final class GraftSink(root: String, checkpoint: String,
                       numBuckets: Option[Int], saltBuckets: Int,
-                      recordMeta: Boolean) extends Sink {
+                      recordMeta: Boolean,
+                      /** Target lineage: stream a risky backfill onto an
+                        * audit branch, publish via fastForward (WAP). */
+                      branch: String = LakeTable.MainBranch) extends Sink {
   private val epochBase: Long = {
     val b = checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     graft.functions.Hashing.hashBytes(b, 0, b.length, 0L)
@@ -36,7 +39,7 @@ final class GraftSink(root: String, checkpoint: String,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
-    val table = new LakeTable(spark, root)
+    val table = new LakeTable(spark, root).forBranch(branch)
     val buckets = table.currentSnapshot().map(_.numBuckets)
       .orElse(numBuckets).getOrElse(16)
     val merge = new MergeInto(table, numBuckets = buckets,

@@ -108,6 +108,42 @@ class BranchSpec extends AnyFunSuite {
     assert(stateOf(table) == Map(("r/a", "f") -> "one-v10", ("r/b", "f") -> "two-v11"))
   }
 
+  test("streaming WAP: sink streams onto a branch; CDC reads follow the lineage") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val (table, _) = freshTable()
+    val fork = table.currentSnapshot().get.version
+    table.createBranch("stage", fork): Unit
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String, String, String)]
+    ms.addData((7L, "r/c", "f", "streamed"), (8L, "r/a", "f", "one-v8"))
+    val q = ms.toDF().toDF("lsn", "repo", "path", "content")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"${table.root}-cp")
+      .option("branch", "stage")
+      .trigger(Trigger.AvailableNow())
+      .start(table.root)
+    q.awaitTermination()
+
+    // the stream landed on the branch, not on main
+    assert(table.currentSnapshot().get.version == fork)
+    assert(stateOf(table.forBranch("stage")) ==
+      Map(("r/a", "f") -> "one-v8", ("r/b", "f") -> "two", ("r/c", "f") -> "streamed"))
+    // a branch CDC range read plans against the branch's lineage
+    val changed = spark.read.format("graft")
+      .option("branch", "stage").option("changesFrom", fork).load(table.root)
+      .select("repo", "content").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(changed == Map("r/a" -> "one-v8", "r/c" -> "streamed"))
+    // publish, then the same range read off MAIN sees the published rows
+    table.fastForward("stage"): Unit
+    val published = spark.read.format("graft")
+      .option("changesFrom", fork).load(table.root)
+      .select("repo", "content").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(published == changed)
+  }
+
   test("CALL procedures: create_branch, list_branches, fast_forward, drop_branch") {
     val (table, _) = freshTable()
     spark.conf.set("spark.sql.catalog.graft_sys",
