@@ -742,8 +742,24 @@ final class LakeTable(
   }
 
   /** The committed snapshot with exactly this version (time travel). */
-  def snapshotAt(version: Long): Snapshot =
-    readSnapshotFile(fs, new Path(snapshotDir, s"v$version"))
+  def snapshotAt(version: Long): Snapshot = {
+    val own = new Path(snapshotDir, s"v$version")
+    if (branch == MainBranch || fs.exists(own)) readSnapshotFile(fs, own)
+    else {
+      // pre-fork history: a branch lineage starts at its fork copy, and
+      // every version BELOW its earliest snapshot is shared ancestry that
+      // lives in main's lineage — time travel and CDC ranges anchored
+      // before the fork resolve there. Versions at/above the fork missing
+      // from the branch dir are genuinely absent (expired), never
+      // borrowed: after divergence, main's same-numbered snapshots are a
+      // DIFFERENT history.
+      val fork = snapshotVersions().headOption.getOrElse(
+        throw new IllegalStateException(s"branch '$branch' does not exist at $root"))
+      require(version < fork,
+        s"no snapshot v$version on branch '$branch' (fork at v$fork)")
+      forBranch(MainBranch).snapshotAt(version)
+    }
+  }
 
   // ---- named refs (tags) -------------------------------------------------
   // A tag pins a committed version by NAME — time travel by meaning

@@ -108,6 +108,26 @@ class BranchSpec extends AnyFunSuite {
     assert(stateOf(table) == Map(("r/a", "f") -> "one-v10", ("r/b", "f") -> "two-v11"))
   }
 
+  test("pre-fork history resolves through main; post-fork gaps fail loudly") {
+    val (table, mainMerge) = freshTable() // v0
+    mainMerge.apply(events((3L, "U", "r/a", "f", "one-v3")), 1L): Unit // v1
+    val audit = table.createBranch("audit", 1L)
+    new MergeInto(audit, numBuckets = 4, saltBuckets = 1, recordMeta = false)
+      .apply(events((4L, "I", "r/c", "f", "staged")), 2L): Unit // branch v2
+    // time travel BELOW the fork goes through shared ancestry (main's v0)
+    assert(audit.readVersion(0L).where(col("repo") === "r/a")
+      .select("content").head.getString(0) == "one")
+    // a CDC range anchored before the fork spans ancestry + branch commits
+    val changed = Maintenance.changesBetween(audit, 0L, 2L)
+      .select("repo", "_change_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(changed == Map("r/a" -> "update_postimage", "r/c" -> "insert"))
+    // versions at/above the fork missing from the branch are absent, not
+    // borrowed from main (divergent histories share numbers, not content)
+    val e = intercept[IllegalArgumentException](audit.snapshotAt(9L))
+    assert(e.getMessage.contains("no snapshot v9 on branch"))
+  }
+
   test("streaming WAP: sink streams onto a branch; CDC reads follow the lineage") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
