@@ -108,13 +108,21 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
   }
 
   /** SQL `VERSION AS OF <n>` time travel; a non-numeric version string
-    * resolves as a TAG name (`VERSION AS OF 'audited'`). */
+    * resolves as a TAG name first, then as a BRANCH head (`VERSION AS OF
+    * 'audit'` reads the staged write-audit-publish state) — tags win a
+    * name collision because they are immutable pins, a branch head moves. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
     if (snapshotIfAny(path).isEmpty) throw new NoSuchTableException(ident)
     val t = new LakeTable(spark, path)
-    val snap = if (version.matches("\\d+")) t.snapshotAt(version.toLong)
-               else t.snapshotAtTag(version)
+    val snap =
+      if (version.matches("\\d+")) t.snapshotAt(version.toLong)
+      else t.tagVersion(version) match {
+        case Some(v) => t.snapshotAt(v)
+        case None => t.forBranch(version).currentSnapshot().getOrElse(
+          throw new IllegalArgumentException(
+            s"no tag or branch '$version' at $path"))
+      }
     toTable(path, snap)
   }
 

@@ -164,6 +164,36 @@ class BranchSpec extends AnyFunSuite {
     assert(published == changed)
   }
 
+  test("SQL VERSION AS OF resolves a branch head (tags win name collisions)") {
+    val wh = TestSpark.tmpDir("branchwh")
+    spark.conf.set("spark.sql.catalog.graft_bwh",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_bwh.warehouse", wh)
+    spark.sql("CREATE TABLE graft_bwh.db.t (lsn BIGINT, ts TIMESTAMP, repo STRING, " +
+      "path STRING, commit STRING, lang STRING, content STRING) " +
+      "TBLPROPERTIES ('buckets'='4')")
+    spark.sql("INSERT INTO graft_bwh.db.t VALUES " +
+      "(1, TIMESTAMP'2024-01-01 00:00:00', 'r1', 'a', 'c', 'scala', 'v1')")
+    val table = new LakeTable(spark, s"$wh/db/t")
+    val fork = table.currentSnapshot().get.version
+    val audit = table.createBranch("audit", fork)
+    new MergeInto(audit, numBuckets = 4, saltBuckets = 1, recordMeta = false)
+      .apply(events((9L, "U", "r1", "a", "staged")), 77L): Unit
+
+    assert(spark.sql("SELECT content FROM graft_bwh.db.t VERSION AS OF 'audit' " +
+      "WHERE repo = 'r1'").head.getString(0) == "staged")
+    assert(spark.sql("SELECT content FROM graft_bwh.db.t WHERE repo = 'r1'")
+      .head.getString(0) == "v1") // main untouched
+    // a TAG with the same name shadows the branch (immutable pin wins)
+    table.createTag("audit", fork)
+    assert(spark.sql("SELECT content FROM graft_bwh.db.t VERSION AS OF 'audit' " +
+      "WHERE repo = 'r1'").head.getString(0) == "v1")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_bwh.db.t VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("no tag or branch"))
+    spark.sql("DROP TABLE graft_bwh.db.t"): Unit
+  }
+
   test("CALL procedures: create_branch, list_branches, fast_forward, drop_branch") {
     val (table, _) = freshTable()
     spark.conf.set("spark.sql.catalog.graft_sys",
