@@ -356,6 +356,13 @@ final class LakeTable(
     val branch: String = LakeTable.MainBranch) {
   import LakeTable._
 
+  // every surface that names a lineage funnels through this constructor
+  // (forBranch, the DSv2 branch option, SQL VERSION AS OF's branch
+  // fallback), so one check here closes the path-traversal hole — a name
+  // like ".." would otherwise resolve snapshotDir ONTO the snapshot store
+  require(branch == MainBranch || validRefName(branch),
+    s"bad branch name: '$branch'")
+
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
 
@@ -373,6 +380,21 @@ final class LakeTable(
     val in = f.open(p)
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
     new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  /** Write `body` to `dst` atomically: full write to a writer-unique tmp
+    * sibling, then rename-if-absent. False = `dst` already exists — the
+    * caller decides whether that is a conflict, an idempotent landing, or
+    * a content-addressed hit; the tmp file is always cleaned up. This is
+    * the ONE commit idiom every publish (snapshots, manifests, tags,
+    * branches, fork markers) shares. */
+  private def writeAtomic(f: FileSystem, dst: Path, body: String): Boolean = {
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (f.rename(tmp, dst)) true
+    else { f.delete(tmp, false); false }
   }
 
   private def loadManifest(name: String): Seq[FileEntry] = {
@@ -434,17 +456,9 @@ final class LakeTable(
         .take(8).map(b => f"$b%02x").mkString
       val name = s"g$gid-$digest.manifest"
       val dst = new Path(manifestDir, name)
-      if (!f.exists(dst)) {
-        val tmp = new Path(manifestDir,
-          s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-        val out = f.create(tmp, true)
-        try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-        if (!f.rename(tmp, dst)) {
-          // a concurrent writer landed the identical content first — fine
-          f.delete(tmp, false)
-          require(f.exists(dst), s"manifest write failed for $name")
-        }
-      }
+      if (!f.exists(dst) && !writeAtomic(f, dst, body))
+        // a concurrent writer landed the identical content first — fine
+        require(f.exists(dst), s"manifest write failed for $name")
       (gid, name)
     }
   }
@@ -466,20 +480,10 @@ final class LakeTable(
         Snapshot.serializeHeader(snap) +
           refs.map { case (gid, name) => s"manifest=$gid\t$name" }.mkString("", "\n", "\n")
     }
-    // the tmp name must be PER-WRITER unique: two writers racing toward
-    // the same version would otherwise share (and clobber/steal) one tmp
-    // file — found by the concurrent-writer rebase spec
-    val tmp = new Path(snapshotDir,
-      s".v${snap.version}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val dst = new Path(snapshotDir, s"v${snap.version}")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, dst)) {
-      f.delete(tmp, false)
+    if (!writeAtomic(f, dst, body))
       throw new CommitConflictException(
         s"snapshot commit conflict: ${dst} already exists (concurrent writer?)")
-    }
   }
 
   /** The manifest names referenced by the given committed version. */
@@ -562,16 +566,8 @@ final class LakeTable(
           // order). Any block without usable stats → no key stats for the
           // file (conservative: mayContain stays true).
           def binRange(colName: String): Option[(String, String)] = {
+            import LakeTable.bytesLe
             var lo: Array[Byte] = null; var hi: Array[Byte] = null
-            def le(x: Array[Byte], y: Array[Byte]): Boolean = {
-              val n = math.min(x.length, y.length); var i = 0
-              while (i < n) {
-                val c = (x(i) & 0xFF) - (y(i) & 0xFF)
-                if (c != 0) return c < 0
-                i += 1
-              }
-              x.length <= y.length
-            }
             blocks.foreach { b =>
               if (b.getRowCount > 0) b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
                 case Some(c) =>
@@ -580,16 +576,29 @@ final class LakeTable(
                   (st.genericGetMin, st.genericGetMax) match {
                     case (mnB: org.apache.parquet.io.api.Binary, mxB: org.apache.parquet.io.api.Binary) =>
                       val (mb, xb) = (mnB.getBytes, mxB.getBytes)
-                      if (lo == null || le(mb, lo)) lo = mb
-                      if (hi == null || le(hi, xb)) hi = xb
+                      if (lo == null || bytesLe(mb, lo)) lo = mb
+                      if (hi == null || bytesLe(hi, xb)) hi = xb
                     case _ => return None
                   }
                 case None => return None
               }
             }
             if (lo == null) None
-            else Some((new String(lo, java.nio.charset.StandardCharsets.UTF_8),
-              new String(hi, java.nio.charset.StandardCharsets.UTF_8)))
+            else {
+              // stats truncation can cut a bound mid-UTF-8-sequence (or
+              // increment the last byte of a truncated max past validity);
+              // decoding such bytes to String is LOSSY (U+FFFD), and the
+              // re-encoded bound that mayContain later compares can land
+              // on the WRONG side of real keys — pruning live files. Only
+              // bounds that round-trip exactly are usable; otherwise the
+              // file keeps no key stats (conservative, never prunable).
+              val loS = new String(lo, StandardCharsets.UTF_8)
+              val hiS = new String(hi, StandardCharsets.UTF_8)
+              if (java.util.Arrays.equals(loS.getBytes(StandardCharsets.UTF_8), lo) &&
+                  java.util.Arrays.equals(hiS.getBytes(StandardCharsets.UTF_8), hi))
+                Some((loS, hiS))
+              else None
+            }
           }
           val keyRange: Option[(String, String, String, String)] =
             if (nRows == 0) None
@@ -747,13 +756,16 @@ final class LakeTable(
     if (branch == MainBranch || fs.exists(own)) readSnapshotFile(fs, own)
     else {
       // pre-fork history: a branch lineage starts at its fork copy, and
-      // every version BELOW its earliest snapshot is shared ancestry that
-      // lives in main's lineage — time travel and CDC ranges anchored
-      // before the fork resolve there. Versions at/above the fork missing
-      // from the branch dir are genuinely absent (expired), never
-      // borrowed: after divergence, main's same-numbered snapshots are a
-      // DIFFERENT history.
-      val fork = snapshotVersions().headOption.getOrElse(
+      // every version BELOW the fork is shared ancestry that lives in
+      // main's lineage — time travel and CDC ranges anchored before the
+      // fork resolve there. Versions at/above the fork missing from the
+      // branch dir are genuinely absent (expired), never borrowed: after
+      // divergence, main's same-numbered snapshots are a DIFFERENT
+      // history. The fork point comes from the createBranch marker, NOT
+      // from the earliest surviving snapshot — expireSnapshots may have
+      // trimmed the branch below its true fork, and inferring from the
+      // survivor would borrow main's divergent versions.
+      val fork = forkVersion().orElse(snapshotVersions().headOption).getOrElse(
         throw new IllegalStateException(s"branch '$branch' does not exist at $root"))
       require(version < fork,
         s"no snapshot v$version on branch '$branch' (fork at v$fork)")
@@ -769,27 +781,33 @@ final class LakeTable(
   // under `_snapshots/refs/`, holding the version number; creation is
   // write-tmp + rename-if-absent, so tags are IMMUTABLE and a create race
   // has exactly one winner (same commit protocol as snapshots).
+  //
+  // The refs dir is shared across lineages but a tag records only a
+  // version NUMBER, which is meaningless without a lineage — so tags pin
+  // MAIN versions, always: creation validates against main's lineage and
+  // resolution reads through it, regardless of which branch handle the
+  // call went through. (A branch's same-numbered snapshot is a DIFFERENT
+  // history; resolving a tag against it would silently return divergent
+  // data.)
 
   def createTag(name: String, version: Long): Unit = {
-    require(name.matches("[A-Za-z0-9_.-]+"), s"bad tag name: $name")
+    require(validRefName(name), s"bad tag name: $name")
     val f = fs
-    require(f.exists(new Path(snapshotDir, s"v$version")),
-      s"cannot tag uncommitted version $version")
+    require(f.exists(new Path(forBranch(MainBranch).snapshotDir, s"v$version")),
+      s"cannot tag version $version: not committed on main (tags pin main versions)")
     f.mkdirs(refsDir)
-    val dst = new Path(refsDir, name)
-    val tmp = new Path(refsDir, s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(version.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!f.rename(tmp, dst)) {
-      f.delete(tmp, false)
+    if (!writeAtomic(f, new Path(refsDir, name), version.toString))
       throw new IllegalArgumentException(s"tag '$name' already exists (tags are immutable: " +
         s"drop it first to re-point)")
-    }
   }
 
-  def dropTag(name: String): Boolean = fs.delete(new Path(refsDir, name), false)
+  def dropTag(name: String): Boolean = {
+    require(validRefName(name), s"bad tag name: $name")
+    fs.delete(new Path(refsDir, name), false)
+  }
 
   def tagVersion(name: String): Option[Long] = {
+    if (!validRefName(name)) return None
     val p = new Path(refsDir, name)
     val f = fs
     if (!f.exists(p)) None else Some(readText(f, p).trim.toLong)
@@ -804,9 +822,11 @@ final class LakeTable(
       .sortBy(_._1).toSeq
   }
 
-  /** Snapshot pinned by a tag. */
+  /** Snapshot pinned by a tag — resolved against MAIN's lineage (the one
+    * the recorded version number belongs to), whatever this handle's
+    * branch. */
   def snapshotAtTag(name: String): Snapshot =
-    snapshotAt(tagVersion(name).getOrElse(
+    forBranch(MainBranch).snapshotAt(tagVersion(name).getOrElse(
       throw new IllegalArgumentException(s"no tag '$name' at $root")))
 
   // ---- branches (write-audit-publish) ------------------------------------
@@ -836,27 +856,41 @@ final class LakeTable(
     readText(fs, new Path(snapshotDir, s"v$version"))
 
   /** Fork a branch at `fromVersion` of THIS handle's lineage. Returns the
-    * branch handle. Creation is one atomic snapshot-file copy; a create
-    * race has exactly one winner (rename-if-absent, like tags). */
+    * branch handle. Creation is one atomic snapshot-file copy plus a fork
+    * marker; a create race has exactly one winner (rename-if-absent, like
+    * tags). */
   def createBranch(name: String, fromVersion: Long): LakeTable = {
-    require(name.matches("[A-Za-z0-9_.-]+") && name != MainBranch,
-      s"bad branch name: $name")
+    require(validRefName(name) && name != MainBranch, s"bad branch name: $name")
     val f = fs
     require(f.exists(new Path(snapshotDir, s"v$fromVersion")),
       s"cannot branch from uncommitted version $fromVersion")
     val b = forBranch(name)
     require(!f.exists(b.snapshotDir), s"branch '$name' already exists")
     f.mkdirs(b.snapshotDir)
-    val body = snapshotText(fromVersion)
-    val tmp = new Path(b.snapshotDir,
-      s".v$fromVersion.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!f.rename(tmp, new Path(b.snapshotDir, s"v$fromVersion"))) {
-      f.delete(tmp, false)
-      throw new CommitConflictException(s"branch '$name' creation lost a race")
+    // the fork point is RECORDED, not inferred: after expireSnapshots
+    // trims the branch, post-fork versions must stay "genuinely absent"
+    // rather than resolving to main's divergent same-numbered snapshots —
+    // only a durable marker survives the trim to tell the two apart
+    if (!writeAtomic(f, new Path(b.snapshotDir, ForkMarker), fromVersion.toString)) {
+      val existing = readText(f, new Path(b.snapshotDir, ForkMarker)).trim
+      if (existing != fromVersion.toString)
+        throw new CommitConflictException(
+          s"branch '$name' creation lost a race (concurrent fork at v$existing)")
     }
+    if (!writeAtomic(f, new Path(b.snapshotDir, s"v$fromVersion"), snapshotText(fromVersion)))
+      throw new CommitConflictException(s"branch '$name' creation lost a race")
     b
+  }
+
+  /** The recorded fork point of this branch lineage. None on main, and on
+    * a legacy branch created before the marker existed — those fall back
+    * to inferring it from the earliest surviving snapshot, which is
+    * correct only until `expireSnapshots` trims the branch. */
+  private[graft] def forkVersion(): Option[Long] = {
+    if (branch == MainBranch) return None
+    val p = new Path(snapshotDir, ForkMarker)
+    val f = fs
+    if (!f.exists(p)) None else Some(readText(f, p).trim.toLong)
   }
 
   /** Branch names present at this root (excluding "main"). */
@@ -872,9 +906,13 @@ final class LakeTable(
     branchNames().flatMap(n => forBranch(n).currentSnapshot().map(s => (n, s.version)))
 
   /** Drop a branch lineage (its snapshot files only — shared data and
-    * manifests stay; `vacuum` reclaims anything now unreachable). */
-  def dropBranch(name: String): Boolean =
+    * manifests stay; `vacuum` reclaims anything now unreachable). Name
+    * validation matters here most of all: an unvalidated ".." would
+    * recursively delete the whole snapshot store. */
+  def dropBranch(name: String): Boolean = {
+    require(validRefName(name) && name != MainBranch, s"bad branch name: $name")
     fs.delete(new Path(branchesDir, name), true)
+  }
 
   /** Every lineage handle at this root: main first, then branches. Vacuum
     * and snapshot expiry compute reachability across ALL of these — a
@@ -906,12 +944,7 @@ final class LakeTable(
     srcVersions.filter(_ > cur).foreach { v =>
       val body = src.snapshotText(v)
       val dst = new Path(snapshotDir, s"v$v")
-      val tmp = new Path(snapshotDir,
-        s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      val out = f.create(tmp, true)
-      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      if (!f.rename(tmp, dst)) {
-        f.delete(tmp, false)
+      if (!writeAtomic(f, dst, body)) {
         // an interrupted earlier publish already landed this version: fine
         if (readText(f, dst) != body)
           throw new CommitConflictException(
@@ -949,13 +982,15 @@ object LakeTable {
   /** Name of the primary snapshot lineage. */
   val MainBranch = "main"
 
-  /** a ≤ b in UNSIGNED UTF-8 byte order — the order parquet uses for
-    * binary column min/max statistics. `String.compareTo` (UTF-16 code
-    * units) disagrees for code points ≥ U+10000 vs U+E000..U+FFFF, so key
-    * pruning must compare the bytes parquet compared. */
-  private[graft] def utf8Le(a: String, b: String): Boolean = {
-    val x = a.getBytes(StandardCharsets.UTF_8)
-    val y = b.getBytes(StandardCharsets.UTF_8)
+  /** File inside a branch's snapshot dir recording its fork version —
+    * the durable boundary between shared pre-fork ancestry (resolved via
+    * main) and the branch's own history (never borrowed, even after
+    * snapshot expiry trims it). Deliberately not matching `v\d+`. */
+  private[lake] val ForkMarker = "fork"
+
+  /** a ≤ b in UNSIGNED byte order — the order parquet uses for binary
+    * column min/max statistics. */
+  private[graft] def bytesLe(x: Array[Byte], y: Array[Byte]): Boolean = {
     val n = math.min(x.length, y.length)
     var i = 0
     while (i < n) {
@@ -965,4 +1000,16 @@ object LakeTable {
     }
     x.length <= y.length
   }
+
+  /** a ≤ b in UNSIGNED UTF-8 byte order. `String.compareTo` (UTF-16 code
+    * units) disagrees for code points ≥ U+10000 vs U+E000..U+FFFF, so key
+    * pruning must compare the bytes parquet compared. */
+  private[graft] def utf8Le(a: String, b: String): Boolean =
+    bytesLe(a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
+  /** Valid tag/branch name: one path segment, no traversal. The charset
+    * regex alone admits "." and "..", which as directory names escape the
+    * ref store — rejected explicitly. */
+  private[graft] def validRefName(name: String): Boolean =
+    name.matches("[A-Za-z0-9_.-]+") && name != "." && name != ".."
 }

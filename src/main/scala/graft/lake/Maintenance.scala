@@ -44,6 +44,10 @@ object Maintenance {
     * memory. */
   def compact(table: LakeTable, maxFilesPerBucket: Int = 4,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    // fail loudly BEFORE any work: a zero byte budget would divide by zero
+    // mid-pass, after compactMeta already committed
+    require(maxFilesPerBucket >= 1, s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+    require(targetFileBytes > 0L, s"targetFileBytes must be > 0, got $targetFileBytes")
     compactMeta(table, maxFilesPerBucket * 4)
     val snap = table.currentSnapshot().getOrElse(return 0)
     // full-table maintenance pass: enumerating every bucket's file count
@@ -280,7 +284,10 @@ object Maintenance {
       else {
         val tmp = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.$name.compact")
         val old = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.$name.old")
-        spark.read.parquet(dir.toString).coalesce(1)
+        // mergeSchema: meta tables gain columns across engine versions
+        // (e.g. metrics' events_quarantined), so a dir can hold mixed
+        // footers — the union schema keeps every column through the swap
+        spark.read.option("mergeSchema", "true").parquet(dir.toString).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
         require(fs.rename(dir, old), s"meta compaction rename-aside failed for $name")
         require(fs.rename(tmp, dir), s"meta compaction swap failed for $name")

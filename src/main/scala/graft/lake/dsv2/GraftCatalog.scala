@@ -168,10 +168,81 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported: graft schemas evolve from the data " +
-        "(add-nullable/widen on merge)")
+  /** SQL DDL schema evolution, under exactly the registry rules merges
+    * enforce (add-nullable / widen — graft.schema.SchemaRegistry.evolve):
+    * `ALTER TABLE t ADD COLUMN c TYPE` and `ALTER COLUMN c TYPE wider`.
+    * The commit is METADATA-ONLY — a successor snapshot carrying every
+    * file untouched (split-manifest groups by reference), so altering a
+    * 100-TB table moves no data: old files read through the tolerant
+    * reader (absent column → null, narrow physical type → upcast), and
+    * CDC readers see an empty commit range. Declares evolution AHEAD of
+    * data arriving — the complement of merge-time evolution, which infers
+    * it FROM arriving data. Everything else (DROP/RENAME COLUMN would
+    * strand committed data, nullability tightening breaks old rows) is
+    * rejected loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val t = new LakeTable(spark, path)
+    var attempts = 0
+    while (true) {
+      val snap = t.currentSnapshot().getOrElse(throw new NoSuchTableException(ident))
+      val current = StructType(snap.schema.fields.filterNot(_.name == LakeTable.DeletedCol))
+      val incoming = changes.map {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            s"nested ADD COLUMN is not supported: ${add.fieldNames().mkString(".")}")
+          val name = add.fieldNames()(0)
+          require(name != LakeTable.DeletedCol, s"'$name' is a reserved column")
+          require(add.isNullable,
+            s"new column $name must be nullable (rows committed before the " +
+              "ALTER have no value for it)")
+          require(add.dataType() != NullType, s"new column $name needs a real type")
+          require(!current.fieldNames.contains(name), s"column $name already exists")
+          StructField(name, add.dataType(), nullable = true)
+        case up: TableChange.UpdateColumnType =>
+          require(up.fieldNames().length == 1,
+            s"nested ALTER COLUMN is not supported: ${up.fieldNames().mkString(".")}")
+          val name = up.fieldNames()(0)
+          require(current.fieldNames.contains(name), s"no column $name to alter")
+          StructField(name, up.newDataType(), current(name).nullable)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change $other: graft supports ADD COLUMN " +
+            "(nullable) and ALTER COLUMN TYPE (widening only)")
+      }
+      // the registry rules on the delta; it ACCEPTS a narrower incoming
+      // type (old-producer tolerance on the merge path), so explicit DDL
+      // additionally demands the result actually took the requested type
+      val evolved = graft.schema.SchemaRegistry.evolve(current, StructType(incoming))
+      incoming.foreach { f =>
+        require(evolved(f.name).dataType == f.dataType,
+          s"illegal schema evolution for column ${f.name}: " +
+            s"${current(f.name).dataType.simpleString} -> ${f.dataType.simpleString} " +
+            "(only widening is supported)")
+      }
+      val physical = evolved.add(StructField(LakeTable.DeletedCol, BooleanType, nullable = false))
+      if (physical == snap.schema) return loadTable(ident) // idempotent no-op
+      try {
+        t.commitSnapshot(Snapshot(
+          version = snap.version + 1,
+          schemaVersion = snap.schemaVersion + 1,
+          schema = physical,
+          numBuckets = snap.numBuckets,
+          epochs = snap.epochs,
+          filesRef = t.successorFiles(snap, Set.empty, Seq.empty),
+          highWaterLsn = snap.highWaterLsn,
+          unorderedCommits = snap.unorderedCommits))
+        return loadTable(ident)
+      } catch {
+        // a concurrent writer landed this version: rebase on the fresh
+        // snapshot and re-apply (the DDL is metadata-only, so the rebase
+        // is just a reload)
+        case e: graft.lake.CommitConflictException =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = new Path(pathOf(ident))

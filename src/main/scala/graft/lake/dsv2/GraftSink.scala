@@ -40,6 +40,13 @@ final class GraftSink(root: String, checkpoint: String,
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     val table = new LakeTable(spark, root).forBranch(branch)
+    // a non-main branch must already be forked: silently creating a fresh
+    // EMPTY lineage here (typo'd name, forgotten fork) would stage every
+    // batch against nothing — deletes tombstone nothing, audits see only
+    // the new events, and the eventual fastForward fails as "diverged"
+    if (branch != LakeTable.MainBranch)
+      require(table.currentSnapshot().isDefined,
+        s"branch '$branch' does not exist at $root — createBranch/fork it before streaming to it")
     val buckets = table.currentSnapshot().map(_.numBuckets)
       .orElse(numBuckets).getOrElse(16)
     val merge = new MergeInto(table, numBuckets = buckets,

@@ -208,13 +208,10 @@ final class MergeInto(
         .collect().map(_.getInt(0)).toSet)
 
       // the touched action evaluated the observed plan, so the quarantine
-      // count is known; persist the rows themselves only when some exist
-      // (JSONL: schema-tolerant across evolving event schemas) — replay
-      // after upstream repair is `spark.read.json(...)` → merge.apply
+      // count is known; the rows themselves are persisted only AFTER the
+      // commit succeeds (below) — a commit-conflict retry of this epoch
+      // would otherwise re-append the same poison rows every attempt
       val nQuarantined = asLong(inObs.get, "n_bad")
-      if (nQuarantined > 0 && recordMeta)
-        aligned.where(badCond).withColumn("_epoch", lit(epochId))
-          .write.mode("append").json(s"${table.root}/meta/quarantine")
 
       val targetFiles = snapOpt.map(_.filesIn(touched)).getOrElse(Seq.empty)
       val target = align(
@@ -382,6 +379,16 @@ final class MergeInto(
       skippedStats match {
         case Some(sk) => sk
         case None =>
+          // persist quarantined rows exactly once, post-commit (JSONL:
+          // schema-tolerant across evolving event schemas) — replay after
+          // upstream repair is `spark.read.json(...)` → merge.apply. A
+          // crash in the gap loses only the quarantine COPY (the metrics
+          // row below shares that durability class), never state; a
+          // conflict-retried attempt rethrows before reaching here, so
+          // retries cannot duplicate the rows.
+          if (nQuarantined > 0 && recordMeta)
+            aligned.where(badCond).withColumn("_epoch", lit(epochId))
+              .write.mode("append").json(s"${table.root}/meta/quarantine")
           val stats = MergeStats(epochId, committedVersion, skipped = false,
             eventsIn = asLong(inObs.get, "n"),
             eventsQuarantined = nQuarantined,
@@ -433,13 +440,17 @@ object Meta {
       .write.mode("append").parquet(s"${table.root}/meta/metrics")
   }
 
+  // mergeSchema on both readers: a table created before a meta column
+  // existed (e.g. metrics' events_quarantined) holds mixed-footer parts,
+  // and a single-footer read would either drop the column or fail on it
+
   def lineage(table: LakeTable): DataFrame = {
     graft.lake.Maintenance.repairMeta(table, "lineage")
-    table.spark.read.parquet(s"${table.root}/meta/lineage")
+    table.spark.read.option("mergeSchema", "true").parquet(s"${table.root}/meta/lineage")
   }
 
   def metrics(table: LakeTable): DataFrame = {
     graft.lake.Maintenance.repairMeta(table, "metrics")
-    table.spark.read.parquet(s"${table.root}/meta/metrics")
+    table.spark.read.option("mergeSchema", "true").parquet(s"${table.root}/meta/metrics")
   }
 }

@@ -128,6 +128,96 @@ class BranchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no snapshot v9 on branch"))
   }
 
+  test("expired post-fork branch versions stay absent — never borrowed from main") {
+    val (table, mainMerge) = freshTable() // main v0
+    val audit = table.createBranch("audit", 0L)
+    val branchMerge = new MergeInto(audit, numBuckets = 4, saltBuckets = 1, recordMeta = false)
+    branchMerge.apply(events((3L, "U", "r/a", "f", "branch-v1")), 1L): Unit // branch v1
+    branchMerge.apply(events((4L, "U", "r/a", "f", "branch-v2")), 2L): Unit // branch v2
+    // main diverges: its v1 is a DIFFERENT history sharing the number
+    mainMerge.apply(events((9L, "U", "r/a", "f", "main-v1")), 3L): Unit
+
+    // trim the branch down to its head: v0 and v1 expire
+    Maintenance.expireSnapshots(audit, keepLast = 1, olderThanMs = 0L): Unit
+    assert(audit.snapshotVersions() == Seq(2L))
+
+    // the fork point is RECORDED, so the expired branch v1 fails loudly
+    // instead of silently resolving to main's divergent v1 (which the
+    // earliest-surviving-snapshot inference would do: fork would "move"
+    // to v2 and v1 < v2 would pass the pre-fork check)
+    val e = intercept[Exception](audit.snapshotAt(1L))
+    assert(e.getMessage.contains("branch"), s"unexpected: ${e.getMessage}")
+    assert(!e.getMessage.contains("main-v1"))
+    // the branch head and main both stay intact and divergent
+    assert(stateOf(audit)(("r/a", "f")) == "branch-v2")
+    assert(stateOf(table)(("r/a", "f")) == "main-v1")
+  }
+
+  test("ref-name traversal is rejected at every surface; the store survives") {
+    val (table, _) = freshTable()
+    intercept[IllegalArgumentException](table.forBranch(".."))
+    intercept[IllegalArgumentException](table.forBranch("../../evil"))
+    intercept[IllegalArgumentException](table.dropBranch(".."))
+    intercept[IllegalArgumentException](table.dropBranch("main"))
+    intercept[IllegalArgumentException](table.createBranch("..", 0L))
+    intercept[IllegalArgumentException](table.createTag("..", 0L))
+    intercept[IllegalArgumentException](table.dropTag("../x"))
+    assert(table.tagVersion("..").isEmpty)
+    intercept[Exception](spark.read.format("graft")
+      .option("branch", "../..").load(table.root).collect())
+    // nothing was deleted or created by the rejected names
+    assert(table.snapshotVersions().nonEmpty)
+    assert(table.branchNames().isEmpty)
+    assert(stateOf(table) == Map(("r/a", "f") -> "one", ("r/b", "f") -> "two"))
+  }
+
+  test("tags pin MAIN versions: branch handles create and resolve against main") {
+    val (table, mainMerge) = freshTable() // main v0
+    mainMerge.apply(events((3L, "U", "r/a", "f", "main-v1")), 1L): Unit // main v1
+    val audit = table.createBranch("audit", 0L)
+    new MergeInto(audit, numBuckets = 4, saltBuckets = 1, recordMeta = false)
+      .apply(events((4L, "U", "r/a", "f", "branch-v1")), 2L): Unit // branch v1 (divergent)
+
+    table.createTag("release", 1L) // pins MAIN's v1
+    // resolving the tag through the BRANCH handle must not return the
+    // branch's divergent same-numbered snapshot
+    val viaBranchHandle = audit.snapshotAtTag("release")
+    assert(table.readFiles(viaBranchHandle.schema, viaBranchHandle.allFiles)
+      .where(!col(graft.lake.LakeTable.DeletedCol))
+      .where(col("repo") === "r/a").select("content").head.getString(0) == "main-v1")
+    // same through the DSv2 surface: branch + tag reads the tagged MAIN state
+    assert(spark.read.format("graft")
+      .option("branch", "audit").option("tag", "release").load(table.root)
+      .where(col("repo") === "r/a").select("content").head.getString(0) == "main-v1")
+    // creating a tag through a branch handle also validates against main:
+    // the branch has a v1 but tagging records main's, so both resolutions agree
+    audit.createTag("viaBranch", 1L)
+    assert(table.snapshotAtTag("viaBranch").version == 1L)
+    // a version only the BRANCH has cannot be tagged (it is not a main version)
+    intercept[IllegalArgumentException](audit.createTag("nope", 99L))
+  }
+
+  test("streaming to a nonexistent branch fails instead of creating an empty lineage") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val (table, _) = freshTable()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String, String, String)]
+    ms.addData((7L, "r/c", "f", "streamed"))
+    val q = ms.toDF().toDF("lsn", "repo", "path", "content")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"${table.root}-badbranch-cp")
+      .option("branch", "audti") // typo'd fork name
+      .trigger(Trigger.AvailableNow())
+      .start(table.root)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](q.awaitTermination())
+    assert(e.getMessage.contains("audti") || e.getCause.getMessage.contains("audti"))
+    // no orphan empty lineage was created for later merges to land on
+    assert(table.branchNames().isEmpty)
+    assert(stateOf(table) == Map(("r/a", "f") -> "one", ("r/b", "f") -> "two"))
+  }
+
   test("streaming WAP: sink streams onto a branch; CDC reads follow the lineage") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

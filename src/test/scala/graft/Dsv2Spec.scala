@@ -168,6 +168,42 @@ class Dsv2Spec extends AnyFunSuite {
     assert(miss.count() == 0)
   }
 
+  test("truncated footer key stats never mis-prune: every key stays reachable") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("dsv2-trunc")
+    val table = new LakeTable(spark, s"$work/table")
+    val merge = new MergeInto(table, numBuckets = 1, saltBuckets = 1, recordMeta = false)
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    // multibyte keys + aggressive stats truncation: a bound cut (or
+    // incremented) mid-UTF-8-sequence does not round-trip through String
+    // decoding; such bounds must be DROPPED, not lossily decoded into
+    // pruning ranges that exclude real keys
+    val keys = (0 until 60).map(i => (f"リポジトリ-$i%02d", f"パス/ファイル$i%02d.txt"))
+    val events = keys.zipWithIndex.map { case ((r, p), i) =>
+      (i.toLong, "I", ts, r, p, "c", "text", s"body-$i")
+    }.toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("parquet.statistics.truncate.length", "4")
+    try {
+      merge.apply(events, 0L): Unit
+      // compaction's key-disjoint splits are where file-level ranges bite
+      Maintenance.compact(table, maxFilesPerBucket = 1,
+        targetFileBytes = math.max(
+          table.currentSnapshot().get.allFiles.map(f => math.max(f.nBytes, 0L)).sum / 4, 1L)): Unit
+    } finally hconf.unset("parquet.statistics.truncate.length")
+    val files = table.currentSnapshot().get.allFiles
+    // whatever the truncator produced, recorded ranges must stay SOUND:
+    // every real key passes mayContain in at least one file, and a DSv2
+    // point lookup finds its row
+    keys.foreach { case (r, p) =>
+      assert(files.exists(_.mayContain(r, p)), s"key ($r, $p) pruned out of every file")
+    }
+    val hit = spark.read.format("graft").load(table.root)
+      .where(col("repo") === keys(7)._1)
+    assert(hit.count() == 1L)
+    assert(hit.select("content").head.getString(0) == "body-7")
+  }
+
   test("key-range stats survive manifest round-trip incl. hostile characters") {
     import graft.lake.{FileEntry, Snapshot}
     val entries = Seq(
@@ -539,6 +575,56 @@ class Dsv2Spec extends AnyFunSuite {
       .map(_.getString(1)).contains("t"))
     spark.sql("DROP TABLE graft_wh.db.t")
     assert(spark.sql("SHOW TABLES IN graft_wh.db").collect().isEmpty)
+  }
+
+  test("ALTER TABLE: add-nullable and widen are metadata-only; the rest rejected") {
+    val wh = TestSpark.tmpDir("dsv2alter")
+    spark.conf.set("spark.sql.catalog.graft_at",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_at.warehouse", wh)
+    spark.sql("CREATE TABLE graft_at.db.t (lsn BIGINT, repo STRING, path STRING, " +
+      "stars INT, content STRING) TBLPROPERTIES ('buckets'='2')")
+    spark.sql("INSERT INTO graft_at.db.t VALUES (1, 'r1', 'a', 10, 'v1'), " +
+      "(2, 'r2', 'b', 20, 'w1')")
+    val t = new LakeTable(spark, s"$wh/db/t")
+    val before = t.currentSnapshot().get
+
+    // ADD COLUMN: declared ahead of data, committed without touching a file
+    spark.sql("ALTER TABLE graft_at.db.t ADD COLUMN license STRING")
+    val afterAdd = t.currentSnapshot().get
+    assert(afterAdd.version == before.version + 1)
+    assert(afterAdd.schemaVersion == before.schemaVersion + 1)
+    assert(afterAdd.allFiles.map(_.relPath).sorted == before.allFiles.map(_.relPath).sorted,
+      "ALTER must be metadata-only: no data file may change")
+    // old rows read null through the tolerant reader
+    assert(spark.sql("SELECT license FROM graft_at.db.t").collect().forall(_.isNullAt(0)))
+    // a CDC range across the DDL commit is empty (nothing changed)
+    assert(spark.read.format("graft").option("changesFrom", before.version)
+      .option("changesTo", afterAdd.version).load(s"$wh/db/t").count() == 0L)
+    // and the declared column accepts data through the ordinary upsert path
+    spark.sql("INSERT INTO graft_at.db.t VALUES (3, 'r1', 'a', 11, 'v2', 'MIT')")
+    assert(spark.sql("SELECT license FROM graft_at.db.t WHERE repo = 'r1'")
+      .head.getString(0) == "MIT")
+
+    // ALTER COLUMN TYPE widens; files written with the narrow type upcast
+    spark.sql("ALTER TABLE graft_at.db.t ALTER COLUMN stars TYPE BIGINT")
+    assert(spark.sql("SELECT stars FROM graft_at.db.t WHERE repo = 'r2'")
+      .head.getLong(0) == 20L)
+    assert(spark.table("graft_at.db.t").schema("stars").dataType ==
+      org.apache.spark.sql.types.LongType)
+
+    // idempotent re-issue is a no-op commit (same physical schema)
+    val vBefore = t.currentSnapshot().get.version
+    spark.sql("ALTER TABLE graft_at.db.t ALTER COLUMN stars TYPE BIGINT")
+    assert(t.currentSnapshot().get.version == vBefore)
+
+    // narrowing, dropping, renaming, and NOT NULL adds all fail loudly
+    intercept[Exception](spark.sql("ALTER TABLE graft_at.db.t ALTER COLUMN lsn TYPE INT"))
+    intercept[Exception](spark.sql("ALTER TABLE graft_at.db.t DROP COLUMN content"))
+    intercept[Exception](spark.sql("ALTER TABLE graft_at.db.t RENAME COLUMN content TO body"))
+    intercept[Exception](spark.sql("ALTER TABLE graft_at.db.t ADD COLUMN req STRING NOT NULL"))
+    // the failures left no snapshot behind
+    assert(t.currentSnapshot().get.version == vBefore)
   }
 
   test("catalog: namespaces, CTAS, TIMESTAMP AS OF, CALL expire_snapshots") {

@@ -200,6 +200,42 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(stateAfter == stateBefore)
   }
 
+  test("compact rejects a non-positive byte budget before doing any work") {
+    val (table, _) = replayed(200L, 2)
+    val before = table.snapshotVersions()
+    intercept[IllegalArgumentException](Maintenance.compact(table, targetFileBytes = 0L))
+    intercept[IllegalArgumentException](Maintenance.compact(table, maxFilesPerBucket = 0))
+    // no half-done maintenance: neither a data commit nor a meta compaction ran
+    assert(table.snapshotVersions() == before)
+  }
+
+  test("meta tables with pre-upgrade schemas stay readable and compactable") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("metaschema")
+    val table = new LakeTable(spark, s"$work/table")
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    new graft.merge.MergeInto(table, numBuckets = 2, saltBuckets = 1, recordMeta = true)
+      .apply(Seq((1L, "U", ts, "r/a", "f", "c", "t", "x"))
+        .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content"), 0L): Unit
+    // simulate a part written before events_quarantined existed: parquet
+    // dirs with mixed footers must read with the UNION schema, not
+    // whichever single footer Spark happens to sample
+    Seq((99L, 98L, 5L, 5L, 5L, 0L, 1, 10L))
+      .toDF("epoch", "version", "events_in", "approx_distinct_lsn", "keys_written",
+        "tombstones_written", "buckets_touched", "duration_ms")
+      .coalesce(1).write.mode("append").parquet(s"${table.root}/meta/metrics")
+    def metrics() = graft.merge.Meta.metrics(table)
+    assert(metrics().count() == 2)
+    assert(metrics().where(col("epoch") === 99L)
+      .select("events_quarantined").head.isNullAt(0)) // evolved column, old row
+    assert(metrics().where(col("epoch") === 0L)
+      .select("events_quarantined").head.getLong(0) == 0L)
+    // meta compaction consolidates under the union schema, losing nothing
+    assert(Maintenance.compactMeta(table, maxFiles = 1) >= 1)
+    assert(metrics().count() == 2)
+    assert(metrics().columns.contains("events_quarantined"))
+  }
+
   test("concurrent snapshot commit of the same version is rejected") {
     val (table, _) = replayed(200L, 1)
     val snap = table.currentSnapshot().get

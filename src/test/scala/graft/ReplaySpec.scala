@@ -238,6 +238,44 @@ class ReplaySpec extends AnyFunSuite {
     assert(table.currentSnapshot().get.epochs.contains(1L))
   }
 
+  test("quarantine rows land exactly once per epoch, even under commit conflicts") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("quarantine-race")
+    val table = new LakeTable(spark, s"$work/table")
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    // seed so every racer below targets the SAME buckets (same repo keys):
+    // overlapping touched-file sets force the losers down the FULL
+    // recompute path, which used to re-append the epoch's quarantine rows
+    // on every attempt (they were persisted before the commit)
+    new MergeInto(table, numBuckets = 2, saltBuckets = 1, recordMeta = true)
+      .apply(Seq((1L, "I", ts, "r/a", "seed", "c", "t", "s"))
+        .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content"), 0L): Unit
+    val epochs = (100L to 105L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures = epochs.map { e =>
+      scala.concurrent.Future {
+        val events = Seq(
+          (java.lang.Long.valueOf(e * 10L), "U", ts, "r/a", s"f$e", "c", "t", s"v$e"),
+          (java.lang.Long.valueOf(e * 10L + 1L), "I", ts, null, s"bad$e", "c", "t", "poison"),
+          (null.asInstanceOf[java.lang.Long], "I", ts, "r/x", s"bad2-$e", "c", "t", "poison")
+        ).toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+        new MergeInto(table, numBuckets = 2, saltBuckets = 1, recordMeta = true)
+          .apply(events, e)
+      }
+    }.toSeq
+    val stats = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(stats.forall(s => !s.skipped && s.eventsQuarantined == 2))
+    // exactly 2 quarantine rows per epoch — retries must not duplicate them
+    val q = spark.read.json(s"${table.root}/meta/quarantine")
+    assert(q.count() == epochs.size * 2L,
+      s"quarantine duplicated rows: ${q.groupBy("_epoch").count().collect().toSeq}")
+    epochs.foreach(e => assert(q.where(col("_epoch") === e).count() == 2L))
+  }
+
   test("schema registry: widen ok, narrow/illegal rejected") {
     import org.apache.spark.sql.types._
     val v1 = SchemaRegistry.eventSchemaV1
