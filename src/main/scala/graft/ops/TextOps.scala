@@ -269,8 +269,17 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
     val perDoc = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val dfTable = words.groupBy(col("w"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df(w) = distinct-doc count = row count of perDoc per w: deriving it
+    // FROM perDoc (instead of a second countDistinct over the raw explode)
+    // makes both join inputs share one subplan, so Spark's ReuseExchange
+    // scans + explodes + wide-shuffles the corpus ONCE instead of twice.
+    // The summand must REFERENCE tf (`when(tf >= 1, 1)` — always 1, the
+    // optimizer can't prove it): a bare count would let Catalyst strip the
+    // inner count(1) from this branch (count-of-non-null → distinct-only
+    // aggregate), and the de-synchronized subplan would no longer
+    // canonicalize to the probe side's exchange — two full explodes again
+    val dfTable = perDoc.groupBy(col("w"))
+      .agg(sum(when(col("tf") >= 1, 1L)).as("df"))
     perDoc.join(broadcast(dfTable), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(
@@ -312,8 +321,11 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .where(length(col("term")) > 0)
     val perDoc = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfTable = words.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df derived from perDoc (one row per (doc, term)) — see q40: the
+    // tf-referencing summand keeps the branch canonically identical to the
+    // probe side, so the second corpus explode becomes a ReusedExchange
+    val dfTable = perDoc.groupBy(col("term"))
+      .agg(sum(when(col("tf") >= 1, 1L)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy((col("tf") * lit(1.0) / col("df")).desc, col("term").asc)
     perDoc.join(broadcast(dfTable), Seq("term"))

@@ -157,6 +157,33 @@ class PlanSpec extends AnyFunSuite {
       s"eval-gram join should broadcast:\n${plan.toString.take(1500)}")
   }
 
+  test("q40/q41 explode the corpus ONCE: the DF branch reuses the per-doc exchange") {
+    // deep traversal incl. AQE query stages and reused exchanges; distinct
+    // scan INSTANCES tell reuse (one shared subtree) from recompute (two)
+    def deep(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ inner ++ p.subqueries).flatMap(deep)
+    }
+    Seq("q40_doc_freq", "q41_tfidf_topk").foreach { q =>
+      // collect(), not the noop-write helper: AQE reuses exchanges at
+      // RUNTIME, so only this df's own finalized adaptive plan shows it
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect(): Unit
+      val plan = df.queryExecution.executedPlan
+      val scans = deep(plan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scans.nonEmpty, s"$q: no parquet scan found")
+      assert(scans.map(System.identityHashCode).distinct.size == 1,
+        s"$q re-scans the corpus for the DF vocabulary — the derived-from-perDoc " +
+          s"branch stopped canonicalizing to the probe side:\n${plan.toString.take(2000)}")
+    }
+  }
+
   test("q42 stratified sample is a shuffle-free codegen'd scan-filter") {
     val plan = executed(SparkEntry.queries("q42_stratified_sample")(spark, sf))
     assert(countNodes(plan, _.getClass.getSimpleName.contains("ShuffleExchange")) == 0,
