@@ -168,13 +168,14 @@ object StreamingReplay {
           if (recordMeta) {
             val sparkL = table.spark
             import sparkL.implicits._
-            Seq((batchId, stats.eventsIn,
+            val smDf = Seq((batchId, stats.eventsIn,
               m.get("n_late").collect { case l: Long => l }.getOrElse(0L),
               m.get("min_ts_sec").collect { case l: Long => l }.getOrElse(-1L),
               m.get("max_ts_sec").collect { case l: Long => l }.getOrElse(-1L)))
               .toDF("batch_id", "events_in", "late_beyond_watermark", "min_ts_sec", "max_ts_sec")
               .coalesce(1)
-              .write.mode("append").parquet(s"${table.root}/meta/stream_metrics")
+            graft.merge.Meta.atomicAppend(table, smDf,
+              s"${table.root}/meta/stream_metrics", "parquet")
           }
         }
       }

@@ -383,18 +383,36 @@ final class LakeTable(
   }
 
   /** Write `body` to `dst` atomically: full write to a writer-unique tmp
-    * sibling, then rename-if-absent. False = `dst` already exists — the
+    * sibling, then publish-if-absent. False = `dst` already exists — the
     * caller decides whether that is a conflict, an idempotent landing, or
     * a content-addressed hit; the tmp file is always cleaned up. This is
     * the ONE commit idiom every publish (snapshots, manifests, tags,
-    * branches, fork markers) shares. */
+    * branches, fork markers) shares.
+    *
+    * The publish step must FAIL if `dst` exists — that failure is the
+    * whole conflict-detection story. HDFS `rename` has exactly that
+    * contract, but on the local filesystem Hadoop's rename bottoms out
+    * in POSIX rename(2), which silently REPLACES an existing destination:
+    * two racing writers could both "successfully" rename onto the same
+    * snapshot version and one commit would vanish (caught by the
+    * six-writer race spec as a missing version). On `file:` URIs the
+    * publish therefore goes through link(2) (`Files.createLink`), whose
+    * EEXIST failure is atomic in the kernel — true rename-if-absent. */
   private def writeAtomic(f: FileSystem, dst: Path, body: String): Boolean = {
     val tmp = new Path(dst.getParent,
       s".${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (f.rename(tmp, dst)) true
-    else { f.delete(tmp, false); false }
+    val landed =
+      if ("file" == f.getUri.getScheme) {
+        val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+        val dstNio = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
+        try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else f.rename(tmp, dst)
+    // link() leaves the tmp name in place; rename() consumed it on success
+    f.delete(tmp, false)
+    landed
   }
 
   private def loadManifest(name: String): Seq[FileEntry] = {

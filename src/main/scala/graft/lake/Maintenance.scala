@@ -273,6 +273,21 @@ object Maintenance {
   def compactMeta(table: LakeTable, maxFiles: Int = 16): Int = {
     val spark = table.spark
     val hconf = spark.sparkContext.hadoopConfiguration
+    // sweep append-staging dirs stranded by crashed writers (Meta.
+    // atomicAppend stages in `meta/.append-<uuid>` then renames files
+    // in; the gap is milliseconds, so anything older than an hour is a
+    // crash leftover, never an in-flight append)
+    locally {
+      val metaDir = new org.apache.hadoop.fs.Path(s"${table.root}/meta")
+      val fs = metaDir.getFileSystem(hconf)
+      if (fs.exists(metaDir)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(metaDir)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(".append-") &&
+            s.getModificationTime <= cutoff)
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+    }
     metaNames.count { name =>
       repairMeta(table, name)
       val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/$name")

@@ -1,6 +1,7 @@
 package graft.merge
 
 import graft.lake.{FileEntry, InlineFiles, LakeTable, Snapshot}
+import org.apache.hadoop.fs.Path
 import graft.schema.SchemaRegistry
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
@@ -387,8 +388,9 @@ final class MergeInto(
           // conflict-retried attempt rethrows before reaching here, so
           // retries cannot duplicate the rows.
           if (nQuarantined > 0 && recordMeta)
-            aligned.where(badCond).withColumn("_epoch", lit(epochId))
-              .write.mode("append").json(s"${table.root}/meta/quarantine")
+            Meta.atomicAppend(table,
+              aligned.where(badCond).withColumn("_epoch", lit(epochId)),
+              s"${table.root}/meta/quarantine", "json")
           val stats = MergeStats(epochId, committedVersion, skipped = false,
             eventsIn = asLong(inObs.get, "n"),
             eventsQuarantined = nQuarantined,
@@ -412,6 +414,37 @@ final class MergeInto(
   * Appended as small parquet tables under the lake root.
   */
 object Meta {
+
+  /** Append `df` to the flat meta directory `destDir` WITHOUT a shared
+    * staging dir: Spark's append mode stages every concurrent job under
+    * the same `<dir>/_temporary/0`, so two epochs committing at once can
+    * delete each other's attempt files mid-write (observed as a chmod/
+    * ENOENT task failure in the quarantine race spec). Instead the job
+    * writes to a writer-unique dot-tmp sibling, then each part file is
+    * RENAMED into the destination under a unique name — renames never
+    * collide, readers never see partial files (dot-prefixed dirs are
+    * invisible to Spark), and a crash in the gap strands only a tmp dir
+    * that the next `compactMeta` sweeps. */
+  private[graft] def atomicAppend(table: LakeTable, df: DataFrame,
+                                  destDir: String, format: String): Unit = {
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val root = new Path(destDir).getParent
+    val tmp = new Path(root, s".append-$uuid")
+    df.write.mode("overwrite").format(format).save(tmp.toString)
+    val fs = tmp.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(destDir)
+    fs.mkdirs(dst)
+    fs.listStatus(tmp).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && n.startsWith("part-")
+    }.zipWithIndex.foreach { case (s, i) =>
+      val ext = s.getPath.getName.dropWhile(_ != '.')
+      if (!fs.rename(s.getPath, new Path(dst, s"a-$uuid-$i$ext")))
+        throw new IllegalStateException(s"meta append rename failed into $destDir")
+    }
+    fs.delete(tmp, true): Unit
+  }
+
   def record(table: LakeTable, stats: MergeStats, version: Long, epochId: Long,
              newFiles: Seq[FileEntry]): Unit = {
     val spark = table.spark
@@ -423,21 +456,20 @@ object Meta {
     // epoch must still be ledgered for exactly-once) — nothing to line.
     val statted = newFiles.filter(_.hasStats).filter(_.nKeys > 0)
     if (statted.nonEmpty) {
-      statted.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fsOf) =>
+      val lineageDf = statted.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, fsOf) =>
         (b, fsOf.map(_.nKeys).sum, fsOf.map(_.minLsn).min, fsOf.map(_.maxLsn).max,
           version, epochId)
-      }.toDF("bucket", "n_keys", "min_lsn", "max_lsn", "version", "epoch")
-        .coalesce(1)
-        .write.mode("append").parquet(s"${table.root}/meta/lineage")
+      }.toDF("bucket", "n_keys", "min_lsn", "max_lsn", "version", "epoch").coalesce(1)
+      atomicAppend(table, lineageDf, s"${table.root}/meta/lineage", "parquet")
     }
-    Seq((epochId, version, stats.eventsIn, stats.eventsQuarantined,
+    val metricsDf = Seq((epochId, version, stats.eventsIn, stats.eventsQuarantined,
       stats.approxDistinctLsn, stats.keysWritten,
       stats.tombstonesWritten, stats.bucketsTouched, stats.durationMs))
       .toDF("epoch", "version", "events_in", "events_quarantined",
         "approx_distinct_lsn", "keys_written",
         "tombstones_written", "buckets_touched", "duration_ms")
       .coalesce(1)
-      .write.mode("append").parquet(s"${table.root}/meta/metrics")
+    atomicAppend(table, metricsDf, s"${table.root}/meta/metrics", "parquet")
   }
 
   // mergeSchema on both readers: a table created before a meta column
