@@ -231,17 +231,20 @@ object Snapshot {
     }
   }
 
+  /** Stats serialize INDEPENDENTLY: a file whose lsn footer stats were
+    * unreadable still keeps its known nBytes (from the listing), nLive,
+    * and key ranges — gating everything behind one hasStats check would
+    * needlessly degrade byte-budget admission, split sizing,
+    * estimateStatistics, LIMIT planning and COUNT(*) to their no-stats
+    * fallbacks. Unknown fields write their sentinels (-1 / lsn extremes);
+    * absent key bounds write "-" (never a valid encKey token, which
+    * always starts with 'k'). Legacy shorter lines still parse. */
   private def fileLine(f: FileEntry): String =
-    if (f.hasStats && f.nBytes >= 0L && f.nLive >= 0L && f.hasKeyStats)
+    if (f.hasStats || f.nBytes >= 0L || f.nLive >= 0L || f.hasKeyStats) {
+      def k(v: String) = if (v == null) "-" else encKey(v)
       s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\t${f.nBytes}\t${f.nLive}\t" +
-        s"${encKey(f.minRepo)}\t${encKey(f.maxRepo)}\t${encKey(f.minPath)}\t${encKey(f.maxPath)}\n"
-    else if (f.hasStats && f.nBytes >= 0L && f.nLive >= 0L)
-      s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\t${f.nBytes}\t${f.nLive}\n"
-    else if (f.hasStats && f.nBytes >= 0L)
-      s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\t${f.nBytes}\n"
-    else if (f.hasStats)
-      s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\n"
-    else s"file=${f.bucket}\t${f.relPath}\n"
+        s"${k(f.minRepo)}\t${k(f.maxRepo)}\t${k(f.minPath)}\t${k(f.maxPath)}\n"
+    } else s"file=${f.bucket}\t${f.relPath}\n"
 
   private[graft] def serializeFileLines(files: Seq[FileEntry]): String = {
     val sb = new StringBuilder
@@ -251,10 +254,11 @@ object Snapshot {
 
   private[graft] def parseFileLine(v: String): FileEntry = {
     val parts = v.split('\t')
+    def key(tok: String): String = if (tok == "-") null else decKey(tok)
     if (parts.length >= 11)
       FileEntry(parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong,
         parts(4).toLong, parts(5).toLong, parts(6).toLong,
-        decKey(parts(7)), decKey(parts(8)), decKey(parts(9)), decKey(parts(10)))
+        key(parts(7)), key(parts(8)), key(parts(9)), key(parts(10)))
     else if (parts.length >= 7)
       FileEntry(parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong,
         parts(4).toLong, parts(5).toLong, parts(6).toLong)
@@ -758,6 +762,27 @@ final class LakeTable(
   def readFiles(schema: StructType, entries: Seq[FileEntry]): DataFrame =
     if (entries.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(entries.map(absolute): _*)
+
+  /** Max applied lsn across ALL rows of `snap` — tombstones INCLUDED,
+    * unlike `read()`: a deleted key's tombstone still orders later events,
+    * so any event sequenced "just above the table" (revert epochs, SQL
+    * DML) must clear it or it silently loses the LWW argmax. This is the
+    * correct floor when `highWaterLsn` is absent (e.g. one stats-less
+    * legacy commit). Footer stats answer with zero data IO; stat-less
+    * files force a raw-file scan. 0 on an empty table. */
+  def maxLsnOf(snap: Snapshot): Long = {
+    val files = snap.allFiles
+    if (files.isEmpty) 0L
+    else if (files.forall(_.hasStats)) {
+      val nonEmpty = files.filter(_.nKeys > 0)
+      if (nonEmpty.isEmpty) 0L else nonEmpty.map(_.maxLsn).max
+    } else {
+      val m = readFiles(snap.schema, files)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("lsn"))).head()
+      if (m.isNullAt(0)) 0L else m.getLong(0)
+    }
+  }
 
   /** The current visible table state: tombstones filtered out. */
   def read(): DataFrame = {

@@ -196,8 +196,11 @@ object Maintenance {
       throw new IllegalStateException("cannot revert an empty table"))
     require(toVersion <= cur.version,
       s"cannot revert to v$toVersion: current is v${cur.version}")
-    val revertLsn = cur.highWaterLsn.getOrElse(
-      table.read().agg(max(col("lsn"))).head.getLong(0)) + 1L
+    // fallback must see TOMBSTONE lsns too (read() hides them): a key
+    // deleted at a high lsn would otherwise out-rank its compensating
+    // 'U' event and the revert would silently fail to restore it; also
+    // null-safe when the visible state is empty
+    val revertLsn = cur.highWaterLsn.getOrElse(table.maxLsnOf(cur)) + 1L
     val feed = changesBetween(table, toVersion, cur.version, includePreimages = true)
     val keyCols = Seq("repo", "path")
     // an "update" whose pre- and post-image differ only in lsn needs no
@@ -241,13 +244,22 @@ object Maintenance {
 
   private[graft] val metaNames = Seq("lineage", "metrics", "stream_metrics")
 
-  /** Complete an interrupted `compactMeta` swap so every crash state is
-    * readable. States (tmp = `.name.compact`, old = `.name.old`):
-    *   - dir present → any tmp/old leftovers are stale (tmp was never
-    *     swapped in, or old was already superseded) — delete them;
-    *   - dir missing ∧ tmp present → the crash hit between the two swap
-    *     renames; tmp is complete (it is fully written before the first
-    *     rename) — rename it into place, then drop old. */
+  /** Complete an interrupted `compactMeta` so every crash state is
+    * readable and no crash point loses committed rows.
+    *
+    * Current protocol (marker = `.compact-pending-<name>`, holding the
+    * consolidated file's name then the victim file names):
+    *   - marker present ∧ consolidated file landed → finish: delete any
+    *     victims still present, then the marker (the exact work the
+    *     crashed compactor had left);
+    *   - marker present ∧ consolidated absent → the crash hit before the
+    *     landing rename; the victims are still the authoritative data.
+    *     Deleted only when STALE (>1h): a fresh marker may belong to an
+    *     in-flight compactor.
+    * Legacy dir-swap states (tmp = `.name.compact`, old = `.name.old`)
+    * from the previous protocol are still repaired: dir missing ∧ tmp
+    * present → rename tmp into place; dir present → intermediates are
+    * stale, delete them. */
   private[graft] def repairMeta(table: LakeTable, name: String): Unit = {
     val hconf = table.spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/$name")
@@ -256,9 +268,54 @@ object Maintenance {
     val old = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.$name.old")
     if (!fs.exists(dir) && fs.exists(tmp))
       require(fs.rename(tmp, dir), s"meta compaction repair failed for $name")
-    if (fs.exists(dir)) { // only then are the intermediates certainly stale
+    if (fs.exists(dir)) { // only then are the legacy intermediates certainly stale
       if (fs.exists(tmp)) fs.delete(tmp, true): Unit
       if (fs.exists(old)) fs.delete(old, true): Unit
+    }
+    pendingCompaction(table, name).foreach { case (marker, consolidated, victims) =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir, consolidated))) {
+        victims.foreach(v =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, v), false): Unit)
+        fs.delete(marker, false): Unit
+      } else if (fs.getFileStatus(marker).getModificationTime <
+                   System.currentTimeMillis() - 3600L * 1000) {
+        fs.delete(marker, false): Unit // stale: crashed before landing
+      } // else: possibly in-flight — leave it
+    }
+  }
+
+  /** Parse `.compact-pending-<name>` if present:
+    * (marker path, consolidated file name, victim file names). */
+  private def pendingCompaction(table: LakeTable, name: String)
+      : Option[(org.apache.hadoop.fs.Path, String, Seq[String])] = {
+    val hconf = table.spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.compact-pending-$name")
+    val fs = marker.getFileSystem(hconf)
+    if (!fs.exists(marker)) return None
+    val in = fs.open(marker)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = body.split('\n').filter(_.nonEmpty)
+    if (lines.isEmpty) { fs.delete(marker, false); None }
+    else Some((marker, lines.head, lines.tail.toSeq))
+  }
+
+  /** The consistent file list of a meta table for readers: repairs crash
+    * states, then excludes a live pending compaction's VICTIMS whenever
+    * its consolidated file has landed (the victims' rows are already in
+    * it — reading both in the landing→delete window would double-count). */
+  private[graft] def metaFiles(table: LakeTable, name: String): Seq[String] = {
+    repairMeta(table, name)
+    val hconf = table.spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/$name")
+    val fs = dir.getFileSystem(hconf)
+    if (!fs.exists(dir)) return Seq.empty
+    val names = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSeq
+    pendingCompaction(table, name) match {
+      case Some((_, consolidated, victims)) if names.contains(consolidated) =>
+        val v = victims.toSet
+        names.filterNot(v).map(n => s"${table.root}/meta/$name/$n")
+      case _ => names.map(n => s"${table.root}/meta/$name/$n")
     }
   }
 
@@ -288,26 +345,60 @@ object Maintenance {
           .foreach(s => fs.delete(s.getPath, true))
       }
     }
+    // Consolidate-into-place, NEVER a directory swap: concurrent merge
+    // epochs keep APPENDING through Meta.atomicAppend while maintenance
+    // runs (the optimistic-concurrency design), and a dir swap would (a)
+    // carry any append landing after the consolidation read into the
+    // deleted old dir — losing the row — and (b) race the appender's
+    // mkdirs between the two renames, failing the swap with the history
+    // only in intermediates. Instead: snapshot the CURRENT part list
+    // (the victims), consolidate exactly those files, record the intent
+    // in a marker, land the consolidated file beside the victims under a
+    // fresh name, then delete the victims. Appends landing at any point
+    // are untouched files the victims list never names. Every crash
+    // state is repaired by `repairMeta`, and readers go through
+    // `metaFiles`, which excludes landed-but-not-yet-deleted victims —
+    // no window double-counts or loses a row. Still single-MAINTAINER
+    // (like compact itself): two concurrent compactors could consolidate
+    // the same victims twice.
     metaNames.count { name =>
       repairMeta(table, name)
       val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/$name")
       val fs = dir.getFileSystem(hconf)
-      val nParts =
-        if (!fs.exists(dir)) 0
-        else fs.listStatus(dir).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      if (nParts <= maxFiles) false
+      if (pendingCompaction(table, name).isDefined) false // fresh in-flight marker
       else {
-        val tmp = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.$name.compact")
-        val old = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.$name.old")
-        // mergeSchema: meta tables gain columns across engine versions
-        // (e.g. metrics' events_quarantined), so a dir can hold mixed
-        // footers — the union schema keeps every column through the swap
-        spark.read.option("mergeSchema", "true").parquet(dir.toString).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        require(fs.rename(dir, old), s"meta compaction rename-aside failed for $name")
-        require(fs.rename(tmp, dir), s"meta compaction swap failed for $name")
-        fs.delete(old, true)
-        true
+        val victims =
+          if (!fs.exists(dir)) Seq.empty[String]
+          else fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).toSeq
+        if (victims.size <= maxFiles) false
+        else {
+          val uuid = java.util.UUID.randomUUID().toString.take(12)
+          val tmp = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.compact-$uuid")
+          // mergeSchema: meta tables gain columns across engine versions
+          // (e.g. metrics' events_quarantined), so parts can hold mixed
+          // footers — the union schema keeps every column
+          spark.read.option("mergeSchema", "true")
+            .parquet(victims.map(v => s"${table.root}/meta/$name/$v"): _*)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = fs.listStatus(tmp)
+            .find(s => s.isFile && s.getPath.getName.startsWith("part-"))
+            .getOrElse(throw new IllegalStateException(s"no consolidated part for $name"))
+          val consolidated = s"c-$uuid.parquet"
+          val marker = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.compact-pending-$name")
+          val body = (consolidated +: victims).mkString("", "\n", "\n")
+          val out = fs.create(marker, true)
+          try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          require(fs.rename(part.getPath, new org.apache.hadoop.fs.Path(dir, consolidated)),
+            s"meta compaction landing failed for $name")
+          victims.foreach(v =>
+            fs.delete(new org.apache.hadoop.fs.Path(dir, v), false): Unit)
+          fs.delete(marker, false)
+          fs.delete(tmp, true)
+          true
+        }
       }
     }
   }

@@ -92,10 +92,14 @@ object MaterializedView {
     if (pointer.exists(_._1 == toVersion))
       return RefreshStats(pointer.map(_._1), toVersion, initialFull = false, noOp = true)
 
+    // a pointer whose anchor snapshot was expired (snapshot retention
+    // outran the view's refresh cadence) cannot refresh incrementally —
+    // the incremental path would throw on EVERY refresh forever; rebuild
+    // from the current state instead (one full aggregation, same cost as
+    // the initial refresh)
+    val anchorAlive = pointer.forall(p => table.snapshotVersions().contains(p._1))
     val next = pointer match {
-      case None =>
-        aggregate(view, table.readVersion(toVersion), signed = false)
-      case Some((fromVersion, dir)) =>
+      case Some((fromVersion, dir)) if anchorAlive =>
         val delta = aggregate(view,
           Maintenance.changesBetween(table, fromVersion, toVersion, includePreimages = true),
           signed = true)
@@ -104,6 +108,8 @@ object MaterializedView {
         val aggs = sum(col(RowCount)).as(RowCount) +:
           view.sums.map { case (n, _) => sum(col(n)).as(n) }
         merged.groupBy(view.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      case _ => // first refresh, or expired anchor
+        aggregate(view, table.readVersion(toVersion), signed = false)
     }
 
     val root = viewRoot(table, view.name)
@@ -125,6 +131,7 @@ object MaterializedView {
       if ((n.matches("p\\d+") && n.drop(1).toLong < toVersion) ||
           (n.startsWith("d-") && n != dataDir)) f.delete(p, true): Unit
     }
-    RefreshStats(pointer.map(_._1), toVersion, initialFull = pointer.isEmpty, noOp = false)
+    RefreshStats(pointer.map(_._1), toVersion,
+      initialFull = pointer.isEmpty || !anchorAlive, noOp = false)
   }
 }

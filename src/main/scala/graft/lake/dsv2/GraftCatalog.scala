@@ -86,7 +86,11 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
       s"catalog $catalogName has no 'warehouse' option; set " +
         s"spark.sql.catalog.$catalogName.warehouse"))
     val parts = ident.namespace.toSeq :+ ident.name
-    parts.foreach(p => require(p.matches("[A-Za-z0-9_.-]+"), s"bad identifier part: $p"))
+    // same rule as LakeTable.validRefName: the charset regex alone admits
+    // "." and "..", which as path segments escape the warehouse — DROP
+    // TABLE g.`..` would otherwise fs.delete the warehouse's PARENT
+    parts.foreach(p => require(graft.lake.LakeTable.validRefName(p),
+      s"bad identifier part: $p"))
     (wh +: parts).mkString("/")
   }
 
@@ -265,7 +269,9 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
   // (tables are marked by their `_snapshots` dir).
 
   private def nsPath(ns: Array[String]): Path = {
-    ns.foreach(p => require(p.matches("[A-Za-z0-9_.-]+"), s"bad namespace part: $p"))
+    // "."/".." excluded for the same traversal reason as pathOf
+    ns.foreach(p => require(graft.lake.LakeTable.validRefName(p),
+      s"bad namespace part: $p"))
     new Path((warehouse.getOrElse(throw new IllegalStateException(
       s"catalog $catalogName has no 'warehouse' option")) +: ns.toSeq).mkString("/"))
   }

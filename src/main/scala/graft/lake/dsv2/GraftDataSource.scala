@@ -356,7 +356,9 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
       case EqualTo("path", v: String) => pathEq = Some(v)
       case GreaterThan("lsn", v: Long) =>
         lsnLowerBound = Some(math.max(lsnLowerBound.getOrElse(Long.MinValue), v))
-      case GreaterThanOrEqual("lsn", v: Long) =>
+      case GreaterThanOrEqual("lsn", v: Long) if v != Long.MinValue =>
+        // v == MinValue is tautological and v - 1 would wrap to MaxValue,
+        // flipping "keep everything" into "prune everything"
         lsnLowerBound = Some(math.max(lsnLowerBound.getOrElse(Long.MinValue), v - 1))
       case _ => ()
     }

@@ -22,13 +22,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * rule, reference src/places/place_index.rs:359-370). Tombstone rows
   * (`_deleted`) are skipped: the scan exposes `read()` semantics. */
 final class GraftReaderFactory(physicalSchema: StructType, required: StructType,
-                               includeTombstones: Boolean = false)
+                               includeTombstones: Boolean = false,
+                               /** Driver Hadoop conf shipped to executors —
+                                 * a fresh Configuration() there would lose
+                                 * every driver-set fs property (s3a creds,
+                                 * endpoints, custom schemes); the write path
+                                 * (GraftDeltaWriter) ships the same way. */
+                               conf: org.apache.spark.util.SerializableConfiguration =
+                                 org.apache.spark.sql.graftx.Bridge
+                                   .serializableConf(org.apache.spark.sql.SparkSession.active))
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.absPath, physicalSchema, required,
       includeTombstones, p.lsnLowerExclusive, p.rangeStart, p.rangeEnd,
-      p.repoEq, p.pathEq)
+      p.repoEq, p.pathEq, conf.value)
   }
 }
 
@@ -48,10 +56,13 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
                                    * per file, so footer min/max confine a
                                    * point lookup to 1-2 row groups. */
                                  repoEq: String = null,
-                                 pathEq: String = null)
+                                 pathEq: String = null,
+                                 conf0: Configuration = null)
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  // copy: PARQUET_READ_SCHEMA is set per reader below and the shipped
+  // conf may be shared across partition readers on one executor
+  private val conf = if (conf0 == null) new Configuration() else new Configuration(conf0)
   private val path = new Path(absPath)
 
   // the file's own schema decides what can be projected; requested

@@ -99,12 +99,11 @@ final class GraftDeltaWrite(root: String, snapshot: Snapshot, info: LogicalWrite
   override def description(): String = s"GraftDeltaWrite[$root, query=${info.queryId()}]"
   override def toBatch(): DeltaBatchWrite = {
     val spark = SparkSession.active
-    import org.apache.spark.sql.functions.{col, max}
-    val hwm = snapshot.highWaterLsn.getOrElse {
-      val m = new LakeTable(spark, root).forBranch(branch)
-        .read().agg(max(col("lsn"))).head()
-      if (m.isNullAt(0)) 0L else m.getLong(0)
-    }
+    // fallback must include TOMBSTONE lsns (read() hides them): a MERGE
+    // INTO insert of a previously-deleted key sequenced below its
+    // tombstone would silently lose the LWW argmax
+    val hwm = snapshot.highWaterLsn.getOrElse(
+      new LakeTable(spark, root).forBranch(branch).maxLsnOf(snapshot))
     new GraftDeltaBatchWrite(root, info.queryId(), info.schema(),
       info.rowIdSchema().orElse(null), hwm, Bridge.serializableConf(spark), branch)
   }

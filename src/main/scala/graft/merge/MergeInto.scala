@@ -476,13 +476,18 @@ object Meta {
   // existed (e.g. metrics' events_quarantined) holds mixed-footer parts,
   // and a single-footer read would either drop the column or fail on it
 
-  def lineage(table: LakeTable): DataFrame = {
-    graft.lake.Maintenance.repairMeta(table, "lineage")
-    table.spark.read.option("mergeSchema", "true").parquet(s"${table.root}/meta/lineage")
+  // reads go through Maintenance.metaFiles: it repairs crash states and
+  // serves a CONSISTENT file list while a compaction is mid-flight (a
+  // landed-but-not-swept consolidated file's victims are excluded, so no
+  // window double-counts)
+  private def readMeta(table: LakeTable, name: String): DataFrame = {
+    val files = graft.lake.Maintenance.metaFiles(table, name)
+    if (files.isEmpty) // preserve the missing-table error shape
+      table.spark.read.option("mergeSchema", "true").parquet(s"${table.root}/meta/$name")
+    else table.spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
-  def metrics(table: LakeTable): DataFrame = {
-    graft.lake.Maintenance.repairMeta(table, "metrics")
-    table.spark.read.option("mergeSchema", "true").parquet(s"${table.root}/meta/metrics")
-  }
+  def lineage(table: LakeTable): DataFrame = readMeta(table, "lineage")
+
+  def metrics(table: LakeTable): DataFrame = readMeta(table, "metrics")
 }

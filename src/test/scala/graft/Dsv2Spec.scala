@@ -1151,4 +1151,74 @@ class Dsv2Spec extends AnyFunSuite {
     assert(afterCompact.size == rows.size,
       s"compaction-only commit leaked ${afterCompact.size - rows.size} carried rows into the stream")
   }
+
+  test("catalog identifiers reject path-traversal segments") {
+    val wh = TestSpark.tmpDir("dsv2trav") + "/warehouse"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    // sentinel OUTSIDE the warehouse: a traversal bug would delete it
+    val sentinel = new org.apache.hadoop.fs.Path(s"${wh.stripSuffix("/warehouse")}/keepme")
+    fs.create(sentinel, true).close()
+    spark.conf.set("spark.sql.catalog.graft_trav",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_trav.warehouse", wh)
+
+    // DROP TABLE g.`..` would resolve to the warehouse's PARENT and
+    // recursively delete it; same for namespaces
+    intercept[Exception](spark.sql("DROP TABLE graft_trav.`..`"))
+    intercept[Exception](spark.sql("DROP NAMESPACE graft_trav.`..`"))
+    intercept[Exception](spark.sql("SELECT * FROM graft_trav.`..`.`..`"))
+    assert(fs.exists(sentinel), "traversal identifier must never touch the parent")
+  }
+
+  test("lsn >= Long.MinValue is a tautology, not a prune-everything filter") {
+    val table = build()
+    val all = table.read().count()
+    val viaScan = spark.read.format("graft").load(table.root)
+      .where(col("lsn") >= Long.MinValue).count()
+    assert(viaScan == all,
+      "a tautological bound must not underflow into pruning every file")
+    // and a genuinely restrictive bound still works
+    val hw = table.currentSnapshot().get.highWaterLsn.get
+    assert(spark.read.format("graft").load(table.root)
+      .where(col("lsn") >= hw + 1).count() == 0)
+  }
+
+  test("SQL MERGE INTO insert of a previously-deleted key clears its tombstone (no hw mark)") {
+    import spark.implicits._
+    val wh = TestSpark.tmpDir("dsv2hwfall")
+    spark.conf.set("spark.sql.catalog.graft_hwf",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_hwf.warehouse", wh)
+    spark.sql("CREATE TABLE graft_hwf.db.t (lsn BIGINT, repo STRING, path STRING, " +
+      "content STRING) TBLPROPERTIES ('buckets'='2')")
+    spark.sql("INSERT INTO graft_hwf.db.t VALUES " +
+      "(1, 'r1', 'a', 'v1'), (2, 'r2', 'b', 'w1')")
+    val table = new LakeTable(spark, s"$wh/db/t")
+    // delete r1/a at an lsn far ABOVE every visible row (a CDC delete)
+    new MergeInto(table, numBuckets = 2, saltBuckets = 1, recordMeta = false)
+      .apply(Seq((100L, "D", "r1", "a", ""))
+        .toDF("lsn", "op", "repo", "path", "content"), 77L)
+    // legacy-table shape: no high-water mark → DML must fall back to a
+    // max-lsn that still SEES the tombstone at 100
+    val snap = table.currentSnapshot().get
+    table.commitSnapshot(snap.copy(version = snap.version + 1, highWaterLsn = None))
+    assert(table.currentSnapshot().get.highWaterLsn.isEmpty)
+
+    // a MATCHED clause keeps this on the row-level DELTA path (an
+    // insert-only MERGE optimizes to the plain INSERT surface, which
+    // honors the row's own lsn by contract)
+    spark.sql("MERGE INTO graft_hwf.db.t t USING (SELECT 'r1' repo, 'a' path, 'reborn' c " +
+      "UNION ALL SELECT 'r2', 'b', 'w2') s " +
+      "ON t.repo = s.repo AND t.path = s.path " +
+      "WHEN MATCHED THEN UPDATE SET content = s.c " +
+      "WHEN NOT MATCHED THEN INSERT (lsn, repo, path, content) " +
+      "VALUES (0, s.repo, s.path, s.c)")
+    val got = spark.sql("SELECT content FROM graft_hwf.db.t " +
+      "WHERE repo = 'r1' AND path = 'a'").collect()
+    assert(got.length == 1 && got(0).getString(0) == "reborn",
+      "the insert must sequence ABOVE the tombstone's lsn 100, not above the visible max")
+    spark.sql("DROP TABLE graft_hwf.db.t")
+  }
 }

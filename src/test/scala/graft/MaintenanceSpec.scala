@@ -413,6 +413,65 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!fs.exists(old))
   }
 
+  test("compactMeta: consolidate-into-place survives crashes and concurrent appends") {
+    val cfg = GenConfig(nEvents = 400L)
+    val work = TestSpark.tmpDir("metacompact2")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 3, partitions = 2)
+    val table = new LakeTable(spark, s"$work/table")
+    BatchReplay.replay(spark, s"$work/log", table, numBuckets = 4, recordMeta = true)
+    val fs = new org.apache.hadoop.fs.Path(table.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/metrics")
+    def parts(): Seq[String] = fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSeq
+    def rows(): Seq[String] =
+      graft.merge.Meta.metrics(table).collect().map(_.toString).sorted.toSeq
+    val baseline = rows()
+    assert(parts().size == 3) // one per epoch
+
+    // normal run folds everything into one file, rows unchanged
+    assert(Maintenance.compactMeta(table, maxFiles = 1) >= 1)
+    assert(parts().size == 1 && rows() == baseline)
+
+    // crash window A: consolidated LANDED, victims not yet deleted, marker
+    // live — a reader must not double-count, and repair must finish the job
+    val victims = parts()
+    import spark.implicits._
+    val dup = s"c-craft.parquet"
+    val stage = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.crafttmp")
+    spark.read.option("mergeSchema", "true")
+      .parquet(victims.map(v => s"${table.root}/meta/metrics/$v"): _*)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val stagedPart = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    assert(fs.rename(stagedPart, new org.apache.hadoop.fs.Path(dir, dup)))
+    val marker = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.compact-pending-metrics")
+    val out = fs.create(marker, true)
+    out.write((dup +: victims).mkString("", "\n", "\n").getBytes("UTF-8")); out.close()
+    // an append landing in this window (a concurrent epoch) must survive
+    val extra = Seq((999L, 99L, 1L, 0L, 1L, 1L, 0L, 1, 1L))
+      .toDF("epoch", "version", "events_in", "events_quarantined",
+        "approx_distinct_lsn", "keys_written", "tombstones_written",
+        "buckets_touched", "duration_ms").coalesce(1)
+    graft.merge.Meta.atomicAppend(table, extra, s"${table.root}/meta/metrics", "parquet")
+    val withExtra = rows()
+    assert(withExtra.size == baseline.size + 1, "no double-count, append visible")
+    // a read repaired the window: victims swept, marker gone, rows intact
+    assert(!fs.exists(marker) && rows() == withExtra)
+    assert(victims.forall(v => !fs.exists(new org.apache.hadoop.fs.Path(dir, v))))
+
+    // crash window B: marker written, consolidated NEVER landed — victims
+    // stay authoritative; a FRESH marker is left alone, a stale one sweeps
+    val out2 = fs.create(marker, true)
+    out2.write(("c-never.parquet" +: parts()).mkString("", "\n", "\n").getBytes("UTF-8"))
+    out2.close()
+    assert(rows() == withExtra, "victims still authoritative")
+    assert(fs.exists(marker), "fresh marker must not be swept")
+    fs.setTimes(marker, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+    assert(rows() == withExtra)
+    assert(!fs.exists(marker), "stale marker swept on read")
+  }
+
   test("vacuum removes exactly the orphaned data dirs of a crashed writer") {
     val (table, _) = replayed(800L, 2)
     val v = table.currentSnapshot().get.version

@@ -177,4 +177,22 @@ class ManifestSpec extends AnyFunSuite {
     assert(table.manifestFileNames().toSet == before - "g9-deadbeefdeadbeef.manifest")
     assert(table.read().count() > 0) // table intact
   }
+
+  test("stats serialize independently: bytes/live/key ranges survive without lsn stats") {
+    import graft.lake.{FileEntry, InlineFiles, Snapshot}
+    // a file whose lsn footer stats were unreadable still keeps its known
+    // nBytes (from the listing) and nLive — they must not be discarded
+    // behind a single hasStats gate
+    val partial = FileEntry(1, "data/v1-x/b=1/p.parquet", nBytes = 4096L, nLive = 7L)
+    val keysOnly = FileEntry(2, "data/v1-x/b=2/k.parquet",
+      minRepo = "alpha", maxRepo = "omega", minPath = "f1", maxPath = "f9")
+    val s = Snapshot(1L, 1, graft.schema.SchemaRegistry.eventSchemaV1, 8, Set(1L),
+      InlineFiles(Seq(partial, keysOnly)))
+    val rt = Snapshot.deserialize(Snapshot.serialize(s))
+    assert(rt == s, "independent stats must round-trip exactly")
+    val Seq(p, k) = rt.allFiles.sortBy(_.bucket)
+    assert(!p.hasStats && p.nBytes == 4096L && p.nLive == 7L && !p.hasKeyStats)
+    assert(!k.hasStats && k.hasKeyStats && k.nBytes == -1L)
+    assert(k.mayContain("beta", "f5") && !k.mayContain("zz", null))
+  }
 }

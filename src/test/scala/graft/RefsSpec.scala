@@ -171,4 +171,22 @@ class RefsSpec extends AnyFunSuite {
     assert(now.toSeq == Seq("second") && atTag.toSeq == Seq("first"))
     spark.sql("DROP TABLE graft_tw.tdb.t")
   }
+
+  test("revert on a highWaterLsn-less table still clears tombstone lsns") {
+    val (table, merge) = twoEpochTable() // v0, v1
+    val v1 = table.currentSnapshot().get.version
+    // delete k0 at an lsn ABOVE every visible row's lsn — its tombstone is
+    // exactly what a visible-rows max(lsn) fallback cannot see
+    merge.apply(df((100L, "D", "r/c", "k0", "")), 2L)
+    // legacy table shape: strip the high-water mark (one stats-less commit
+    // makes it permanently None), forcing revert onto the fallback path
+    val snap = table.currentSnapshot().get
+    table.commitSnapshot(snap.copy(version = snap.version + 1, highWaterLsn = None))
+    assert(table.currentSnapshot().get.highWaterLsn.isEmpty)
+
+    Maintenance.revert(table, v1)
+    assert(visible(table) == visibleAt(table, v1),
+      "the compensating 'U' for k0 must out-rank the tombstone at lsn 100 — " +
+        "a fallback reading only VISIBLE rows sequences below it and loses the argmax")
+  }
 }

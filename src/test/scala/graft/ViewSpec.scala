@@ -190,4 +190,31 @@ class ViewSpec extends AnyFunSuite {
     MaterializedView.refresh(table, licView)
     assert(licCanon(MaterializedView.read(table, "lic")) == licCanon(licRecompute()))
   }
+
+  test("expired anchor: refresh falls back to a full rebuild instead of failing forever") {
+    val work = TestSpark.tmpDir("viewexpire")
+    val table = mkTable(work)
+    MaterializedView.refresh(table, view) // anchor = current version
+
+    // advance the table twice, then expire history past the anchor
+    BatchReplay.replay(spark, s"$work/logAll", table, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    Maintenance.compact(table, maxFilesPerBucket = 1)
+    val anchor = MaterializedView.currentPointer(table, "per_repo").get._1
+    Maintenance.expireSnapshots(table, keepLast = 1, olderThanMs = 0L)
+    assert(!table.snapshotVersions().contains(anchor), "anchor must be expired")
+
+    val s = MaterializedView.refresh(table, view)
+    assert(s.initialFull && !s.noOp, "expired anchor forces a full rebuild")
+    assert(canon(MaterializedView.read(table, "per_repo")) == canon(recompute(table)))
+    // and the view is incrementally maintainable again afterwards
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    merge.apply(Seq((9100001L, "I", ts, "post/expiry", "a.txt", "c1", "text", "hi"))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content"), 950L)
+    val s2 = MaterializedView.refresh(table, view)
+    assert(!s2.initialFull && !s2.noOp)
+    assert(canon(MaterializedView.read(table, "per_repo")) == canon(recompute(table)))
+  }
 }
