@@ -281,7 +281,9 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
   private var pathEq: Option[String] = None
   private var lsnLowerBound: Option[Long] = None // exclusive bound (>= x → > x-1)
   private var residual: Array[Filter] = Array.empty
-  private var pushedCountCols: Int = 0 // >0: COUNT(*) answered from the manifest
+  // set when a whole aggregation is answered from the manifest:
+  // (output column name, value or null) per aggregate expression
+  private var pushedAgg: Option[Seq[(String, Any)]] = None
 
   /** `SELECT count(*)` answered from MANIFEST stats — zero data files
     * opened (the metadata-only count the reference's index header serves,
@@ -306,21 +308,58 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
       else None
     }
   }
-  private def canPushAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
-      limitRows.isEmpty && // count over LIMIT k is k-bounded, not the manifest total
-      manifestCount.isDefined
+  /** MIN/MAX(lsn) from manifest stats — the same zero-IO answer as
+    * COUNT(*), with a stricter soundness gate: per-file lsn ranges cover
+    * ALL rows including tombstones, while a plain read hides them — a
+    * tombstone holding the extreme lsn would make the stats answer wrong.
+    * So the push fires only when the scan surfaces tombstones
+    * (`includeTombstones`) or no planned file contains any
+    * (`nLive == nKeys` everywhere — e.g. an insert-only table). */
+  private lazy val manifestMinMaxOk: Boolean =
+    residual.isEmpty && !options.containsKey("changesFrom") && {
+      val fs = snapshot.allFiles
+      fs.forall(_.hasStats) &&
+        (options.getBoolean("includeTombstones", false) ||
+          fs.forall(f => f.nLive == f.nKeys))
+    }
+  private def lsnExtreme(isMin: Boolean): Any = {
+    val fs = snapshot.allFiles.filter(_.nKeys > 0)
+    if (fs.isEmpty) null // min/max over zero rows is NULL
+    else java.lang.Long.valueOf(
+      if (isMin) fs.map(_.minLsn).min else fs.map(_.maxLsn).max)
+  }
+  private def isLsnRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+        n.fieldNames.length == 1 && n.fieldNames()(0) == "lsn"
+      case _ => false
+    }
+  /** (name, value) per aggregate expression when EVERY one is answerable
+    * from the manifest; None otherwise. */
+  private def aggValues(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[(String, Any)]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty ||
+        limitRows.nonEmpty) return None // aggregates over LIMIT k are k-bounded
+    val vs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => manifestCount.map(c => ("count(*)", c: Any))
+      case m: Min if isLsnRef(m.column) && manifestMinMaxOk =>
+        Some(("min(lsn)", lsnExtreme(isMin = true)))
+      case m: Max if isLsnRef(m.column) && manifestMinMaxOk =>
+        Some(("max(lsn)", lsnExtreme(isMin = false)))
+      case _ => None
+    }
+    if (vs.forall(_.isDefined)) Some(vs.flatten) else None
+  }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canPushAgg(agg)
+    aggValues(agg).isDefined
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (!canPushAgg(agg)) return false
-    pushedCountCols = agg.aggregateExpressions.length
-    true
+    aggValues(agg) match {
+      case Some(vs) => pushedAgg = Some(vs); true
+      case None => false
+    }
   }
 
   /** LIMIT k planned as a FILE-PREFIX scan: a limit promises an arbitrary
@@ -371,8 +410,7 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan = {
-    if (pushedCountCols > 0)
-      return new GraftCountScan(manifestCount.get, pushedCountCols)
+    pushedAgg.foreach(vs => return new GraftAggScan(vs))
     // Batch CDC read: `option("changesFrom", v)` emits the rows CHANGED
     // after version v up to `changesTo`/current — the batch twin of the
     // streaming source (same manifest-driven planning via GraftChanges:
@@ -421,15 +459,22 @@ final class GraftScanBuilder(root: String, snapshot: graft.lake.Snapshot,
 /** The completely-pushed-down `COUNT(*)`: a driver-local one-row scan —
   * Spark plans it as a LocalTableScan, so the query touches no data file
   * and launches no task. */
-final class GraftCountScan(count: Long, nCols: Int) extends LocalScan {
+/** One-row LocalScan answering a fully-pushed aggregation (count(*) /
+  * min(lsn) / max(lsn)) from manifest stats — zero data files, zero
+  * tasks. Null values (extremes over an empty table) surface as SQL
+  * NULL. */
+final class GraftAggScan(values: Seq[(String, Any)]) extends LocalScan {
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
     Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array.fill[Any](nCols)(count)))
+      values.map(_._2).toArray))
   override def readSchema(): StructType = StructType(
-    (0 until nCols).map(i => org.apache.spark.sql.types.StructField(
-      if (i == 0) "count(*)" else s"count(*)_$i",
-      org.apache.spark.sql.types.LongType, nullable = false)))
-  override def description(): String = s"graft manifest count(*)=$count"
+    values.zipWithIndex.map { case ((name, v), i) =>
+      org.apache.spark.sql.types.StructField(
+        if (values.map(_._1).indexOf(name) == i) name else s"${name}_$i",
+        org.apache.spark.sql.types.LongType, nullable = v == null)
+    })
+  override def description(): String =
+    s"graft manifest agg ${values.map { case (n, v) => s"$n=$v" }.mkString(", ")}"
 }
 
 object GraftScanBuilder {

@@ -395,6 +395,48 @@ class Dsv2Spec extends AnyFunSuite {
     assert(nV == table.readVersion(1).count() && pV.contains("LocalTableScan"))
   }
 
+  test("min/max(lsn) answer from manifest stats — but only when tombstones can't lie") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("dsv2agg")
+    val table = new LakeTable(spark, s"$work/table")
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+    // insert-only table: every file's nLive == nKeys, stats can't lie
+    merge.apply((1 to 40).map(i => (i.toLong, "U", s"r${i % 5}", s"f$i.txt", s"c$i"))
+      .toDF("lsn", "op", "repo", "path", "content"), 1L)
+    def run(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.Row, String) =
+      (df.head, df.queryExecution.executedPlan.toString)
+
+    val base = spark.read.format("graft").load(table.root)
+    val (r0, p0) = run(base.agg(min("lsn"), max("lsn"), count(lit(1))))
+    assert(r0.getLong(0) == 1L && r0.getLong(1) == 40L && r0.getLong(2) == 40L)
+    assert(p0.contains("LocalTableScan") && !p0.contains("BatchScan"),
+      s"min/max(lsn) was not manifest-served:\n${p0.take(2000)}")
+
+    // tombstone the row holding the MAX lsn at an even higher lsn: file
+    // stats now cover a row the read hides, so the push must NOT fire —
+    // and the scanned answer must be the visible max, not the stats max
+    merge.apply(Seq((88888888L, "D", "r0", "f40.txt", ""))
+      .toDF("lsn", "op", "repo", "path", "content"), 2L)
+    val after = spark.read.format("graft").load(table.root)
+    val (r1, p1) = run(after.agg(max("lsn")))
+    assert(p1.contains("BatchScan"),
+      s"a table with tombstones must scan for max(lsn):\n${p1.take(2000)}")
+    assert(r1.getLong(0) == 39L,
+      s"visible max is 39 (f40 deleted), stats max would lie at 88888888: got ${r1.getLong(0)}")
+
+    // with tombstones SURFACED the stats are exact again: full pushdown,
+    // and the answer is the tombstone's lsn
+    val (rT, pT) = run(spark.read.format("graft").option("includeTombstones", true)
+      .load(table.root).agg(max("lsn")))
+    assert(rT.getLong(0) == 88888888L && pT.contains("LocalTableScan"), pT.take(2000))
+
+    // a filter blocks the push and the scanned result stays correct
+    val filtered = after.where(col("repo") === "r1").agg(min("lsn"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(filtered.head.getLong(0) ==
+      table.read().where(col("repo") === "r1").agg(min("lsn")).head.getLong(0))
+  }
+
   test("LIMIT k plans a file prefix: opens only enough files to cover k live rows") {
     val table = build()
     val total = plannedFiles(spark.read.format("graft").load(table.root))
