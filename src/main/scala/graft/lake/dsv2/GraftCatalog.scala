@@ -49,7 +49,8 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
   private val procNames =
     Array("compact", "vacuum", "rebucket", "refresh_view", "expire_snapshots", "history",
       "rollback", "revert", "create_tag", "drop_tag", "list_tags",
-      "create_branch", "fast_forward", "drop_branch", "list_branches")
+      "create_branch", "fast_forward", "drop_branch", "list_branches",
+      "replay_quarantine")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procNames.map(Identifier.of(Array("system"), _))
@@ -350,6 +351,8 @@ private final class GraftProcedure(procName: String)
       "publish a branch onto main by fast-forward (fails loudly if histories diverged)"
     case "drop_branch" => "drop a branch lineage; vacuum reclaims its exclusive storage"
     case "list_branches" => "one row per branch: name, current version"
+    case "replay_quarantine" =>
+      "re-merge quarantined (repaired) events as one epoch; still-poison rows re-quarantine"
   }
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -381,6 +384,8 @@ private final class GraftProcedure(procName: String)
     case "fast_forward" => Array(in("path", StringType), in("branch", StringType))
     case "drop_branch" => Array(in("path", StringType), in("name", StringType))
     case "list_branches" => Array(in("path", StringType))
+    case "replay_quarantine" => Array(in("path", StringType),
+      inDefault("source", StringType, "''")) // '' = <path>/meta/quarantine
   }
 
   override def call(input: InternalRow): JIterator[Scan] = {
@@ -491,6 +496,47 @@ private final class GraftProcedure(procName: String)
       case "drop_branch" =>
         val dropped = table.dropBranch(input.getString(1))
         (StructType(Seq(StructField("dropped", BooleanType))), Seq(dropped))
+      case "replay_quarantine" =>
+        // Closes the quarantine loop from SQL: read the (repaired) JSONL
+        // rows and fold them through one ordinary LWW MERGE epoch. The
+        // epoch id derives from the SOURCE's content fingerprint (file
+        // names + sizes), so re-running over the same source is a ledger
+        // skip, while a re-repaired source is a fresh epoch — and even a
+        // forced duplicate replay converges (the lsn argmax is
+        // idempotent over identical events). Rows still malformed after
+        // "repair" simply re-quarantine. The original quarantine rows
+        // are kept as an audit record.
+        val t = table
+        val srcOpt = input.getString(1)
+        val src = if (srcOpt == null || srcOpt.isEmpty) s"${t.root}/meta/quarantine" else srcOpt
+        val cur = t.currentSnapshot().getOrElse(
+          throw new IllegalStateException(s"no snapshot at ${t.root}"))
+        val srcPath = new org.apache.hadoop.fs.Path(src)
+        val srcFs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val finger = srcFs.listStatus(srcPath).filter(_.isFile)
+          .map(s => s"${s.getPath.getName}:${s.getLen}").sorted.mkString(",")
+        // JSONL is schema-tolerant but type-lossy (timestamps read back
+        // as strings): cast each column the TABLE already knows to the
+        // table's type; columns the table has never seen pass through
+        // untouched and drive ordinary merge-time schema evolution
+        val raw = spark.read.json(src).drop("_epoch")
+        val events = raw.select(raw.columns.toIndexedSeq.map { c =>
+          cur.schema.find(_.name == c) match {
+            case Some(f) =>
+              org.apache.spark.sql.functions.col(c).cast(f.dataType).as(c)
+            case None => org.apache.spark.sql.functions.col(c)
+          }
+        }: _*)
+        val seed = s"replay-quarantine:$src:$finger"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val epoch = graft.functions.Hashing.hashBytes(seed, 0, seed.length, 0x9A7AL)
+        val stats = new graft.merge.MergeInto(t, numBuckets = cur.numBuckets,
+          saltBuckets = 2, recordMeta = false).apply(events, epoch)
+        (StructType(Seq(
+          StructField("version", LongType),
+          StructField("events_in", LongType),
+          StructField("quarantined_again", LongType))),
+          Seq(stats.tableVersion, stats.eventsIn, stats.eventsQuarantined))
     }
     val values = row.map {
       case s: String => UTF8String.fromString(s)

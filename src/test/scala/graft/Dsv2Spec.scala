@@ -1194,6 +1194,50 @@ class Dsv2Spec extends AnyFunSuite {
       s"compaction-only commit leaked ${afterCompact.size - rows.size} carried rows into the stream")
   }
 
+  test("CALL replay_quarantine: repaired rows merge as one epoch; re-run converges") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("dsv2requar")
+    val table = new LakeTable(spark, s"$work/table")
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = true)
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    merge.apply(Seq(
+      (java.lang.Long.valueOf(1L), "I", ts, "r/a", "f1", "c", "text", "one"),
+      (null.asInstanceOf[java.lang.Long], "I", ts, "r/d", "f4", "c", "text", "bad-lsn"),
+      (java.lang.Long.valueOf(6L), "X", ts, "r/e", "f5", "c", "text", "bad-op")
+    ).toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content"), 0L)
+    assert(spark.read.json(s"${table.root}/meta/quarantine").count() == 2)
+
+    // upstream repair: assign a real lsn, fix the unknown op
+    val repaired = s"$work/repaired"
+    spark.read.json(s"${table.root}/meta/quarantine").drop("_epoch")
+      .withColumn("lsn", coalesce(col("lsn"), lit(50L)))
+      .withColumn("op", when(col("op") === "X", "U").otherwise(col("op")))
+      .write.mode("overwrite").json(repaired)
+
+    spark.conf.set("spark.sql.catalog.graft_rq",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    val r = spark.sql(s"CALL graft_rq.system.replay_quarantine('${table.root}', " +
+      s"'$repaired')").head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L,
+      s"both repaired rows merge, none re-quarantine: $r")
+    val keys = table.read().select("repo", "path").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(keys == Set(("r/a", "f1"), ("r/d", "f4"), ("r/e", "f5")))
+
+    // re-running the same replay is a ledger skip — state unchanged
+    val v = table.currentSnapshot().get.version
+    spark.sql(s"CALL graft_rq.system.replay_quarantine('${table.root}', '$repaired')")
+    assert(table.currentSnapshot().get.version == v)
+
+    // a row still malformed after "repair" re-quarantines instead of failing
+    spark.read.json(repaired).withColumn("lsn",
+      when(col("repo") === "r/d", null).otherwise(col("lsn")))
+      .write.mode("overwrite").json(s"$work/bad-repair")
+    val r2 = spark.sql(s"CALL graft_rq.system.replay_quarantine('${table.root}', " +
+      s"'$work/bad-repair')").head
+    assert(r2.getLong(2) == 1L, s"still-poison row must re-quarantine: $r2")
+  }
+
   test("catalog identifiers reject path-traversal segments") {
     val wh = TestSpark.tmpDir("dsv2trav") + "/warehouse"
     val fs = new org.apache.hadoop.fs.Path(wh)
