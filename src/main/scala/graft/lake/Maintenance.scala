@@ -244,23 +244,33 @@ object Maintenance {
 
   private[graft] val metaNames = Seq("lineage", "metrics", "stream_metrics")
 
-  /** Complete an interrupted `compactMeta` so every crash state is
-    * readable and no crash point loses committed rows.
+  /** Grace window before a finished meta compaction's victim files (and
+    * a crashed one's leftovers) are swept. Within it, in-flight readers
+    * that planned the victims can still read them. */
+  private[graft] val metaCompactGraceMs: Long = 3600L * 1000
+
+  /** Repair / advance `compactMeta`'s marker protocol so every crash
+    * state is readable and no point loses committed rows; returns the
+    * pending state that SURVIVES (readers exclude its victims).
     *
-    * Current protocol (marker = `.compact-pending-<name>`, holding the
-    * consolidated file's name then the victim file names):
-    *   - marker present ∧ consolidated file landed → finish: delete any
-    *     victims still present, then the marker (the exact work the
-    *     crashed compactor had left);
-    *   - marker present ∧ consolidated absent → the crash hit before the
-    *     landing rename; the victims are still the authoritative data.
-    *     Deleted only when STALE (>1h): a fresh marker may belong to an
-    *     in-flight compactor.
+    * Marker = `.compact-pending-<name>`: consolidated file name, then
+    * the victim file names. States:
+    *   - marker ∧ consolidated landed ∧ marker older than the grace
+    *     window → finish: delete victims, then the marker. Deletion is
+    *     DEFERRED past the grace window so a reader that planned the
+    *     victims before the landing never has its files deleted
+    *     mid-query; until then readers exclude the victims (their rows
+    *     live in the consolidated file).
+    *   - marker ∧ consolidated landed, still fresh → leave; report it so
+    *     readers exclude the victims.
+    *   - marker ∧ consolidated absent → crash before the landing; the
+    *     victims stay authoritative. The marker is swept only once
+    *     STALE — a fresh one may belong to an in-flight compactor.
     * Legacy dir-swap states (tmp = `.name.compact`, old = `.name.old`)
-    * from the previous protocol are still repaired: dir missing ∧ tmp
-    * present → rename tmp into place; dir present → intermediates are
-    * stale, delete them. */
-  private[graft] def repairMeta(table: LakeTable, name: String): Unit = {
+    * from the previous protocol still repair: dir missing ∧ tmp present
+    * → rename tmp into place; dir present → intermediates are stale. */
+  private[graft] def repairMeta(table: LakeTable, name: String)
+      : Option[(String, Seq[String])] = {
     val hconf = table.spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/$name")
     val fs = dir.getFileSystem(hconf)
@@ -272,47 +282,63 @@ object Maintenance {
       if (fs.exists(tmp)) fs.delete(tmp, true): Unit
       if (fs.exists(old)) fs.delete(old, true): Unit
     }
-    pendingCompaction(table, name).foreach { case (marker, consolidated, victims) =>
-      if (fs.exists(new org.apache.hadoop.fs.Path(dir, consolidated))) {
-        victims.foreach(v =>
-          fs.delete(new org.apache.hadoop.fs.Path(dir, v), false): Unit)
-        fs.delete(marker, false): Unit
-      } else if (fs.getFileStatus(marker).getModificationTime <
-                   System.currentTimeMillis() - 3600L * 1000) {
-        fs.delete(marker, false): Unit // stale: crashed before landing
-      } // else: possibly in-flight — leave it
+    val cutoff = System.currentTimeMillis() - metaCompactGraceMs
+    pendingCompaction(table, name) match {
+      case Some((marker, consolidated, victims)) =>
+        // a concurrently-deleted marker must not fail the read
+        val mtime = try Some(fs.getFileStatus(marker).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        val landed = fs.exists(new org.apache.hadoop.fs.Path(dir, consolidated))
+        mtime match {
+          case None => None // someone else finished the repair
+          case Some(t) if landed && t < cutoff =>
+            victims.foreach(v =>
+              fs.delete(new org.apache.hadoop.fs.Path(dir, v), false): Unit)
+            fs.delete(marker, false)
+            None
+          case Some(_) if landed => Some((consolidated, victims))
+          case Some(t) if t < cutoff => // crashed before landing: stale
+            fs.delete(marker, false)
+            None
+          case _ => None // fresh, not landed: in-flight compactor; victims authoritative
+        }
+      case None => None
     }
   }
 
   /** Parse `.compact-pending-<name>` if present:
-    * (marker path, consolidated file name, victim file names). */
+    * (marker path, consolidated file name, victim file names). The
+    * marker is written ATOMICALLY (tmp + rename), so a partial/empty
+    * body is never observable from a live compactor. */
   private def pendingCompaction(table: LakeTable, name: String)
       : Option[(org.apache.hadoop.fs.Path, String, Seq[String])] = {
     val hconf = table.spark.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.compact-pending-$name")
     val fs = marker.getFileSystem(hconf)
     if (!fs.exists(marker)) return None
-    val in = fs.open(marker)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val body = try {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    } catch { case _: java.io.FileNotFoundException => return None } // raced a repair
     val lines = body.split('\n').filter(_.nonEmpty)
-    if (lines.isEmpty) { fs.delete(marker, false); None }
-    else Some((marker, lines.head, lines.tail.toSeq))
+    if (lines.isEmpty) None else Some((marker, lines.head, lines.tail.toSeq))
   }
 
   /** The consistent file list of a meta table for readers: repairs crash
-    * states, then excludes a live pending compaction's VICTIMS whenever
-    * its consolidated file has landed (the victims' rows are already in
-    * it — reading both in the landing→delete window would double-count). */
+    * states, then excludes a surviving pending compaction's VICTIMS (the
+    * victims' rows already live in its landed consolidated file — reading
+    * both would double-count; the victims stay on disk through the grace
+    * window, so a reader that planned them earlier still reads them). */
   private[graft] def metaFiles(table: LakeTable, name: String): Seq[String] = {
-    repairMeta(table, name)
+    val pending = repairMeta(table, name)
     val hconf = table.spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/$name")
     val fs = dir.getFileSystem(hconf)
     if (!fs.exists(dir)) return Seq.empty
     val names = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).toSeq
-    pendingCompaction(table, name) match {
-      case Some((_, consolidated, victims)) if names.contains(consolidated) =>
+    pending match {
+      case Some((consolidated, victims)) if names.contains(consolidated) =>
         val v = victims.toSet
         names.filterNot(v).map(n => s"${table.root}/meta/$name/$n")
       case _ => names.map(n => s"${table.root}/meta/$name/$n")
@@ -322,11 +348,16 @@ object Maintenance {
   /** Compact the per-epoch appended meta tables (lineage / metrics /
     * stream_metrics) down to one file each once they exceed `maxFiles`
     * parts — at 10⁵ epochs an uncompacted metrics read degrades linearly
-    * in file count. Single-maintainer operation (like compact itself).
-    * Crash-safe swap: write tmp → rename dir aside → rename tmp into
-    * place → drop the old dir; every intermediate state is repaired by
-    * `repairMeta` (run here and by the Meta readers), so no crash point
-    * leaves the table unreadable or loses committed rows. */
+    * in file count. Single-maintainer operation (like compact itself) —
+    * but safe against concurrent APPENDERS and READERS by construction:
+    * the consolidation covers a snapshot of the current part list (the
+    * victims), lands BESIDE them under a fresh name with an atomic
+    * intent marker, and the victims are deleted only after a grace
+    * window (`repairMeta`), during which readers exclude them via the
+    * marker while readers that planned them earlier still find them on
+    * disk. Appends landing at any point are files the victim list never
+    * names. Every crash state is repaired by `repairMeta`; stranded
+    * staging dirs age out through the sweep below. */
   def compactMeta(table: LakeTable, maxFiles: Int = 16): Int = {
     val spark = table.spark
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -338,9 +369,14 @@ object Maintenance {
       val metaDir = new org.apache.hadoop.fs.Path(s"${table.root}/meta")
       val fs = metaDir.getFileSystem(hconf)
       if (fs.exists(metaDir)) {
-        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        val cutoff = System.currentTimeMillis() - metaCompactGraceMs
+        // also sweeps `.compact-<uuid>` staging DIRS stranded by crashed
+        // compactors (markers are FILES named `.compact-pending-*` and
+        // are managed by repairMeta, not this sweep)
         fs.listStatus(metaDir)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith(".append-") &&
+          .filter(s => s.isDirectory &&
+            (s.getPath.getName.startsWith(".append-") ||
+              s.getPath.getName.startsWith(".compact-")) &&
             s.getModificationTime <= cutoff)
           .foreach(s => fs.delete(s.getPath, true))
       }
@@ -362,10 +398,10 @@ object Maintenance {
     // (like compact itself): two concurrent compactors could consolidate
     // the same victims twice.
     metaNames.count { name =>
-      repairMeta(table, name)
+      val pending = repairMeta(table, name)
       val dir = new org.apache.hadoop.fs.Path(s"${table.root}/meta/$name")
       val fs = dir.getFileSystem(hconf)
-      if (pendingCompaction(table, name).isDefined) false // fresh in-flight marker
+      if (pending.isDefined) false // a prior compaction is still in its grace window
       else {
         val victims =
           if (!fs.exists(dir)) Seq.empty[String]
@@ -385,17 +421,22 @@ object Maintenance {
           val part = fs.listStatus(tmp)
             .find(s => s.isFile && s.getPath.getName.startsWith("part-"))
             .getOrElse(throw new IllegalStateException(s"no consolidated part for $name"))
+          // marker lands ATOMICALLY (full write to a dot-tmp, then rename):
+          // a reader can never observe a partial/empty marker
           val consolidated = s"c-$uuid.parquet"
           val marker = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.compact-pending-$name")
+          val mtmp = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.compact-pending-$name.$uuid.tmp")
           val body = (consolidated +: victims).mkString("", "\n", "\n")
-          val out = fs.create(marker, true)
+          val out = fs.create(mtmp, true)
           try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
+          require(fs.rename(mtmp, marker), s"meta compaction marker failed for $name")
           require(fs.rename(part.getPath, new org.apache.hadoop.fs.Path(dir, consolidated)),
             s"meta compaction landing failed for $name")
-          victims.foreach(v =>
-            fs.delete(new org.apache.hadoop.fs.Path(dir, v), false): Unit)
-          fs.delete(marker, false)
+          // victims and marker are NOT deleted here: they age through the
+          // grace window (readers exclude the victims via the marker) and
+          // repairMeta sweeps them after it — so a reader that planned
+          // the victim files before the landing never loses them mid-read
           fs.delete(tmp, true)
           true
         }

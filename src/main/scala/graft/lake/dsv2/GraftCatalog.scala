@@ -513,8 +513,24 @@ private final class GraftProcedure(procName: String)
           throw new IllegalStateException(s"no snapshot at ${t.root}"))
         val srcPath = new org.apache.hadoop.fs.Path(src)
         val srcFs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val finger = srcFs.listStatus(srcPath).filter(_.isFile)
-          .map(s => s"${s.getPath.getName}:${s.getLen}").sorted.mkString(",")
+        val srcFiles =
+          if (!srcFs.exists(srcPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+          else srcFs.listStatus(srcPath).filter(_.isFile)
+        if (srcFiles.isEmpty) {
+          // nothing ever quarantined (or an empty repair dir): clean no-op
+          val schema0 = StructType(Seq(
+            StructField("version", LongType),
+            StructField("events_in", LongType),
+            StructField("quarantined_again", LongType)))
+          return java.util.Collections.singletonList[Scan](new GraftResultScan(schema0,
+            Array(new GenericInternalRow(Array[Any](cur.version, 0L, 0L))))).iterator()
+        }
+        // name + size + mtime: an in-place same-size repair still changes
+        // the fingerprint, so it replays as a fresh epoch rather than
+        // ledger-skipping against the previous attempt
+        val finger = srcFiles
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString(",")
         // JSONL is schema-tolerant but type-lossy (timestamps read back
         // as strings): cast each column the TABLE already knows to the
         // table's type; columns the table has never seen pass through
@@ -530,8 +546,11 @@ private final class GraftProcedure(procName: String)
         val seed = s"replay-quarantine:$src:$finger"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val epoch = graft.functions.Hashing.hashBytes(seed, 0, seed.length, 0x9A7AL)
+        // recordMeta: still-poison rows must RE-PERSIST to
+        // meta/quarantine under the new epoch (not just count) — the
+        // procedure's contract says they re-quarantine
         val stats = new graft.merge.MergeInto(t, numBuckets = cur.numBuckets,
-          saltBuckets = 2, recordMeta = false).apply(events, epoch)
+          saltBuckets = 2, recordMeta = true).apply(events, epoch)
         (StructType(Seq(
           StructField("version", LongType),
           StructField("events_in", LongType),

@@ -223,8 +223,10 @@ final class GraftTable(root: String, snapshot: graft.lake.Snapshot, visibleSchem
       .select(col("repo"), col("path")).distinct().cache()
     try {
       if (victims.isEmpty) return // no-op: no new version, no empty epoch
-      val delLsn = snap.highWaterLsn.getOrElse(
-        table.read().agg(max(col("lsn"))).head.getLong(0)) + 1L
+      // the fallback must include TOMBSTONE lsns (read() hides them): a
+      // delete sequenced below an existing tombstone would let an old
+      // absorbed event out-rank it and resurrect the row
+      val delLsn = snap.highWaterLsn.getOrElse(table.maxLsnOf(snap)) + 1L
       val events = victims
         .withColumn("lsn", lit(delLsn))
         .withColumn("op", lit("D"))

@@ -340,8 +340,16 @@ class MaintenanceSpec extends AnyFunSuite {
     val before = graft.merge.Meta.metrics(table).collect().map(_.toString).sorted.toSeq
     assert(parts("metrics") >= 6, "expected one metrics file per epoch before compaction")
     assert(Maintenance.compactMeta(table, maxFiles = 2) >= 2) // metrics + lineage
-    assert(parts("metrics") == 1 && parts("lineage") == 1)
+    // readers already see one logical file; victims age out through the
+    // grace window (see the consolidate-into-place test), after which the
+    // physical count drops to one per table
+    for (n <- Seq("metrics", "lineage")) {
+      val m = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.compact-pending-$n")
+      if (fs.exists(m)) fs.setTimes(m, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+    }
     val after = graft.merge.Meta.metrics(table).collect().map(_.toString).sorted.toSeq
+    graft.merge.Meta.lineage(table).count()
+    assert(parts("metrics") == 1 && parts("lineage") == 1)
     assert(after == before, "meta compaction changed the metrics rows")
     assert(Maintenance.compactMeta(table, maxFiles = 2) == 0) // idempotent
   }
@@ -429,12 +437,23 @@ class MaintenanceSpec extends AnyFunSuite {
     val baseline = rows()
     assert(parts().size == 3) // one per epoch
 
-    // normal run folds everything into one file, rows unchanged
+    // normal run lands the consolidated file BESIDE the victims with an
+    // intent marker; victims stay on disk through the grace window (an
+    // in-flight reader that planned them must not lose its files) while
+    // readers already exclude them — no double-count
+    val marker0 = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.compact-pending-metrics")
     assert(Maintenance.compactMeta(table, maxFiles = 1) >= 1)
-    assert(parts().size == 1 && rows() == baseline)
+    assert(parts().size == 4 && rows() == baseline && fs.exists(marker0))
+    // a second compaction within the grace window is a no-op (pending)
+    assert(Maintenance.compactMeta(table, maxFiles = 1) == 0)
+    // once the marker ages past the grace window, the next READ sweeps
+    // victims and marker
+    fs.setTimes(marker0, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+    assert(rows() == baseline)
+    assert(parts().size == 1 && !fs.exists(marker0))
 
-    // crash window A: consolidated LANDED, victims not yet deleted, marker
-    // live — a reader must not double-count, and repair must finish the job
+    // crash window A: consolidated LANDED, victims not yet swept, marker
+    // live — a reader must not double-count; aging the marker finishes it
     val victims = parts()
     import spark.implicits._
     val dup = s"c-craft.parquet"
@@ -456,8 +475,12 @@ class MaintenanceSpec extends AnyFunSuite {
     graft.merge.Meta.atomicAppend(table, extra, s"${table.root}/meta/metrics", "parquet")
     val withExtra = rows()
     assert(withExtra.size == baseline.size + 1, "no double-count, append visible")
-    // a read repaired the window: victims swept, marker gone, rows intact
-    assert(!fs.exists(marker) && rows() == withExtra)
+    // within the grace window nothing is swept (the marker is fresh)
+    assert(fs.exists(marker), "fresh marker survives the read")
+    // aging the marker lets the next read finish the crashed compaction
+    fs.setTimes(marker, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+    assert(rows() == withExtra)
+    assert(!fs.exists(marker))
     assert(victims.forall(v => !fs.exists(new org.apache.hadoop.fs.Path(dir, v))))
 
     // crash window B: marker written, consolidated NEVER landed — victims
