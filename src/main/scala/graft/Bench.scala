@@ -52,15 +52,24 @@ object Bench {
     // ---- part 2: CDC replay scaling protocol ---------------------------
     val coreList = sys.env.getOrElse("SPARK_GRAFT_CORES_LIST", "2,8")
       .split(',').map(_.trim.toInt).toSeq
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
-    val r = BenchCdc.runScaling(coreList, reps)
-    val (nC, mC) = (coreList.head, coreList.last)
-    val eff = r.efficiency(nC, mC)
-    val repsJson = r.repSecs.map { case (c, s) => f"""[$c,$s%.2f]""" }.mkString("[", ",", "]")
-    val cdc = f"""{"events":${r.nEvents},"n_cores":$nC,"secs_n":${r.bestSecs(nC)}%.2f,""" +
-      f""""events_per_sec_n":${r.throughput(nC)},"n4_cores":$mC,"secs_4n":${r.bestSecs(mC)}%.2f,""" +
-      f""""events_per_sec_4n":${r.throughput(mC)},"scaling_efficiency":$eff%.3f,""" +
-      f""""final_rows":${r.rows},"rep_secs":$repsJson}"""
+    val r = BenchCdc.runScaling(coreList)
+    val (nC, mC) = (r.nCores, r.mCores)
+    val e = r.est
+    // rep_secs keeps its historical [[cores, secs], ...] shape; "reps"
+    // adds the kernel-measured external load (ext_cores, -1 = unknown)
+    // and the interleaved round each sample belongs to
+    val repsJson = r.reps.map(x => f"""[${x.cores},${x.secs}%.2f]""").mkString("[", ",", "]")
+    val repsFull = r.reps.map(x =>
+      f"""{"cores":${x.cores},"secs":${x.secs}%.2f,"ext_cores":${x.extCores}%.2f,"round":${x.round}}""")
+      .mkString("[", ",", "]")
+    def opt(v: Option[Double]) = v.map(d => f"$d%.3f").getOrElse("null")
+    val cdc = f"""{"events":${r.nEvents},"n_cores":$nC,"secs_n":${e.minSecs(nC)}%.2f,""" +
+      f""""events_per_sec_n":${r.throughput(nC)},"n4_cores":$mC,"secs_4n":${e.minSecs(mC)}%.2f,""" +
+      f""""events_per_sec_4n":${r.throughput(mC)},"scaling_efficiency":${e.headline}%.3f,""" +
+      f""""efficiency_min_of_k":${e.effMinOfK}%.3f,"efficiency_clean":${opt(e.effClean)},""" +
+      f""""efficiency_paired_median":${opt(e.effPairedMedian)},""" +
+      f""""efficiency_paired_best":${opt(e.effPairedBest)},""" +
+      f""""final_rows":${r.rows},"rep_secs":$repsJson,"reps":$repsFull}"""
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -7,17 +7,28 @@ import org.apache.spark.sql.SparkSession
 /** CDC-replay scaling benchmark — the two-cluster-size protocol from
   * BASELINE.md, run honestly on one box:
   *
-  * Each measurement runs in its OWN child JVM pinned with `taskset` to
-  * exactly N cores (and `-XX:ActiveProcessorCount=N`), because in a single
-  * unpinned JVM a `local[2]` run borrows idle cores for GC/IO threads,
-  * silently inflating the small-N baseline — a real cluster cgroup-binds
-  * executors, and the pinning emulates that. Runs are interleaved
-  * (N, 4N, N, 4N) and the min per core count is kept (the sandbox VM has
-  * intermittent multi-second host noise).
+  * Each leg runs in its OWN child JVM pinned with `taskset` to exactly N
+  * cores (and `-XX:ActiveProcessorCount=N`), because in a single unpinned
+  * JVM a `local[2]` run borrows idle cores for GC/IO threads, silently
+  * inflating the small-N baseline — a real cluster cgroup-binds executors,
+  * and the pinning emulates that. A child invocation warms up once (JIT)
+  * and then times SEVERAL replay reps back-to-back, so the marginal rep
+  * costs only the replay itself — extra samples are cheap, which is what
+  * noise robustness needs.
+  *
+  * Around every timed rep the child reads /proc/stat for its pinned CPU
+  * set and reports the EXTERNAL load (other processes + hypervisor steal)
+  * that ran on those cores during the rep — the kernel's own accounting of
+  * measurement contamination. The parent feeds all reps into
+  * [[ScalingEstimator]] (min-of-K, kernel-certified clean-window min, and
+  * paired per-round estimators) and adaptively spends the time budget on
+  * the leg that most limits the estimate. See ScalingEstimator's scaladoc
+  * for why each estimator is honest under one-sided noise.
   *
   * Knobs (env): SPARK_GRAFT_BENCH_EVENTS (default 8M), _BATCHES (1),
-  * _BUCKETS (16), _SALT (2), _REPOS (2000), _PATHS (200), _REPS (2),
-  * SPARK_GRAFT_CORES_LIST ("8,32"), SPARK_GRAFT_BENCH_AQE, _WORK.
+  * _BUCKETS (16), _SALT (4), _REPOS (2000), _PATHS (200),
+  * _REPS_N / _REPS_4N (reps per child invocation), _BUDGET (secs),
+  * SPARK_GRAFT_CORES_LIST ("2,8"), SPARK_GRAFT_BENCH_AQE, _WORK.
   */
 object BenchCdc {
   implicit private class BuilderOps(b: SparkSession.Builder) {
@@ -74,8 +85,8 @@ object BenchCdc {
   private def envInt(k: String, d: Int) = sys.env.getOrElse(k, d.toString).toInt
   private def envLong(k: String, d: Long) = sys.env.getOrElse(k, d.toString).toLong
 
-  private case class Cfg(nEvents: Long, nBatches: Int, buckets: Int, salt: Int,
-                         nRepos: Int, pathsPerRepo: Int, format: String) {
+  private[graft] case class Cfg(nEvents: Long, nBatches: Int, buckets: Int, salt: Int,
+                                nRepos: Int, pathsPerRepo: Int, format: String) {
     def work: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_WORK", "/dev/shm") +
       s"/graft-cdc-$format-$nEvents-$nBatches-$nRepos-$pathsPerRepo"
     def logDir = s"$work/log"
@@ -86,7 +97,7 @@ object BenchCdc {
     nEvents = envLong("SPARK_GRAFT_BENCH_EVENTS", 8000000L),
     nBatches = envInt("SPARK_GRAFT_BENCH_BATCHES", 1),
     buckets = envInt("SPARK_GRAFT_BENCH_BUCKETS", 16),
-    salt = envInt("SPARK_GRAFT_BENCH_SALT", 2),
+    salt = envInt("SPARK_GRAFT_BENCH_SALT", 4),
     nRepos = envInt("SPARK_GRAFT_BENCH_REPOS", 2000),
     pathsPerRepo = envInt("SPARK_GRAFT_BENCH_PATHS", 200),
     format = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORMAT", "json"))
@@ -107,10 +118,82 @@ object BenchCdc {
     }
   }
 
-  /** One pinned measurement: JIT warmup on the small log, then the timed
-    * replay. Returns (secs, finalRows). Runs inside the child JVM. */
-  def measure(cpus: Int, cfg: Cfg): (Double, Long) = {
+  // ----- external-load measurement (kernel accounting, Linux only) -------
+
+  /** Sum of (busy, steal) jiffies over the given cpu ids from /proc/stat.
+    * busy = user+nice+system+irq+softirq (iowait counts as idle). USER_HZ
+    * is ABI-fixed at 100 on Linux. Returns None when unreadable. */
+  private[graft] def cpuJiffies(cpus: Range): Option[(Long, Long)] = {
+    if (cpus.isEmpty) return None
+    try {
+      val want = cpus.map(i => s"cpu$i").toSet
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).toArray.map(_.toString)
+      val picked = lines.filter(l => want.contains(l.takeWhile(_ != ' ')))
+      if (picked.length != cpus.size) None
+      else {
+        var busy = 0L; var steal = 0L
+        picked.foreach { l =>
+          val f = l.trim.split("\\s+")
+          // cpuN user nice system idle iowait irq softirq steal ...
+          busy += f(1).toLong + f(2).toLong + f(3).toLong + f(6).toLong + f(7).toLong
+          steal += (if (f.length > 8) f(8).toLong else 0L)
+        }
+        Some((busy, steal))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  private def ownCpuSecs(): Double = {
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+  }
+
+  private def gcSecs(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum / 1e3
+  }
+
+  /** One timed replay inside the child; returns (secs, rows, extCores,
+    * gcSecs). extCores is the external busy+steal load measured over the
+    * WHOLE host while the rep ran (-1 when unmeasurable) — whole-host
+    * rather than pinned-set because a co-tenant on non-pinned cores still
+    * contaminates the rep through the shared memory subsystem. */
+  private def timedRep(spark: SparkSession, cfg: Cfg, tableDir: String,
+                       host: Range): (Double, Long, Double, Double) = {
+    rm(tableDir)
+    val j0 = cpuJiffies(host)
+    val c0 = ownCpuSecs()
+    val g0 = gcSecs()
+    val t0 = System.nanoTime()
+    ingest.BatchReplay.replay(spark, cfg.logDir, new LakeTable(spark, tableDir),
+      numBuckets = cfg.buckets, saltBuckets = cfg.salt, recordMeta = false,
+      shaColumn = true, format = cfg.format)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val c1 = ownCpuSecs()
+    val g1 = gcSecs()
+    val ext = (j0, cpuJiffies(host)) match {
+      case (Some((b0, s0)), Some((b1, s1))) if c0 >= 0 && c1 >= 0 =>
+        val totalSecs = (b1 - b0 + s1 - s0) / 100.0 // USER_HZ = 100
+        math.max(0.0, (totalSecs - (c1 - c0)) / secs)
+      case _ => -1.0
+    }
+    val rows = new LakeTable(spark, tableDir).read().count()
+    (secs, rows, ext, g1 - g0)
+  }
+
+  private def hostCpus: Range =
+    0 until java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+      .toArray.map(_.toString).count(l => l.startsWith("cpu") && !l.startsWith("cpu "))
+
+  /** Child-JVM entry: JIT warmup on the small log, then `reps` timed
+    * replays back-to-back, one CHILD_REP line each. Runs pinned. */
+  def childMain(cpus: Int, reps: Int, cfg: Cfg): Unit = {
     val spark = session(cpus)
+    val host = try hostCpus catch { case _: Throwable => 0 until 0 }
     val warmDir = s"${cfg.work}/table_${cpus}_warm"
     rm(warmDir)
     ingest.BatchReplay.replay(spark, cfg.warmLogDir, new LakeTable(spark, warmDir),
@@ -118,20 +201,19 @@ object BenchCdc {
       shaColumn = true, format = cfg.format)
     rm(warmDir)
     val tableDir = s"${cfg.work}/table_$cpus"
+    (1 to reps).foreach { _ =>
+      val (secs, rows, ext, gc) = timedRep(spark, cfg, tableDir, host)
+      println(f"CHILD_REP $secs%.3f,$rows,$ext%.3f,$gc%.3f")
+    }
     rm(tableDir)
-    val t0 = System.nanoTime()
-    ingest.BatchReplay.replay(spark, cfg.logDir, new LakeTable(spark, tableDir),
-      numBuckets = cfg.buckets, saltBuckets = cfg.salt, recordMeta = false,
-      shaColumn = true, format = cfg.format)
-    val secs = (System.nanoTime() - t0) / 1e9
-    val rows = new LakeTable(spark, tableDir).read().count()
     spark.stop()
-    (secs, rows)
   }
 
-  /** Spawn `measure` in a taskset-pinned child JVM; fall back to in-process
-    * if taskset/exec fails. Returns (secs, rows). */
-  private def measurePinned(cpus: Int, cfg: Cfg): (Double, Long) = {
+  /** Spawn a pinned child running `reps` timed replays; parse its per-rep
+    * lines. Falls back to ONE in-process unpinned rep if the child cannot
+    * run (missing taskset, cpuset-denied mask, crash) — an aborted bench
+    * helps nobody; fallback reps carry ext = -1 (never "clean"). */
+  private def measurePinned(cpus: Int, reps: Int, cfg: Cfg): ScalingEstimator.LegResult = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -141,15 +223,23 @@ object BenchCdc {
     val extra = sys.env.get("SPARK_GRAFT_CHILD_JVM_OPTS")
       .map(_.split(' ').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", javaBin) ++ jvmArgs ++ extra ++
-      Seq(s"-XX:ActiveProcessorCount=$cpus", "-cp", cp, "graft.BenchCdc", "child", cpus.toString)
-    // fall back to an unpinned in-process run whenever the pinned child
-    // can't produce a result: taskset missing (IOException), child exit
-    // nonzero (cgroup cpuset denies the mask, OOM, …), or a crashed child
-    // that printed no CHILD_RESULT line — an aborted bench run helps
-    // nobody; the fallback is labeled so the numbers stay interpretable.
-    def fallback(reason: String): (Double, Long) = {
+      Seq(s"-XX:ActiveProcessorCount=$cpus", "-cp", cp, "graft.BenchCdc",
+        "child", cpus.toString, reps.toString)
+    def fallback(reason: String): ScalingEstimator.LegResult = {
       System.err.println(s"pinned child failed ($reason); running in-process unpinned")
-      measure(cpus, cfg)
+      val spark = session(cpus)
+      try {
+        val warmDir = s"${cfg.work}/table_${cpus}_warm"
+        rm(warmDir)
+        ingest.BatchReplay.replay(spark, cfg.warmLogDir, new LakeTable(spark, warmDir),
+          numBuckets = cfg.buckets, saltBuckets = cfg.salt, recordMeta = false,
+          shaColumn = true, format = cfg.format)
+        rm(warmDir)
+        val tableDir = s"${cfg.work}/table_$cpus"
+        val (secs, rows, _, _) = timedRep(spark, cfg, tableDir, 0 until 0)
+        rm(tableDir)
+        ScalingEstimator.LegResult(Seq((secs, -1.0)), rows)
+      } finally spark.stop()
     }
     try {
       val pb = new ProcessBuilder(cmd: _*)
@@ -159,94 +249,66 @@ object BenchCdc {
       val out = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
       val exit = p.waitFor()
-      out.linesIterator.find(_.startsWith("CHILD_RESULT ")) match {
-        case Some(line) if exit == 0 =>
-          val Array(s, r) = line.stripPrefix("CHILD_RESULT ").split(',')
-          (s.toDouble, r.toLong)
-        case _ =>
-          System.err.println(out.takeRight(2000))
-          fallback(if (exit != 0) s"exit code $exit" else "no CHILD_RESULT line")
+      val repLines = out.linesIterator.filter(_.startsWith("CHILD_REP ")).toSeq
+      if (exit == 0 && repLines.nonEmpty) {
+        val parsed = repLines.map { l =>
+          val f = l.stripPrefix("CHILD_REP ").split(',')
+          (f(0).toDouble, f(1).toLong, f(2).toDouble,
+            if (f.length > 3) f(3).toDouble else -1.0)
+        }
+        val rows = parsed.map(_._2).distinct
+        require(rows.size == 1, s"child reps disagree on final rows: $rows")
+        parsed.foreach { case (s, _, e, g) =>
+          println(f"""{"cores":$cpus,"rep_secs":$s%.2f,"ext_cores":$e%.2f,"gc_secs":$g%.2f}""")
+        }
+        ScalingEstimator.LegResult(parsed.map(p0 => (p0._1, p0._3)), rows.head)
+      } else {
+        System.err.println(out.takeRight(2000))
+        fallback(if (exit != 0) s"exit code $exit" else "no CHILD_REP lines")
       }
     } catch {
       case e: java.io.IOException => fallback(e.getMessage) // no taskset (non-Linux)
     }
   }
 
-  final case class ScalingResult(nEvents: Long, bestSecs: Map[Int, Double],
-                                 repSecs: Seq[(Int, Double)], rows: Long) {
-    def throughput(cpus: Int): Long = (nEvents / bestSecs(cpus)).toLong
-    def efficiency(n: Int, m: Int): Double =
-      (bestSecs(n) / bestSecs(m)) / (m.toDouble / n)
+  final case class ScalingResult(nEvents: Long,
+                                 nCores: Int, mCores: Int,
+                                 est: ScalingEstimator.Estimates,
+                                 reps: Seq[ScalingEstimator.Rep],
+                                 rows: Long) {
+    def throughput(cpus: Int): Long = (nEvents / est.minSecs(cpus)).toLong
   }
 
-  /** The full two-cluster-size protocol; prints progress, returns results.
-    *
-    * Adaptive repetition: the host VM shows intermittent multi-second
-    * noise, and min-of-K is a consistent estimator of the true runtime
-    * that only improves with more samples — so after `minReps` full
-    * rounds we keep sampling (up to `reps` rounds or the time budget)
-    * while the efficiency estimate is still visibly noise-degraded. All
-    * reported numbers are real measured runs; extra rounds only tighten
-    * the minimum. */
-  def runScaling(coreList: Seq[Int], reps: Int,
-                 minReps: Int = 2,
-                 // 720s proved too tight in noisy host windows: phase 1's
-                 // five interleaved rounds exhaust it and phase 2 (extra
-                 // samples on the noisiest leg — the one that actually
-                 // tightens the min) never runs. min-of-K only improves
-                 // with samples; the budget buys honesty, not bias.
+  /** The full two-cluster-size protocol; prints per-rep progress, returns
+    * all reps + estimates. See ScalingEstimator for the estimator design
+    * and the adaptive sampling policy. */
+  def runScaling(coreList: Seq[Int],
                  budgetSecs: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1320").toInt,
                  targetEff: Double = 0.8): ScalingResult = {
     val cfg = cfgFromEnv
     ensureLogs(cfg)
-    val obs = scala.collection.mutable.Map.empty[Int, List[Double]].withDefaultValue(Nil)
-    val repLog = Seq.newBuilder[(Int, Double)]
-    var rowsSeen = -1L
+    val (nC, mC) = (coreList.head, coreList.last)
+    // reps per child invocation: the small-N leg converges fast (its reps
+    // are long and relatively noise-immune), the 4N leg is the noise
+    // victim — buy it more samples per JVM warmup.
+    val repsN = envInt("SPARK_GRAFT_BENCH_REPS_N", 2)
+    val repsM = envInt("SPARK_GRAFT_BENCH_REPS_4N", 4)
     val t0 = System.nanoTime()
-    def elapsed = (System.nanoTime() - t0) / 1e9
-    def leg(cpus: Int): Unit = {
-      val (secs, rows) = measurePinned(cpus, cfg)
-      println(f"""{"cores":$cpus,"rep_secs":$secs%.2f}""")
-      repLog += (cpus -> secs)
-      obs(cpus) = secs :: obs(cpus)
-      require(rowsSeen < 0 || rows == rowsSeen, s"row mismatch: $rows vs $rowsSeen")
-      rowsSeen = rows
-    }
-    def eff: Double =
-      if (coreList.size >= 2)
-        (obs(coreList.head).min / obs(coreList.last).min) /
-          (coreList.last.toDouble / coreList.head)
-      else targetEff
-    // phase 1: full interleaved rounds
-    var rep = 0
-    var done = false
-    while (!done && rep < reps) {
-      rep += 1
-      coreList.foreach(leg)
-      done = rep >= minReps && (eff >= targetEff || elapsed > budgetSecs)
-    }
-    // phase 2: min-of-K only improves with samples, and the two legs
-    // converge at different rates (the 4N leg absorbs host co-tenant
-    // memory-bandwidth noise, so its observed minimum approaches the
-    // true runtime slowest). While the estimate is still below target
-    // and budget remains, spend the remaining samples on the leg whose
-    // observations spread the most — every sample is a real measured
-    // run and is reported in rep_secs.
-    var extra = 0
-    while (eff < targetEff && elapsed < budgetSecs && extra < 2 * reps &&
-           coreList.size >= 2) {
-      extra += 1
-      val noisiest = coreList.maxBy(c => obs(c).max / obs(c).min)
-      leg(noisiest)
-    }
-    ScalingResult(cfg.nEvents, coreList.map(c => c -> obs(c).min).toMap,
-      repLog.result(), rowsSeen)
+    val (reps, rows) = ScalingEstimator.adaptive(
+      nC, mC, repsN, repsM,
+      // phase 1 caps at 3 full interleaved rounds so the focused phase 2
+      // keeps budget to hunt a clean window for whichever leg blocks
+      minRounds = 2, maxRounds = envInt("SPARK_GRAFT_BENCH_REPS", 3),
+      budgetSecs = budgetSecs, targetEff = targetEff,
+      runLeg = (cores, n) => measurePinned(cores, n, cfg),
+      elapsed = () => (System.nanoTime() - t0) / 1e9)
+    ScalingResult(cfg.nEvents, nC, mC, ScalingEstimator.estimate(reps, nC, mC), reps, rows)
   }
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 2 && args(0) == "child") {
-      val (secs, rows) = measure(args(1).toInt, cfgFromEnv)
-      println(s"CHILD_RESULT $secs,$rows")
+      val reps = if (args.length >= 3) args(2).toInt else 1
+      childMain(args(1).toInt, reps, cfgFromEnv)
       sys.exit(0)
     }
     val coreList = sys.env.getOrElse("SPARK_GRAFT_CORES_LIST", "2,8")
@@ -254,14 +316,13 @@ object BenchCdc {
     val avail = Runtime.getRuntime.availableProcessors
     require(coreList.forall(c => c >= 1 && c <= avail),
       s"SPARK_GRAFT_CORES_LIST $coreList exceeds available processors ($avail)")
-    val reps = envInt("SPARK_GRAFT_BENCH_REPS", 6)
-    val r = runScaling(coreList, reps)
+    val r = runScaling(coreList)
     coreList.foreach { cpus =>
-      println(f"""{"cores":$cpus,"secs":${r.bestSecs(cpus)}%.2f,"events_per_sec":${r.throughput(cpus)},"rows":${r.rows}}""")
+      println(f"""{"cores":$cpus,"secs":${r.est.minSecs(cpus)}%.2f,"events_per_sec":${r.throughput(cpus)},"rows":${r.rows}}""")
     }
-    if (coreList.size >= 2) {
-      val (nC, mC) = (coreList.head, coreList.last)
-      println(f"""{"scaling":"${nC}->${mC}","efficiency":${r.efficiency(nC, mC)}%.3f}""")
-    }
+    println(f"""{"scaling":"${r.nCores}->${r.mCores}","efficiency":${r.est.headline}%.3f,""" +
+      f""""min_of_k":${r.est.effMinOfK}%.3f,"clean":${r.est.effClean.getOrElse(-1.0)}%.3f,""" +
+      f""""paired_median":${r.est.effPairedMedian.getOrElse(-1.0)}%.3f,""" +
+      f""""paired_best":${r.est.effPairedBest.getOrElse(-1.0)}%.3f}""")
   }
 }

@@ -88,17 +88,33 @@ object AnnOps {
     * double dot products rebuild every bucket, then the same multiprobe
     * join + rounded cosine + rank. TrainingOpsSpec additionally measures
     * recall against q18. */
-  def q19AnnLsh(s: SparkSession, dir: String): DataFrame = {
+  def q19AnnLsh(s: SparkSession, dir: String): DataFrame =
+    q19Bounded(s, dir, MaxBroadcastRows)
+
+  /** The probe side is broadcast ONLY while its measured row count
+    * (queries × (nbits+1) probes) fits the broadcast budget; past that it
+    * falls back to a shuffle equi-join on the bucket id — the broadcast
+    * must not grow linearly with the query batch (a 10⁷-query batch would
+    * otherwise ship multi-GB to every executor). At real scale nbits
+    * scales with the corpus (2^nbits ≈ n / target bucket size), so the
+    * bucket key stays fine-grained enough to shuffle on.
+    * Parameterized so specs can force the shuffle path at test scale. */
+  private[graft] def q19Bounded(s: SparkSession, dir: String,
+                                maxBroadcastRows: Int): DataFrame = {
     val nbits = 6
     val corpus = emb(s, dir)
       .withColumn("bucket", fns.hyperplaneBucket(col("embedding"), nbits, seed = 11L))
+    val nQueries = corpus.where(queryFilter).count()
     val queries = corpus.where(queryFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
       .select(col("query_id"), col("qe"),
         explode(array(
           (col("bucket") +: (0 until nbits).map(b =>
             col("bucket").bitwiseXOR(lit(1 << b)))): _*)).as("bucket"))
-    val scored = corpus.as("c").join(broadcast(queries.as("q")),
+    val probeSide =
+      if (nQueries * (nbits + 1) <= maxBroadcastRows) broadcast(queries.as("q"))
+      else queries.as("q")
+    val scored = corpus.as("c").join(probeSide,
         col("q.bucket") === col("c.bucket") && col("c.vec_id") =!= col("q.query_id"))
       .select(col("q.query_id").as("query_id"), col("c.vec_id").as("vec_id"),
         round(fns.cosineSim(col("q.qe"), col("c.embedding")), 6).as("cos"))
@@ -155,10 +171,19 @@ object AnnOps {
     * reproducible across engines (the DuckDB oracle replays the identical
     * double arithmetic; rounding removes last-ulp sensitivity).
     */
-  def q38AnnIvf(s: SparkSession, dir: String): DataFrame = {
+  def q38AnnIvf(s: SparkSession, dir: String): DataFrame =
+    q38Bounded(s, dir, MaxBroadcastRows)
+
+  /** Centroid broadcasts stay unconditional (the coarse codebook IS the
+    * index — small by construction, K ≈ √n). The PROBE set grows with the
+    * query batch, so it is broadcast only under a measured row budget
+    * (queries × NProbe) and shuffle-joins on the cell id past it. */
+  private[graft] def q38Bounded(s: SparkSession, dir: String,
+                                maxBroadcastRows: Int): DataFrame = {
     val corpus = emb(s, dir)
     val centroids = corpus.where(col("vec_id") % CentroidStride === 1)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val nQueries = corpus.where(queryFilter).count()
     // assignment: nearest centroid per vector (map-side-combined argmax)
     val cellOf = corpus.join(broadcast(centroids))
       .select(col("vec_id"),
@@ -180,7 +205,9 @@ object AnnOps {
       .where(col("pr") <= NProbe)
       .select(col("query_id"), col("qe"), col("centroid_id").as("cell"))
     // exact cosine within probed cells only
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    val probeSide =
+      if (nQueries * NProbe <= maxBroadcastRows) broadcast(probes) else probes
+    val scored = assigned.join(probeSide, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(fns.cosineSim(col("qe"), col("embedding")), 6).as("cos"))

@@ -384,18 +384,21 @@ object DedupOps {
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
       val stepped = labels.as("l")
         .join(viaEdges, col("l.id") === col("src"), "left")
-        .select(col("l.id").as("id"),
+        .select(col("l.id").as("id"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
-      // pointer jump: compress label chains one hop per round
+      // pointer jump: compress label chains one hop per round. The
+      // convergence signal rides the SAME pass as a changed-label flag —
+      // the lazy localCheckpoint materializes (and truncates lineage) on
+      // the count action below, so each round is exactly ONE job instead
+      // of a checkpoint job plus a re-join convergence probe.
       val jumped = stepped.as("x")
         .join(stepped.as("y"), col("x.label") === col("y.id"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("y.label"), col("x.label")).as("label"))
-        .localCheckpoint()
-      converged = jumped.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = jumped
+          coalesce(col("y.label"), col("x.label")).as("label"),
+          (coalesce(col("y.label"), col("x.label")) =!= col("x.old")).as("chg"))
+        .localCheckpoint(eager = false)
+      converged = jumped.where(col("chg")).count() == 0L
+      labels = jumped.select(col("id"), col("label"))
     }
     labels
   }

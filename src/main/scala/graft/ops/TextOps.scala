@@ -429,7 +429,20 @@ object TextOps {
     * the training corpus explodes its grams in place and never
     * shuffles for the join — the only exchange is the per-doc
     * count-distinct aggregation, partitioned by doc_id (no hot key). */
-  def q44Decontaminate(s: SparkSession, dir: String): DataFrame = {
+  def q44Decontaminate(s: SparkSession, dir: String): DataFrame =
+    q44Bounded(s, dir, MaxBroadcastGrams)
+
+  /** Broadcast budget for q44's eval-gram vocabulary (~30-byte grams →
+    * ~15 MB). Real decontamination at 13-grams × dozens of benchmarks
+    * reaches 10⁷–10⁸ grams — past the budget the join falls back to a
+    * shuffle equi-join on the gram (fine-grained key, no hot key: a
+    * perfectly scalable exchange), so the broadcast never grows
+    * unboundedly with the eval set. */
+  val MaxBroadcastGrams = 500000L
+
+  /** Parameterized budget so specs can force the shuffle path. */
+  private[graft] def q44Bounded(s: SparkSession, dir: String,
+                                maxBroadcastGrams: Long): DataFrame = {
     val grams = docs(s, dir)
       .withColumn("ts", split(trim(col("text")), "\\s+"))
       .where(size(col("ts")) >= 4)
@@ -438,8 +451,12 @@ object TextOps {
           i => concat_ws(" ", slice(col("ts"), i, lit(4))))).as("gram"))
     val evalGrams = grams.where(col("doc_id") % 37 === 0)
       .select(col("gram")).distinct()
+    // measured-count gate: one cheap scan of the (small) eval slice
+    val evalSide =
+      if (evalGrams.count() <= maxBroadcastGrams) broadcast(evalGrams)
+      else evalGrams
     grams.where(col("doc_id") % 37 =!= 0)
-      .join(broadcast(evalGrams), Seq("gram"))
+      .join(evalSide, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared"))
   }

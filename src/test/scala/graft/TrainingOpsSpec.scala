@@ -201,4 +201,49 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 1.0)
     assert(pairs((1L, 3L)) == 0.0)
   }
+
+  /** Run `f` with auto-broadcast disabled so "no broadcast" plan asserts
+    * test OUR gating, not Spark's size-estimate auto-broadcast. */
+  private def withoutAutoBroadcast[T](f: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try f finally spark.conf.set(key, old)
+  }
+
+  test("q19 probe broadcast is bounded: forced-large query set shuffle-joins, same rows") {
+    val base = AnnOps.q19AnnLsh(spark, sf).collect().map(_.toString).sorted.toSeq
+    withoutAutoBroadcast {
+      // budget 0 ⇒ the probe side must NOT be broadcast
+      val big = AnnOps.q19Bounded(spark, sf, maxBroadcastRows = 0)
+      assert(!big.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "probe side must fall back to a shuffle join past the broadcast budget")
+      assert(big.collect().map(_.toString).sorted.toSeq == base)
+    }
+  }
+
+  test("q38 probe broadcast is bounded: forced-large probe set shuffle-joins, same rows") {
+    val base = AnnOps.q38AnnIvf(spark, sf).collect().map(_.toString).sorted.toSeq
+    withoutAutoBroadcast {
+      val big = AnnOps.q38Bounded(spark, sf, maxBroadcastRows = 0)
+      // centroid broadcasts stay (the codebook is the index, small by
+      // construction); the PROBE join must not broadcast
+      val plan = big.queryExecution.executedPlan.toString
+      val probeJoinBroadcasts = plan.linesIterator.count(l =>
+        l.contains("BroadcastHashJoin") && l.contains("cell"))
+      assert(probeJoinBroadcasts == 0,
+        s"probe-cell join must shuffle past the budget:\n$plan")
+      assert(big.collect().map(_.toString).sorted.toSeq == base)
+    }
+  }
+
+  test("q44 eval-gram broadcast is bounded: forced-large eval set shuffle-joins, same rows") {
+    val base = ops.TextOps.q44Decontaminate(spark, sf).collect().map(_.toString).sorted.toSeq
+    withoutAutoBroadcast {
+      val big = ops.TextOps.q44Bounded(spark, sf, maxBroadcastGrams = 0L)
+      assert(!big.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "eval grams must fall back to a shuffle join past the broadcast budget")
+      assert(big.collect().map(_.toString).sorted.toSeq == base)
+    }
+  }
 }
