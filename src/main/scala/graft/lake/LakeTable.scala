@@ -412,7 +412,17 @@ final class LakeTable(
         val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
         val dstNio = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
         try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // `file:` mounts without hard-link support (some NFS/FUSE/SMB)
+          // raise these instead of EEXIST. Degrade to exists-check +
+          // rename: not kernel-atomic, but correct for the common
+          // single-writer case — and named loudly so an operator running
+          // CONCURRENT writers on such a mount knows the conflict window.
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            LakeTable.logLinkUnsupportedOnce(dstNio.getParent.toString)
+            if (f.exists(dst)) false else f.rename(tmp, dst)
+        }
       } else f.rename(tmp, dst)
     // link() leaves the tmp name in place; rename() consumed it on success
     f.delete(tmp, false)
@@ -1055,4 +1065,15 @@ object LakeTable {
     * ref store — rejected explicitly. */
   private[graft] def validRefName(name: String): Boolean =
     name.matches("[A-Za-z0-9_.-]+") && name != "." && name != ".."
+
+  /** Warn once per JVM per directory that its filesystem lacks link(2) and
+    * writeAtomic fell back to exists+rename (see writeAtomic's scaladoc). */
+  private val linkUnsupportedWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[lake] def logLinkUnsupportedOnce(dir: String): Unit =
+    if (linkUnsupportedWarned.add(dir))
+      System.err.println(
+        s"[graft] WARN: filesystem at $dir does not support hard links; " +
+        "atomic publish degrades to exists-check + rename — concurrent " +
+        "writers on this mount may lose a racing commit")
 }

@@ -292,10 +292,18 @@ object Maintenance {
         mtime match {
           case None => None // someone else finished the repair
           case Some(t) if landed && t < cutoff =>
-            victims.foreach(v =>
-              fs.delete(new org.apache.hadoop.fs.Path(dir, v), false): Unit)
-            fs.delete(marker, false)
-            None
+            // delete the marker ONLY once every victim is verifiably gone:
+            // an fs.delete that returns false without throwing would
+            // otherwise strand a victim .parquet that double-counts in
+            // every future read with no marker left to exclude it. While
+            // any victim survives, keep the marker (the next read retries
+            // the sweep) and keep excluding the victims from THIS read.
+            val allGone = victims.forall { v =>
+              val p = new org.apache.hadoop.fs.Path(dir, v)
+              fs.delete(p, false) || !fs.exists(p)
+            }
+            if (allGone) { fs.delete(marker, false): Unit; None }
+            else Some((consolidated, victims))
           case Some(_) if landed => Some((consolidated, victims))
           case Some(t) if t < cutoff => // crashed before landing: stale
             fs.delete(marker, false)
@@ -337,12 +345,19 @@ object Maintenance {
     if (!fs.exists(dir)) return Seq.empty
     val names = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).toSeq
-    pending match {
-      case Some((consolidated, victims)) if names.contains(consolidated) =>
-        val v = victims.toSet
-        names.filterNot(v).map(n => s"${table.root}/meta/$name/$n")
-      case _ => names.map(n => s"${table.root}/meta/$name/$n")
-    }
+    // Re-read the intent marker AFTER listing: a compactor that wrote the
+    // marker and landed its consolidated file between repairMeta and
+    // listStatus would otherwise have BOTH the victims and the
+    // consolidated file in `names` with nothing excluding the victims
+    // (transient double-count). The union of the pre-list repair result
+    // and the post-list marker covers both orders: a marker that expired
+    // and was swept between the two reads had its victims excluded (or
+    // already deleted) by repairMeta above.
+    val postList = pendingCompaction(table, name).map { case (_, c, v) => (c, v) }
+    val exclude = (pending.toSeq ++ postList.toSeq).collect {
+      case (consolidated, victims) if names.contains(consolidated) => victims
+    }.flatten.toSet
+    names.filterNot(exclude).map(n => s"${table.root}/meta/$name/$n")
   }
 
   /** Compact the per-epoch appended meta tables (lineage / metrics /

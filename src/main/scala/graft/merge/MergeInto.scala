@@ -386,10 +386,13 @@ final class MergeInto(
           // crash in the gap loses only the quarantine COPY (the metrics
           // row below shares that durability class), never state; a
           // conflict-retried attempt rethrows before reaching here, so
-          // retries cannot duplicate the rows.
+          // retries cannot duplicate the rows. coalesce(1): atomicAppend
+          // renames part files one by one, so a single part makes the
+          // epoch's quarantine all-or-nothing under a mid-loop crash
+          // (quarantine volume is poison rows — small by construction).
           if (nQuarantined > 0 && recordMeta)
             Meta.atomicAppend(table,
-              aligned.where(badCond).withColumn("_epoch", lit(epochId)),
+              aligned.where(badCond).withColumn("_epoch", lit(epochId)).coalesce(1),
               s"${table.root}/meta/quarantine", "json")
           val stats = MergeStats(epochId, committedVersion, skipped = false,
             eventsIn = asLong(inObs.get, "n"),
