@@ -114,7 +114,12 @@ object StreamingReplay {
             * they trail the table by at most one micro-batch. Each refresh
             * folds only that epoch's pre-image diff (O(changes + view)) —
             * see [[graft.lake.MaterializedView]]. */
-          views: Seq[graft.lake.ViewDef] = Seq.empty): Unit = {
+          views: Seq[graft.lake.ViewDef] = Seq.empty,
+          /** Log encoding: "parquet" (default) or "json" — the raw WAL-tail
+            * shape, where the stream also absorbs malformed lines (they
+            * parse to null keys and land in the quarantine, never aborting
+            * the stream — the fuzz invariant FuzzReplaySpec drives). */
+          format: String = "parquet"): Unit = {
     val merge = new MergeInto(table, numBuckets, saltBuckets, recordMeta)
     val wmMs = durationMs(watermark)
     // Epoch ids are NAMESPACED per stream generation: a NEW stream (fresh
@@ -131,13 +136,29 @@ object StreamingReplay {
     // running max event-time across batches (driver-held, like the
     // stream's own watermark tracker); used to classify late arrivals
     val maxTsMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-    val stream = spark.readStream
+    val reader = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // backpressure — the
       // reference's bounded-channel capacity (src/atp/mod.rs:36) as a rate cap
-      .parquet(s"$logDir/batch-*")
+    val glob = s"$logDir/batch-*"
+    val base = format match {
+      case "json" => reader.json(glob)
+      case _ => reader.parquet(glob)
+    }
+    // Quarantine-bound rows (null ts/lsn — malformed WAL lines parse to
+    // null keys) BYPASS the watermark + dedup: a null event time must
+    // never reach a stateful operator (undefined expiry), and a null lsn
+    // would make every poison row a "duplicate" of the last. They still
+    // flow to the merge, whose badCond counts and quarantines them — a
+    // poison line can therefore never abort the stream (the reference
+    // fuzzes its line parser for the same invariant,
+    // fuzz/fuzz_targets/fuzz_import_atp.rs).
+    import org.apache.spark.sql.functions.col
+    val statefulOk = col("ts").isNotNull && col("lsn").isNotNull
+    val deduped = base.where(statefulOk)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("lsn")
+    val stream = deduped.unionByName(base.where(!statefulOk))
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -30,13 +30,50 @@ final class GraftReaderFactory(physicalSchema: StructType, required: StructType,
                                  * (GraftDeltaWriter) ships the same way. */
                                conf: org.apache.spark.util.SerializableConfiguration =
                                  org.apache.spark.sql.graftx.Bridge
-                                   .serializableConf(org.apache.spark.sql.SparkSession.active))
+                                   .serializableConf(org.apache.spark.sql.SparkSession.active),
+                               /** Vectorized path (see
+                                 * [[GraftColumnarPartitionReader]]); the
+                                 * scan enables it for whole-state scans
+                                 * only. Constant per factory, so Spark's
+                                 * all-or-nothing columnar requirement on
+                                 * the exec node holds by construction. */
+                               columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.absPath, physicalSchema, required,
       includeTombstones, p.lsnLowerExclusive, p.rangeStart, p.rangeEnd,
       p.repoEq, p.pathEq, conf.value)
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  /** Batch schema: the projected columns, plus `_deleted` appended when it
+    * is read only to FILTER (read() semantics hide tombstones and the
+    * visible schema omits the column). Under includeTombstones the column
+    * is ordinary data — no filtering, nothing appended. */
+  private def columnarReadSchema: StructType =
+    if (includeTombstones || required.fieldNames.contains(LakeTable.DeletedCol)) required
+    else StructType(required.fields :+
+      StructField(LakeTable.DeletedCol, BooleanType))
+
+  /** Conf for Spark's vectorized reader, prepared once on the driver
+    * (SQLConf-derived keys; see Bridge.parquetReadConf). Built eagerly so
+    * it serializes with the factory. */
+  private val columnarConf: org.apache.spark.util.SerializableConfiguration =
+    if (columnar)
+      org.apache.spark.sql.graftx.Bridge.parquetReadConf(
+        org.apache.spark.sql.SparkSession.active, columnarReadSchema.json)
+    else null
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    require(columnar, "columnar read requested on a row-based graft scan")
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarPartitionReader(p.absPath, columnarReadSchema,
+      projectLen = required.length,
+      filterTombstones = !includeTombstones,
+      p.rangeStart, p.rangeEnd, columnarConf.value)
   }
 }
 
@@ -162,6 +199,7 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
         else g.getDouble(name, 0)
       case FloatType => g.getFloat(name, 0)
       case BooleanType => g.getBoolean(name, 0)
+      case BinaryType => g.getBinary(name, 0).getBytes
       case TimestampType | TimestampNTZType => readTimestampMicros(g, name)
       case t => throw new UnsupportedOperationException(
         s"graft DSv2 reader supports flat state schemas; column $name has $t")

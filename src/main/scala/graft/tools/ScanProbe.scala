@@ -35,6 +35,43 @@ object ScanProbe {
       val df = spark.read.format("graft").load(table.root)
       df.agg(sum(length(col("path"))), count(lit(1))).head; df.count()
     }
+
+    // ---- wide binary-heavy leg (q28-shaped: media bytes + metadata) ----
+    // The decode-bound shape: ~8 KB binary payload per row. This is where
+    // the vectorized columnar path must match Spark's native scan (the
+    // row-at-a-time Group decode pays an object tree per row here).
+    import spark.implicits._
+    val nMedia = 200000
+    val media = spark.range(nMedia.toLong).select(
+      col("id").as("lsn"),
+      lit("U").as("op"),
+      to_timestamp(lit("2024-01-01 00:00:00")).as("ts"),
+      concat(lit("repo-"), col("id") % 500).as("repo"),
+      concat(lit("media/"), col("id"), lit(".bin")).as("path"),
+      lit("c0").as("commit"),
+      // deterministic pseudo-random 8 KB payload, unique per row
+      repeat(sha2(conv(col("id").cast("string"), 10, 16), 512), 64)
+        .cast("binary").as("payload"),
+      (col("id") % 1000000).cast("int").as("width"))
+    val mediaTable = new LakeTable(spark, s"$work/media")
+    new graft.merge.MergeInto(mediaTable, numBuckets = 8, saltBuckets = 1,
+      recordMeta = false).apply(media, 1L)
+    val mdirs = mediaTable.currentSnapshot().get.allFiles
+      .map(f => s"${mediaTable.root}/${f.relPath}")
+    def mediaAgg(df: org.apache.spark.sql.DataFrame): Long = {
+      df.agg(sum(length(col("payload"))), sum(col("width").cast("long")))
+        .head; df.count()
+    }
+    time("media-native-parquet") {
+      mediaAgg(spark.read.parquet(mdirs: _*).where(!col("_deleted")))
+    }
+    time("media-graft-columnar") {
+      mediaAgg(spark.read.format("graft").load(mediaTable.root))
+    }
+    time("media-graft-row") {
+      mediaAgg(spark.read.format("graft").option("columnar", "false")
+        .load(mediaTable.root))
+    }
     spark.stop()
   }
 }

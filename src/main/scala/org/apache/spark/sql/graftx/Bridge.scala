@@ -66,6 +66,54 @@ object Bridge {
     new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
 
+  /** Hadoop conf prepared for Spark's OWN vectorized parquet reader
+    * ([[org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader]]),
+    * exactly as `ParquetPartitionReaderFactory` prepares it: the requested
+    * Spark schema plus the SQLConf-derived keys `ParquetReadSupport.init`
+    * and `ParquetToSparkSchemaConverter` read without defaults (they
+    * `.toBoolean` raw values — an unset key NPEs). Built on the DRIVER
+    * (SQLConf is driver state), shipped serializable. */
+  def parquetReadConf(spark: org.apache.spark.sql.SparkSession,
+                      requestedSchemaJson: String)
+      : org.apache.spark.util.SerializableConfiguration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val sqlConf = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf
+    val c = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    c.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+      .SPARK_ROW_REQUESTED_SCHEMA, requestedSchemaJson)
+    // the MR-style initialize(InputSplit, ctx) path instantiates its
+    // ReadSupport from this key (unset → NPE in getReadSupportInstance);
+    // Spark's own scans set it via ParquetInputFormat.setReadSupportClass
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport]
+        .getName)
+    c.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    c.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    c.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    c.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    c.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    c.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      sqlConf.parquetFieldIdReadEnabled)
+    c.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    c.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    new org.apache.spark.util.SerializableConfiguration(c)
+  }
+
+  /** Construct Spark's vectorized parquet record reader (constructor is
+    * internal API). Rebase modes CORRECTED/UTC: every file in a graft lake
+    * was written by this engine on Spark 4 — no legacy-calendar files. */
+  def vectorizedParquetReader(capacity: Int)
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader =
+    new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, capacity)
+
   /** Register a function builder on a live session's function registry
     * (the post-build counterpart of SparkSessionExtensions.injectFunction,
     * for sessions we don't construct — e.g. the driver's). */

@@ -168,6 +168,52 @@ class Dsv2Spec extends AnyFunSuite {
     assert(miss.count() == 0)
   }
 
+  test("path bloom prunes path-only lookups where ranges cannot (compacted layout)") {
+    import spark.implicits._
+    val work = TestSpark.tmpDir("dsv2-pathbloom")
+    val table = new LakeTable(spark, s"$work/table")
+    val merge = new MergeInto(table, numBuckets = 1, saltBuckets = 2,
+      recordMeta = false)
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    // paths deliberately UNCORRELATED with repo order: compaction sorts by
+    // (repo, path), so each key-disjoint split file spans nearly the whole
+    // path domain — [minPath, maxPath] ranges cannot prune a path-only
+    // lookup; only the per-file dictionary bloom can
+    val events = (0 until 200).map { i =>
+      (i.toLong, "I", ts, f"org/repo-$i%03d", f"src/f${(i * 73) % 200}%03d.txt",
+        "c", "text", s"body-$i-" + java.lang.Long.toHexString(i * 0x9e3779b97f4a7c15L))
+    }.toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+    merge.apply(events, epochId = 0L): Unit
+    val bytes = table.currentSnapshot().get.allFiles.map(f => math.max(f.nBytes, 0L)).sum
+    assert(Maintenance.compact(table, maxFilesPerBucket = 1,
+      targetFileBytes = math.max(bytes / 5, 1L)) == 1)
+
+    val files = table.currentSnapshot().get.allFiles.filter(_.nKeys > 0)
+    assert(files.size >= 3, s"expected a multi-file split, got ${files.size}")
+    assert(files.forall(_.pathBloom != null), "compaction did not record path blooms")
+    // ranges really are useless here: every file's path range covers the probe
+    val probe = "src/f073.txt" // (i*73)%200 == 73 at i=1 → exists, in one file
+    assert(files.count(f => f.minPath <= probe && probe <= f.maxPath) == files.size,
+      "fixture failed to defeat range pruning — paths too correlated")
+
+    val hit = spark.read.format("graft").load(table.root)
+      .where(col("path") === probe)
+    assert(plannedFiles(hit) < files.size,
+      s"bloom pruned nothing: ${plannedFiles(hit)} of ${files.size} files planned")
+    assert(canon(hit) == canon(table.read().where(col("path") === probe)))
+    assert(hit.count() == 1)
+    // an absent path plans ~fpp of the files (deterministic data: expect 0)
+    val miss = spark.read.format("graft").load(table.root)
+      .where(col("path") === "zzz/never-written.txt")
+    assert(plannedFiles(miss) < files.size)
+    assert(miss.count() == 0)
+    // blooms survive the manifest round-trip (fresh table handle, reparse)
+    val re = new LakeTable(spark, s"$work/table").currentSnapshot().get
+      .allFiles.filter(_.nKeys > 0)
+    assert(re.forall(_.pathBloom != null))
+    assert(re.map(_.pathBloom).sorted == files.map(_.pathBloom).sorted)
+  }
+
   test("truncated footer key stats never mis-prune: every key stays reachable") {
     import spark.implicits._
     val work = TestSpark.tmpDir("dsv2-trunc")
@@ -526,6 +572,114 @@ class Dsv2Spec extends AnyFunSuite {
     assert(split.rdd.getNumPartitions > nFiles,
       s"${split.rdd.getNumPartitions} partitions for $nFiles files")
     assert(canon(split) == canon(whole))
+  }
+
+  // ----- columnar (vectorized) read path --------------------------------
+
+  /** A ColumnarToRow whose subtree holds the BatchScan (whole-stage codegen
+    * interposes an InputAdapter between them, invisible in treeString). */
+  private def isColumnarScan(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.exists {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec =>
+        c.child.exists {
+          case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => true
+          case _ => false
+        }
+      case _ => false
+    }
+
+  test("whole-state scans decode through the vectorized columnar path") {
+    val table = build()
+    val columnar = spark.read.format("graft").load(table.root)
+    assert(isColumnarScan(columnar), "whole-state scan did not plan columnar")
+    val row = spark.read.format("graft").option("columnar", "false").load(table.root)
+    assert(!isColumnarScan(row), "columnar=false still planned columnar")
+    assert(canon(columnar) == canon(row))
+    assert(columnar.count() == row.count())
+  }
+
+  test("columnar path filters tombstones via the selection wrapper (mixed batches)") {
+    import spark.implicits._
+    val table = build()
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+    // delete a third of the live keys: the rewritten files hold mixed
+    // live/tombstone row runs, so the columnar reader exercises the
+    // partial-selection branch, not just all-live passthrough
+    val victims = table.read().select("repo", "path").collect().toSeq
+      .sortBy(r => (r.getString(0), r.getString(1))).zipWithIndex
+      .collect { case (r, i) if i % 3 == 0 => (r.getString(0), r.getString(1)) }
+    assert(victims.nonEmpty)
+    val ts = java.sql.Timestamp.valueOf("2024-03-03 00:00:00")
+    val dels = victims.zipWithIndex.map { case ((r, p), i) =>
+      (7000000L + i, "D", ts, r, p, "cD", "text", "")
+    }.toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+    merge.apply(dels, 779L)
+    val columnar = spark.read.format("graft").load(table.root)
+    val row = spark.read.format("graft").option("columnar", "false").load(table.root)
+    assert(isColumnarScan(columnar) && !isColumnarScan(row))
+    assert(canon(columnar) == canon(row))
+    val gone = victims.toSet
+    assert(columnar.select("repo", "path").collect()
+      .forall(r => !gone((r.getString(0), r.getString(1)))))
+    // projections and aggregates over the selected batches stay exact
+    assert(columnar.agg(sum(length(col("content")))).head.getLong(0) ==
+      row.agg(sum(length(col("content")))).head.getLong(0))
+  }
+
+  test("columnar path: includeTombstones, schema evolution, byte-range splits") {
+    import spark.implicits._
+    val table = build()
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+    val victim = table.read().select("repo", "path").limit(1).collect().head
+    val ts = java.sql.Timestamp.valueOf("2024-03-04 00:00:00")
+    merge.apply(Seq((7100000L, "D", ts, victim.getString(0), victim.getString(1),
+      "cX", "text", "")).toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content"),
+      780L)
+    // evolved column: old files must read as null through the vectorized
+    // reader's missing-column vectors
+    merge.apply(Seq((7200000L, "U", ts, "solo/colrepo", "src/c.txt", "c9", "text",
+      "body", "MIT")).toDF("lsn", "op", "ts", "repo", "path", "commit", "lang",
+      "content", "license"), 781L)
+
+    def both(opts: Map[String, String]): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+      def rd(extra: (String, String)*) = {
+        var r = spark.read.format("graft")
+        (opts ++ extra).foreach { case (k, v) => r = r.option(k, v) }
+        r.load(table.root)
+      }
+      (rd(), rd("columnar" -> "false"))
+    }
+    // tombstones surfaced: no filtering, `_deleted` is ordinary data
+    val (ct, rt) = both(Map("includeTombstones" -> "true"))
+    assert(isColumnarScan(ct))
+    assert(ct.where(col(LakeTable.DeletedCol)).count() > 0)
+    assert(canon(ct.drop(LakeTable.DeletedCol)) == canon(rt.drop(LakeTable.DeletedCol)))
+    // evolution: null-filled license column agrees with the row path
+    val (ce, re) = both(Map.empty)
+    assert(ce.where(col("license").isNull).count() ==
+      re.where(col("license").isNull).count())
+    assert(canon(ce) == canon(re))
+    // byte-range splits keep the vectorized path and read each row once
+    assert(Maintenance.compact(table, maxFilesPerBucket = 1) > 0)
+    val (cs, rs) = both(Map("maxSplitBytes" -> "4096"))
+    assert(isColumnarScan(cs))
+    assert(canon(cs) == canon(rs))
+  }
+
+  test("lsn-bounded and point-lookup scans stay on the row reader (pushed filters)") {
+    val table = build()
+    val repo = table.read().select("repo").limit(1).collect().head.getString(0)
+    assert(!isColumnarScan(
+      spark.read.format("graft").load(table.root).where(col("repo") === repo)))
+    assert(!isColumnarScan(
+      spark.read.format("graft").load(table.root).where(col("lsn") > 5L)))
+    // changesFrom (batch CDC) carries a row bound → row path
+    val v = table.currentSnapshot().get.version
+    if (v > 0) {
+      assert(!isColumnarScan(spark.read.format("graft")
+        .option("changesFrom", "0").load(table.root)))
+    }
   }
 
   test("compaction + stats keep DSv2 lsn-pruned reads empty of data IO") {
