@@ -63,11 +63,24 @@ final case class FileEntry(
     minRepo: String = null,
     maxRepo: String = null,
     minPath: String = null,
-    maxPath: String = null
+    maxPath: String = null,
+    /** Base64 bloom over the file's DISTINCT paths (see [[PathBloom]]),
+      * built from the path column's dictionary pages at commit time.
+      * Closes the pruning gap the ranges cannot: a compacted multi-repo
+      * file spans nearly the whole path domain, so a `path = x` lookup
+      * WITHOUT a repo never prunes on [minPath, maxPath] alone. null =
+      * absent (legacy entry / non-dictionary path column / over the size
+      * cap) — never prunable. */
+    pathBloom: String = null
 ) {
   def hasStats: Boolean = nKeys >= 0L
   def hasKeyStats: Boolean =
     minRepo != null && maxRepo != null && minPath != null && maxPath != null
+
+  /** Decoded once per entry; pruning probes all candidate files per
+    * lookup, the base64 decode must not repeat per probe. */
+  @transient private lazy val bloomBytes: Array[Byte] =
+    if (pathBloom == null) null else PathBloom.decode(pathBloom)
 
   /** Could this file contain the given key values? (unsigned UTF-8 byte
     * order; conservative true when key stats are absent). An EMPTY file
@@ -77,7 +90,9 @@ final case class FileEntry(
     (repoEq == null || !hasKeyStats ||
       (utf8Le(minRepo, repoEq) && utf8Le(repoEq, maxRepo))) &&
     (pathEq == null || !hasKeyStats ||
-      (utf8Le(minPath, pathEq) && utf8Le(pathEq, maxPath)))
+      (utf8Le(minPath, pathEq) && utf8Le(pathEq, maxPath))) &&
+    (pathEq == null || bloomBytes == null ||
+      PathBloom.mayContain(bloomBytes, pathEq))
   }
 }
 
@@ -240,10 +255,13 @@ object Snapshot {
     * absent key bounds write "-" (never a valid encKey token, which
     * always starts with 'k'). Legacy shorter lines still parse. */
   private def fileLine(f: FileEntry): String =
-    if (f.hasStats || f.nBytes >= 0L || f.nLive >= 0L || f.hasKeyStats) {
+    if (f.hasStats || f.nBytes >= 0L || f.nLive >= 0L || f.hasKeyStats ||
+        f.pathBloom != null) {
       def k(v: String) = if (v == null) "-" else encKey(v)
+      // pathBloom is base64 (tab/newline-free by construction); "-" = absent
+      val bloom = if (f.pathBloom == null) "-" else f.pathBloom
       s"file=${f.bucket}\t${f.relPath}\t${f.minLsn}\t${f.maxLsn}\t${f.nKeys}\t${f.nBytes}\t${f.nLive}\t" +
-        s"${k(f.minRepo)}\t${k(f.maxRepo)}\t${k(f.minPath)}\t${k(f.maxPath)}\n"
+        s"${k(f.minRepo)}\t${k(f.maxRepo)}\t${k(f.minPath)}\t${k(f.maxPath)}\t$bloom\n"
     } else s"file=${f.bucket}\t${f.relPath}\n"
 
   private[graft] def serializeFileLines(files: Seq[FileEntry]): String = {
@@ -258,7 +276,8 @@ object Snapshot {
     if (parts.length >= 11)
       FileEntry(parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong,
         parts(4).toLong, parts(5).toLong, parts(6).toLong,
-        key(parts(7)), key(parts(8)), key(parts(9)), key(parts(10)))
+        key(parts(7)), key(parts(8)), key(parts(9)), key(parts(10)),
+        pathBloom = if (parts.length >= 12 && parts(11) != "-") parts(11) else null)
     else if (parts.length >= 7)
       FileEntry(parts(0).toInt, parts(1), parts(2).toLong, parts(3).toLong,
         parts(4).toLong, parts(5).toLong, parts(6).toLong)
@@ -636,10 +655,74 @@ final class LakeTable(
             if (nRows == 0) None
             else for ((rLo, rHi) <- binRange("repo"); (pLo, pHi) <- binRange("path"))
               yield (rLo, rHi, pLo, pHi)
-          def withKeys(fe: FileEntry): FileEntry = keyRange match {
-            case Some((rLo, rHi, pLo, pHi)) =>
-              fe.copy(minRepo = rLo, maxRepo = rHi, minPath = pLo, maxPath = pHi)
-            case None => fe
+          // Distinct-path bloom (see PathBloom for why ranges alone cannot
+          // prune path-only lookups). Distinct paths come from the cheapest
+          // sound source available:
+          //  1. the path column's DICTIONARY pages — metadata-sized IO,
+          //     valid at ANY row count, but only when EVERY data page is
+          //     dictionary-encoded (repeat-heavy paths);
+          //  2. else, for files up to a row cap, a scoped single-column
+          //     value read (the countLiveRows pattern) — parquet's writer
+          //     falls back to PLAIN exactly when paths are mostly UNIQUE,
+          //     which is the common compacted-web-corpus shape, and there
+          //     the column read is small and the commit just wrote the
+          //     file anyway.
+          // A big plain-encoded file (> cap) carries no bloom: at 10
+          // bits/key its bloom would outgrow the manifest's size
+          // discipline regardless — conservative, like every absent stat.
+          val pathBloomB64: Option[String] =
+            if (nRows == 0) None
+            else try {
+              val msgSchema = reader.getFooter.getFileMetaData.getSchema
+              if (!msgSchema.containsField("path")) None
+              else {
+                val maxDistinct = PathBloom.MaxBytes * 8 / PathBloom.BitsPerKey
+                val dataBlocks = blocks.filter(_.getRowCount > 0)
+                val chunks = dataBlocks.map(
+                  _.getColumns.asScala.find(_.getPath.toDotString == "path"))
+                val allDict = chunks.nonEmpty && chunks.forall(_.exists { c =>
+                  val es = c.getEncodingStats
+                  es != null && es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages
+                })
+                val distinct: Option[Iterable[Array[Byte]]] =
+                  if (allDict) {
+                    val colDesc = msgSchema.getColumnDescription(Array("path"))
+                    val acc = new scala.collection.mutable.HashSet[String]
+                    var usable = true
+                    dataBlocks.foreach { b =>
+                      if (usable) {
+                        // upcast: the concrete reader class is package-private
+                        val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+                          reader.getDictionaryReader(b)
+                        val page = store.readDictionaryPage(colDesc)
+                        if (page == null) usable = false
+                        else {
+                          val dict = page.getEncoding.initDictionary(colDesc, page)
+                          var i = 0
+                          while (usable && i <= dict.getMaxId) {
+                            acc += dict.decodeToBinary(i).toStringUsingUTF8
+                            if (acc.size > maxDistinct) usable = false
+                            i += 1
+                          }
+                        }
+                      }
+                    }
+                    if (usable) Some(acc.toSeq.map(_.getBytes(StandardCharsets.UTF_8)))
+                    else None
+                  } else if (nRows <= PathBloom.ValueScanRowCap) {
+                    readDistinctPaths(new Path(s"$rootPath/${e.relPath}"), conf,
+                      msgSchema, maxDistinct)
+                  } else None
+                distinct.flatMap(PathBloom.build).map(PathBloom.encode)
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          def withKeys(fe: FileEntry): FileEntry = {
+            val withRange = keyRange match {
+              case Some((rLo, rHi, pLo, pHi)) =>
+                fe.copy(minRepo = rLo, maxRepo = rHi, minPath = pLo, maxPath = pHi)
+              case None => fe
+            }
+            pathBloomB64.fold(withRange)(b => withRange.copy(pathBloom = b))
           }
           // live-row count from the tombstone flag's boolean row-group
           // statistics: an all-false row group is wholly live, an
@@ -719,6 +802,36 @@ final class LakeTable(
         } finally reader.close()
       }
     } catch { case scala.util.control.NonFatal(_) => -1L }
+  }
+
+  /** Distinct values of the `path` column via a scoped single-column read
+    * (the countLiveRows pattern). None past the distinct cap or on any
+    * failure — callers then record no bloom, conservative. */
+  private def readDistinctPaths(p: Path, conf: org.apache.hadoop.conf.Configuration,
+                                schema: org.apache.parquet.schema.MessageType,
+                                maxDistinct: Int): Option[Iterable[Array[Byte]]] = {
+    try {
+      if (!schema.containsField("path")) return None
+      val proj = new org.apache.parquet.schema.MessageType("graft_paths",
+        schema.getType(schema.getFieldIndex("path")))
+      val c = new org.apache.hadoop.conf.Configuration(conf) // parallelStream: never mutate shared conf
+      c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+        .withConf(c).build()
+      try {
+        val acc = new scala.collection.mutable.HashSet[String]
+        var g = reader.read()
+        while (g != null) {
+          if (g.getFieldRepetitionCount(0) > 0) {
+            acc += g.getBinary(0, 0).toStringUsingUTF8
+            if (acc.size > maxDistinct) return None
+          }
+          g = reader.read()
+        }
+        Some(acc.toSeq.map(_.getBytes(StandardCharsets.UTF_8)))
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Data directory names currently present under `data/`. */
