@@ -529,6 +529,57 @@ object TextOps {
       |  top_frac < 0.15 AND dup_bigram_frac < 0.2 AS keep
       |FROM top JOIN bigr ON top.doc_id = bigr.doc_id""".stripMargin
 
+  /** q46: SKETCH quantiles per language stratum — the 100-TB companion
+    * to q43's exact window form. A fixed-width histogram (bucket =
+    * n_chars div [[Q46BucketWidth]]) reduces the corpus to per-(lang,
+    * bucket) counts in ONE map-side-combined exchange whose state is
+    * bounded by (strata × value-range/width), independent of row count;
+    * quantiles read off the cumulative counts as the lower edge of the
+    * first bucket whose running total crosses ceil(p·n). Error bound is
+    * the bucket width (documented, deterministic — unlike GK/t-digest
+    * sketches whose outputs are engine-dependent and can't hash-match an
+    * oracle). Histograms merge trivially across partitions/days, which
+    * is exactly why production profiling pipelines ship them. A spec
+    * asserts the sketch lands within one width of q43's exact answers
+    * and of Spark's own percentile_approx. */
+  val Q46BucketWidth = 64
+
+  def q46HistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Q46BucketWidth
+    val hist = docs(s, dir)
+      .select(col("lang"), floor(col("n_chars") / w).as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+    val allW = Window.partitionBy(col("lang"))
+    hist
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(allW))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        min(when(col("cum") >= ceil(col("n") * lit(0.5)), col("bucket") * w))
+          .as("p50_lo"),
+        min(when(col("cum") >= ceil(col("n") * lit(0.9)), col("bucket") * w))
+          .as("p90_lo"))
+  }
+
+  val q46Sql: String =
+    """WITH hist AS (
+      |  SELECT lang, CAST(floor(n_chars / 64.0) AS BIGINT) AS bucket, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, bucket, c,
+      |    sum(c) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+      |    sum(c) OVER (PARTITION BY lang) AS n
+      |  FROM hist)
+      |SELECT lang,
+      |  CAST(max(n) AS BIGINT) AS n_docs,
+      |  min(CASE WHEN cum >= ceil(n * 0.5) THEN bucket * 64 END) AS p50_lo,
+      |  min(CASE WHEN cum >= ceil(n * 0.9) THEN bucket * 64 END) AS p90_lo
+      |FROM cum GROUP BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_lang_id" -> (q10LangId _),
     "q11_quality_score" -> (q11Quality _),
@@ -541,7 +592,8 @@ object TextOps {
     "q42_stratified_sample" -> (q42StratifiedSample _),
     "q43_length_quantiles" -> (q43LengthQuantiles _),
     "q44_decontaminate" -> (q44Decontaminate _),
-    "q45_repetition" -> (q45Repetition _)
+    "q45_repetition" -> (q45Repetition _),
+    "q46_hist_quantiles" -> (q46HistQuantiles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -556,6 +608,7 @@ object TextOps {
     "q42_stratified_sample" -> q42Sql,
     "q43_length_quantiles" -> q43Sql,
     "q44_decontaminate" -> q44Sql,
-    "q45_repetition" -> q45Sql
+    "q45_repetition" -> q45Sql,
+    "q46_hist_quantiles" -> q46Sql
   )
 }

@@ -237,6 +237,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q46 histogram quantiles land within one bucket width of the exact answers") {
+    val w = ops.TextOps.Q46BucketWidth
+    val exact = ops.TextOps.q43LengthQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val sketch = ops.TextOps.q46HistQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(sketch.keySet == exact.keySet)
+    sketch.foreach { case (lang, (p50lo, p90lo)) =>
+      val (e50, e90) = exact(lang)
+      // p_lo is the lower edge of the bucket holding the exact quantile
+      assert(p50lo <= e50 && e50 < p50lo + w, s"$lang p50: [$p50lo,${p50lo + w}) vs $e50")
+      assert(p90lo <= e90 && e90 < p90lo + w, s"$lang p90: [$p90lo,${p90lo + w}) vs $e90")
+    }
+    // Spark's own GK sketch agrees within the same tolerance — the
+    // native alternative when strata are huge and widths must adapt
+    val gk = spark.read.parquet(s"$sf/documents.parquet").groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    gk.foreach { case (lang, p50) =>
+      assert(math.abs(p50 - exact(lang)._1) <= w, s"$lang GK p50 $p50 vs ${exact(lang)._1}")
+    }
+  }
+
   test("q44 eval-gram broadcast is bounded: forced-large eval set shuffle-joins, same rows") {
     val base = ops.TextOps.q44Decontaminate(spark, sf).collect().map(_.toString).sorted.toSeq
     withoutAutoBroadcast {
