@@ -471,20 +471,53 @@ object Maintenance {
     * Returns the artifacts removed. Pass `retentionMs = 0` only when no
     * writer can be active (e.g. tests, single-writer maintenance
     * windows). */
+  /** Stream every file entry referenced by the given (lineage, version)
+    * pairs into `f`, loading each DISTINCT content-addressed manifest at
+    * most once: versions share most of their groups (a commit rewrites
+    * O(touched) groups), so reachability over V versions costs O(distinct
+    * manifests) loads, not O(V × groups) — the difference between a
+    * maintenance pass that scales with CHANGE volume and one that scales
+    * with history × table size. `visited` carries the dedup set across
+    * calls; a manifest whose name was already visited is skipped entirely
+    * (content addressing: same name ⇒ byte-identical entries). */
+  private def foreachEntry(pairs: Iterator[(LakeTable, Long)],
+                           visited: scala.collection.mutable.Set[String])
+                          (f: FileEntry => Unit): Unit =
+    pairs.foreach { case (t, v) =>
+      t.snapshotAt(v).filesRef match {
+        case InlineFiles(es) => es.foreach(f)
+        case SplitFiles(carried, updated, _, load) =>
+          carried.foreach { case (_, name) =>
+            if (visited.add(name)) load(name).foreach(f)
+          }
+          updated.values.foreach(_.foreach(f))
+      }
+    }
+
   def vacuum(table: LakeTable, retentionMs: Long = 24L * 3600 * 1000): Seq[String] = {
     // reachability spans EVERY lineage at the root (main + branches): a
-    // file referenced only by an unpublished audit branch is live
+    // file referenced only by an unpublished audit branch is live.
+    // Driver state: the referenced DATA-DIR name set (O(commits), tiny)
+    // and the manifest-name set — never the full file list.
     val lineages = table.lineageHandles()
     val cutoff = System.currentTimeMillis() - retentionMs
-    val referenced: Set[String] = lineages
-      .flatMap(t => t.snapshotVersions().flatMap(v => t.snapshotAt(v).allFiles))
-      .map(_.relPath.stripPrefix("data/").takeWhile(_ != '/')).toSet
+    val referenced = new scala.collection.mutable.HashSet[String]
+    val visited = new scala.collection.mutable.HashSet[String]
+    val refManifests = new scala.collection.mutable.HashSet[String]
+    lineages.foreach { t =>
+      t.snapshotVersions().foreach { v =>
+        refManifests ++= t.manifestRefsOf(v)
+      }
+    }
+    foreachEntry(
+      lineages.iterator.flatMap(t => t.snapshotVersions().map(v => (t, v))),
+      visited) { e =>
+      referenced += e.relPath.stripPrefix("data/").takeWhile(_ != '/')
+    }
     val orphans = table.dataDirNames()
       .filterNot(referenced)
       .filter(d => table.dataDirMtime(d) <= cutoff)
     orphans.foreach(table.deleteDataDir)
-    val refManifests: Set[String] = lineages
-      .flatMap(t => t.snapshotVersions().flatMap(t.manifestRefsOf)).toSet
     val orphanManifests = table.manifestFileNames()
       .filterNot(refManifests)
       .filter(m => table.manifestMtime(m) <= cutoff)
@@ -528,12 +561,26 @@ object Maintenance {
     val retained = versions.filterNot(expiredSet)
     // expiry acts on THIS handle's lineage only, but a reclaimed file must
     // be unreferenced by every OTHER lineage too (an audit branch may
-    // still hold a version main just expired)
+    // still hold a version main just expired). Two streaming passes with
+    // a SHARED distinct-manifest dedup set: the keep pass loads each live
+    // manifest once; the drop pass then skips every manifest the keep
+    // pass saw (same name ⇒ identical content ⇒ all its entries are kept
+    // anyway) and loads only manifests exclusive to expired versions —
+    // driver work tracks the EXPIRED delta, not history × table size.
+    // keepFiles (the live relPath set) is the irreducible footprint at
+    // file granularity; its measured size is recorded in BASELINE.md.
     val others = table.lineageHandles().filterNot(_.branch == table.branch)
-    val keepFiles = retained.flatMap(v => table.snapshotAt(v).allFiles.map(_.relPath)).toSet ++
-      others.flatMap(t => t.snapshotVersions().flatMap(v => t.snapshotAt(v).allFiles.map(_.relPath)))
-    val dropFiles = expired.flatMap(v => table.snapshotAt(v).allFiles.map(_.relPath))
-      .distinct.filterNot(keepFiles)
+    val keepFiles = new scala.collection.mutable.HashSet[String]
+    val visited = new scala.collection.mutable.HashSet[String]
+    foreachEntry(
+      retained.iterator.map(v => (table, v)) ++
+        others.iterator.flatMap(t => t.snapshotVersions().map(v => (t, v))),
+      visited)(keepFiles += _.relPath)
+    val dropSet = new scala.collection.mutable.LinkedHashSet[String]
+    foreachEntry(expired.iterator.map(v => (table, v)), visited) { e =>
+      if (!keepFiles(e.relPath)) dropSet += e.relPath
+    }
+    val dropFiles = dropSet.toSeq
     val keepManifests = retained.flatMap(table.manifestRefsOf).toSet ++
       others.flatMap(t => t.snapshotVersions().flatMap(t.manifestRefsOf))
     val dropManifests = expired.flatMap(table.manifestRefsOf).distinct.filterNot(keepManifests)
