@@ -49,6 +49,16 @@ object Bench {
     }
     sq.stop()
 
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    // queries-only mode: ad-hoc suite timings at other scale factors
+    // (e.g. the sf1 headroom run in BASELINE.md) without the ~22-minute
+    // scaling protocol. The driver never sets this.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      return
+    }
+
     // ---- part 2: CDC replay scaling protocol ---------------------------
     val coreList = sys.env.getOrElse("SPARK_GRAFT_CORES_LIST", "2,8")
       .split(',').map(_.trim.toInt).toSeq
@@ -71,8 +81,6 @@ object Bench {
       f""""efficiency_paired_best":${opt(e.effPairedBest)},""" +
       f""""final_rows":${r.rows},"rep_secs":$repsJson,"reps":$repsFull}"""
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cdc":$cdc,"sf":"$sfDir"}""")
   }
 }

@@ -150,4 +150,48 @@ class PropertySpec extends AnyFunSuite {
       assert(got.toSet == bfs(edges, seeds), s"edges=$edges seeds=$seeds")
     }
   }
+
+  test("path bloom: zero false negatives ever; false-positive rate near design point") {
+    import graft.lake.PathBloom
+    val genPaths: SGen[List[String]] = for {
+      n <- SGen.choose(1, 2000)
+      ps <- SGen.listOfN(n, for {
+        depth <- SGen.choose(1, 4)
+        segs <- SGen.listOfN(depth, SGen.oneOf(
+          SGen.alphaNumStr.map(_.take(12)),
+          SGen.const("ファイル"), SGen.const("a b\tc"), SGen.const("")))
+      } yield segs.mkString("/"))
+    } yield ps
+    var probes = 0L
+    var fps = 0L
+    forSamples(genPaths, 20) { (paths, rnd) =>
+      val distinct = paths.distinct
+      val bloom = PathBloom.build(
+        distinct.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))).get
+      // the invariant pruning correctness rests on: NO false negatives
+      distinct.foreach(p => assert(PathBloom.mayContain(bloom, p), s"FN: $p"))
+      // round-trip through the manifest encoding
+      val rt = PathBloom.decode(PathBloom.encode(bloom))
+      assert(java.util.Arrays.equals(rt, bloom))
+      // fp measurement against paths that are definitely absent
+      val absent = (1 to 500).map(i => s"absent/${rnd.nextLong()}/f$i.txt")
+        .filterNot(distinct.toSet)
+      probes += absent.size
+      fps += absent.count(PathBloom.mayContain(bloom, _))
+    }
+    // design point: 10 bits/key (power-of-two rounded UP, so usually
+    // better), k=6 → fpp ≈ 1.6% at worst; assert a loose 5% ceiling
+    val fpp = fps.toDouble / probes
+    assert(fpp < 0.05, f"false-positive rate $fpp%.4f over $probes probes")
+  }
+
+  test("path bloom: build declines past the size cap instead of degrading") {
+    import graft.lake.PathBloom
+    val maxDistinct = PathBloom.MaxBytes * 8 / PathBloom.BitsPerKey
+    val tooMany = (0 to maxDistinct).map(i => s"p/$i".getBytes("UTF-8"))
+    assert(PathBloom.build(tooMany).isEmpty)
+    assert(PathBloom.build(Nil).isEmpty)
+    // at the cap it still builds
+    assert(PathBloom.build(tooMany.take(maxDistinct)).isDefined)
+  }
 }
