@@ -30,6 +30,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the output line is machine-parsed JSON; pin the locale so f"%.3f"
+    // never emits comma decimal separators
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 

@@ -159,13 +159,16 @@ object BenchCdc {
 
   /** One timed replay inside the child; returns (secs, rows, extCores,
     * gcSecs). extCores is the external busy+steal load measured over the
-    * WHOLE host while the rep ran (-1 when unmeasurable) — whole-host
-    * rather than pinned-set because a co-tenant on non-pinned cores still
-    * contaminates the rep through the shared memory subsystem. */
+    * given cpu set while the rep ran (-1 when unmeasurable). Callers pass
+    * the PINNED set: that is what CleanExtCores is calibrated against,
+    * and own CPU time subtracts cleanly there (taskset confines it). A
+    * co-tenant on far cores still bleeds in through the shared memory
+    * subsystem, but counting it directly would make clean reps
+    * unobtainable on any shared host. */
   private def timedRep(spark: SparkSession, cfg: Cfg, tableDir: String,
-                       host: Range): (Double, Long, Double, Double) = {
+                       cpuSet: Range): (Double, Long, Double, Double) = {
     rm(tableDir)
-    val j0 = cpuJiffies(host)
+    val j0 = cpuJiffies(cpuSet)
     val c0 = ownCpuSecs()
     val g0 = gcSecs()
     val t0 = System.nanoTime()
@@ -175,7 +178,7 @@ object BenchCdc {
     val secs = (System.nanoTime() - t0) / 1e9
     val c1 = ownCpuSecs()
     val g1 = gcSecs()
-    val ext = (j0, cpuJiffies(host)) match {
+    val ext = (j0, cpuJiffies(cpuSet)) match {
       case (Some((b0, s0)), Some((b1, s1))) if c0 >= 0 && c1 >= 0 =>
         val totalSecs = (b1 - b0 + s1 - s0) / 100.0 // USER_HZ = 100
         math.max(0.0, (totalSecs - (c1 - c0)) / secs)
@@ -185,15 +188,16 @@ object BenchCdc {
     (secs, rows, ext, g1 - g0)
   }
 
-  private def hostCpus: Range =
-    0 until java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
-      .toArray.map(_.toString).count(l => l.startsWith("cpu") && !l.startsWith("cpu "))
-
   /** Child-JVM entry: JIT warmup on the small log, then `reps` timed
     * replays back-to-back, one CHILD_REP line each. Runs pinned. */
   def childMain(cpus: Int, reps: Int, cfg: Cfg): Unit = {
     val spark = session(cpus)
-    val host = try hostCpus catch { case _: Throwable => 0 until 0 }
+    // measure external load over the PINNED set (taskset binds this child
+    // to cpus 0..cpus-1, so all own CPU time lands there and subtracts
+    // cleanly) — matching ScalingEstimator.CleanExtCores' calibration. A
+    // whole-host reading would count co-tenants on far cores and make
+    // "clean" unobtainable on any shared box.
+    val pinned = 0 until cpus
     val warmDir = s"${cfg.work}/table_${cpus}_warm"
     rm(warmDir)
     ingest.BatchReplay.replay(spark, cfg.warmLogDir, new LakeTable(spark, warmDir),
@@ -202,7 +206,7 @@ object BenchCdc {
     rm(warmDir)
     val tableDir = s"${cfg.work}/table_$cpus"
     (1 to reps).foreach { _ =>
-      val (secs, rows, ext, gc) = timedRep(spark, cfg, tableDir, host)
+      val (secs, rows, ext, gc) = timedRep(spark, cfg, tableDir, pinned)
       println(f"CHILD_REP $secs%.3f,$rows,$ext%.3f,$gc%.3f")
     }
     rm(tableDir)
@@ -306,6 +310,9 @@ object BenchCdc {
   }
 
   def main(args: Array[String]): Unit = {
+    // CHILD_REP and the JSON result lines are machine-parsed; pin the
+    // default locale so f"%.3f" never emits comma decimal separators.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     if (args.length >= 2 && args(0) == "child") {
       val reps = if (args.length >= 3) args(2).toInt else 1
       childMain(args(1).toInt, reps, cfgFromEnv)
@@ -316,8 +323,11 @@ object BenchCdc {
     val avail = Runtime.getRuntime.availableProcessors
     require(coreList.forall(c => c >= 1 && c <= avail),
       s"SPARK_GRAFT_CORES_LIST $coreList exceeds available processors ($avail)")
+    if (coreList.size > 2)
+      System.err.println(s"two-cluster protocol measures only the first and " +
+        s"last of SPARK_GRAFT_CORES_LIST; ignoring ${coreList.tail.init.mkString(",")}")
     val r = runScaling(coreList)
-    coreList.foreach { cpus =>
+    Seq(r.nCores, r.mCores).distinct.foreach { cpus =>
       println(f"""{"cores":$cpus,"secs":${r.est.minSecs(cpus)}%.2f,"events_per_sec":${r.throughput(cpus)},"rows":${r.rows}}""")
     }
     println(f"""{"scaling":"${r.nCores}->${r.mCores}","efficiency":${r.est.headline}%.3f,""" +

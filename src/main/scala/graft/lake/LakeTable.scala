@@ -438,7 +438,16 @@ final class LakeTable(
           // rename: not kernel-atomic, but correct for the common
           // single-writer case — and named loudly so an operator running
           // CONCURRENT writers on such a mount knows the conflict window.
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // FileSystemException also covers GENUINE IO errors (EACCES,
+          // EIO, a concurrently-removed tmp), which must stay loud: probe
+          // whether the directory supports link(2) at all, and only
+          // degrade when it does not — otherwise rethrow the real error
+          // instead of misreporting it as a commit conflict.
+          case _: UnsupportedOperationException =>
+            LakeTable.logLinkUnsupportedOnce(dstNio.getParent.toString)
+            if (f.exists(dst)) false else f.rename(tmp, dst)
+          case _: java.nio.file.FileSystemException
+              if !LakeTable.linksSupported(dstNio.getParent) =>
             LakeTable.logLinkUnsupportedOnce(dstNio.getParent.toString)
             if (f.exists(dst)) false else f.rename(tmp, dst)
         }
@@ -1183,6 +1192,27 @@ object LakeTable {
     * writeAtomic fell back to exists+rename (see writeAtomic's scaladoc). */
   private val linkUnsupportedWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Probe (once per directory per JVM) whether link(2) works there, by
+    * hard-linking a fresh scratch file. Distinguishes "this mount cannot
+    * link" (degrade to rename) from "this link failed for a real IO
+    * reason" (propagate): only a probe failure certifies the former. */
+  private val linkProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def linksSupported(dir: java.nio.file.Path): Boolean =
+    linkProbe.computeIfAbsent(dir.toString, { _ =>
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val a = dir.resolve(s".linkprobe.$id.a")
+      val b = dir.resolve(s".linkprobe.$id.b")
+      val ok = try {
+        java.nio.file.Files.write(a, Array.emptyByteArray)
+        java.nio.file.Files.createLink(b, a)
+        true
+      } catch { case _: Throwable => false }
+      try java.nio.file.Files.deleteIfExists(b) catch { case _: Throwable => () }
+      try java.nio.file.Files.deleteIfExists(a) catch { case _: Throwable => () }
+      java.lang.Boolean.valueOf(ok)
+    })
   private[lake] def logLinkUnsupportedOnce(dir: String): Unit =
     if (linkUnsupportedWarned.add(dir))
       System.err.println(

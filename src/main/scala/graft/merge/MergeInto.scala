@@ -386,13 +386,16 @@ final class MergeInto(
           // crash in the gap loses only the quarantine COPY (the metrics
           // row below shares that durability class), never state; a
           // conflict-retried attempt rethrows before reaching here, so
-          // retries cannot duplicate the rows. coalesce(1): atomicAppend
+          // retries cannot duplicate the rows. repartition(1): atomicAppend
           // renames part files one by one, so a single part makes the
           // epoch's quarantine all-or-nothing under a mid-loop crash
           // (quarantine volume is poison rows — small by construction).
+          // repartition, NOT coalesce: `aligned` is uncached by default,
+          // and coalesce(1) would fold its whole source re-parse into one
+          // task; the shuffle barrier keeps the scan+filter parallel.
           if (nQuarantined > 0 && recordMeta)
             Meta.atomicAppend(table,
-              aligned.where(badCond).withColumn("_epoch", lit(epochId)).coalesce(1),
+              aligned.where(badCond).withColumn("_epoch", lit(epochId)).repartition(1),
               s"${table.root}/meta/quarantine", "json")
           val stats = MergeStats(epochId, committedVersion, skipped = false,
             eventsIn = asLong(inObs.get, "n"),

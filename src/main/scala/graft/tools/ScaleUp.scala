@@ -57,8 +57,11 @@ object ScaleUp {
     wr(replicate(docs, Map("doc_id" -> dMax)) { (d, k) =>
       if (k == 0) d
       else d
+        // split on \s+ to match q44/q45's tokenizer exactly: a single-space
+        // split would leave tokens around tabs/newlines unsuffixed and leak
+        // shared n-grams across replicas
         .withColumn("text", array_join(
-          transform(split(col("text"), " "), t => concat(t, lit(s"~$k"))), " "))
+          transform(split(trim(col("text")), "\\s+"), t => concat(t, lit(s"~$k"))), " "))
         .withColumn("n_chars", length(col("text")))
     }, "documents", 8)
 

@@ -564,4 +564,15 @@ class MaintenanceSpec extends AnyFunSuite {
     // generator jitter is ±4 min, within the 10-minute watermark → no lates
     assert(m.agg(sum("late_beyond_watermark")).collect().head.getLong(0) == 0L)
   }
+
+  test("linksSupported probe: true on local fs (no litter), false where links fail") {
+    val dir = java.nio.file.Paths.get(TestSpark.tmpDir("linkprobe"))
+    java.nio.file.Files.createDirectories(dir)
+    assert(LakeTable.linksSupported(dir))
+    val leftovers = java.nio.file.Files.list(dir)
+    try assert(!leftovers.iterator().hasNext) finally leftovers.close()
+    // an unwritable pseudo-fs: the probe must answer false, not throw,
+    // so writeAtomic degrades (and warns) instead of crashing
+    assert(!LakeTable.linksSupported(java.nio.file.Paths.get("/proc")))
+  }
 }
