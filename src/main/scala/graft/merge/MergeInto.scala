@@ -205,14 +205,18 @@ final class MergeInto(
       // Dedup cannot change the bucket set (a dropped duplicate shares its
       // lsn/repo with a survivor), so this reads the raw source — one cheap
       // scan-only job, no cache materialization.
-      val touched = timed("touched")(source.select(bucketExpr.as(BucketCol)).distinct()
-        .collect().map(_.getInt(0)).toSet)
-
-      // the touched action evaluated the observed plan, so the quarantine
-      // count is known; the rows themselves are persisted only AFTER the
-      // commit succeeds (below) — a commit-conflict retry of this epoch
-      // would otherwise re-append the same poison rows every attempt
-      val nQuarantined = asLong(inObs.get, "n_bad")
+      // FRESH-TABLE fast path: with no snapshot there are no target files
+      // to prune and no rebase that could consult the set, so the scan job
+      // is pure overhead — skipping it saves a backfill epoch (the dominant
+      // cost of replaying a log from zero) one full pass over the source.
+      // The write's dynamic partitioning still creates only the buckets
+      // that exist; stats take the bucket count from the output
+      // observation instead (below).
+      val touched: Set[Int] = snapOpt match {
+        case None => (0 until numBuckets).toSet
+        case Some(_) => timed("touched")(source.select(bucketExpr.as(BucketCol)).distinct()
+          .collect().map(_.getInt(0)).toSet)
+      }
 
       val targetFiles = snapOpt.map(_.filesIn(touched)).getOrElse(Seq.empty)
       val target = align(
@@ -250,8 +254,21 @@ final class MergeInto(
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(BucketCol), col(SaltCol), col("repo"), col("path"))
         .orderBy(col("lsn").desc, col(SrcCol).asc)
-      val result = target.withColumn(SrcCol, lit(false))
-        .unionByName(source.withColumn(SrcCol, lit(true)))
+      // SOURCE on the union's left: the combined Dataset (and therefore
+      // every action on it, including the write command below) binds to
+      // the left operand's SparkSession = the events dataframe's session.
+      // That is load-bearing for the Observations: inside foreachBatch the
+      // batch df lives on the stream's CLONED session, and Spark's
+      // ExecutionListenerBus delivers execution-end events only to the
+      // session that ran the action (sessionUUID filter) — an Observation
+      // registered on the source completes ONLY via an action on the
+      // source's session. With target on the left, the fresh-table path
+      // (no touched-bucket scan) would leave inObs.get blocked forever
+      // under streaming. Union order cannot change the argmax: ties are
+      // broken by column values, and equal (key, lsn, _src) rows are
+      // identical payloads.
+      val result = source.withColumn(SrcCol, lit(true))
+        .unionByName(target.withColumn(SrcCol, lit(false)))
         .withColumn(BucketCol, bucketExpr)
         .withColumn(SaltCol, saltExpr)
         .repartition(math.max(touched.size * saltBuckets, 1), col(BucketCol), col(SaltCol))
@@ -264,7 +281,10 @@ final class MergeInto(
           count(lit(1)).as("keys"),
           sum(when(col(DeletedCol), 1L).otherwise(0L)).as("tombstones"),
           sum(when(col(SrcCol) && prevHw.map(col("lsn") <= lit(_)).getOrElse(lit(false)),
-            1L).otherwise(0L)).as("late_wins"))
+            1L).otherwise(0L)).as("late_wins"),
+          // written-bucket count for stats on the fresh-table path, where
+          // no touched-scan ran (approx ≡ exact at ≤ numBuckets values)
+          approx_count_distinct(col(BucketCol)).as("n_buckets"))
         .drop(SrcCol)
 
       // --- write touched buckets --------------------------------------------
@@ -282,6 +302,13 @@ final class MergeInto(
         .option("compression", "zstd")
         .partitionBy(BucketCol)
         .parquet(outDir))
+
+      // the write (or, on incremental epochs, the earlier touched scan)
+      // evaluated the observed plan, so the quarantine count is known; the
+      // rows themselves are persisted only AFTER the commit succeeds
+      // (below) — a commit-conflict retry of this epoch would otherwise
+      // re-append the same poison rows every attempt
+      val nQuarantined = asLong(inObs.get, "n_bad")
 
       // --- commit -----------------------------------------------------------
       // Per-file (min_lsn, max_lsn, n_rows) come from the parquet footers
@@ -403,7 +430,8 @@ final class MergeInto(
             approxDistinctLsn = asLong(inObs.get, "n_lsn"),
             keysWritten = asLong(outObs.get, "keys"),
             tombstonesWritten = asLong(outObs.get, "tombstones"),
-            bucketsTouched = touched.size,
+            bucketsTouched =
+              if (snapOpt.isEmpty) asLong(outObs.get, "n_buckets").toInt else touched.size,
             durationMs = (System.nanoTime() - t0) / 1000000)
           if (recordMeta) Meta.record(table, stats, committedVersion, epochId, newFiles)
           stats

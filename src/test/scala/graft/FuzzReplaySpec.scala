@@ -174,10 +174,26 @@ class FuzzReplaySpec extends AnyFunSuite {
       writeLog(lines, s"$work/log")
       val (good, _) = parsed(s"$work/log")
       val table = new LakeTable(spark, s"$work/table")
-      ingest.StreamingReplay.run(spark, s"$work/log", table,
-        schema = SchemaRegistry.eventSchemaV1,
-        checkpoint = s"$work/cp", numBuckets = 4, saltBuckets = 2,
-        recordMeta = true, format = "json")
+      // Bounded run: an Observation registered on the micro-batch df (the
+      // stream's CLONED session) only completes via an action on that same
+      // session — a merge change that moves the completing action to the
+      // outer session deadlocks awaitTermination forever (caught live:
+      // the fresh-table fast path removed the touched-bucket scan, the
+      // one cloned-session action). Fail loudly instead of hanging CI.
+      val runner = new Thread(() =>
+        ingest.StreamingReplay.run(spark, s"$work/log", table,
+          schema = SchemaRegistry.eventSchemaV1,
+          checkpoint = s"$work/cp", numBuckets = 4, saltBuckets = 2,
+          recordMeta = true, format = "json"))
+      val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      runner.setDaemon(true)
+      runner.setUncaughtExceptionHandler((_, e) => failed.set(e))
+      runner.start()
+      runner.join(300000L)
+      if (failed.get() != null) throw failed.get()
+      assert(!runner.isAlive,
+        "streaming replay did not terminate within 5 minutes — likely a " +
+          "cross-session Observation deadlock (see MergeInto union-order note)")
       val want = lwwFold(good).view.mapValues(_._1).toMap
       val got =
         if (table.currentSnapshot().isEmpty) Map.empty[(String, String), Long]

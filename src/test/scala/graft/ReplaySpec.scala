@@ -302,4 +302,62 @@ class ReplaySpec extends AnyFunSuite {
       Seq(FileEntry(0, "data/v7/b=0/x.parquet"), FileEntry(3, "data/v7/b=3/y.parquet")))
     assert(Snapshot.deserialize(Snapshot.serialize(s)) == s)
   }
+
+  test("fresh-table merge skips the touched-bucket scan job; incremental keeps it") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // own session: AQE off makes the job count deterministic (one job per
+    // action instead of one per materialized query stage); the job-group
+    // filter isolates this test from concurrently-running suites on the
+    // shared context
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    import s.implicits._
+    val work = TestSpark.tmpDir("freshskip")
+    val table = new LakeTable(s, s"$work/table")
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+    def events(lo: Long) = (lo until lo + 50L).map(i =>
+      (i, "I", new java.sql.Timestamp(1700000000000L + i),
+        s"r${i % 5}", s"p${i % 7}", s"c$i", "scala", s"body-$i"))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+
+    val counts = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicInteger]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        if (g.startsWith("freshskip-"))
+          counts.computeIfAbsent(g,
+            _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet(): Unit
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      s.sparkContext.setJobGroup("freshskip-fresh", "fresh apply")
+      merge.apply(events(0), 0L)
+      s.sparkContext.setJobGroup("freshskip-incr", "incremental apply")
+      merge.apply(events(1000), 1L)
+      s.sparkContext.clearJobGroup()
+      def n(g: String) = Option(counts.get(g)).map(_.get).getOrElse(0)
+      // listener delivery is async: wait for the expected floor, then a
+      // settle window to catch any unexpected EXTRA job
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (System.nanoTime() < deadline &&
+        (n("freshskip-fresh") < 1 || n("freshskip-incr") < 2)) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(n("freshskip-fresh") == 1,
+        s"fresh-table apply should run exactly the write job, ran ${n("freshskip-fresh")}")
+      assert(n("freshskip-incr") == 2,
+        s"incremental apply should run touched-scan + write, ran ${n("freshskip-incr")}")
+      // and the fast path must not have cost correctness: both epochs
+      // write the same 35 (repo, path) keys — lcm(5,7)=35 — so the final
+      // state is 35 live rows, each won by the epoch-1 lsn
+      assert(table.read().count() == 35)
+      assert(table.read().agg(org.apache.spark.sql.functions.min("lsn"))
+        .head().getLong(0) >= 1000L)
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      s.sparkContext.clearJobGroup()
+    }
+  }
 }
