@@ -428,12 +428,74 @@ object DedupOps {
        |  (a <= min(b)) AS is_canonical
        |FROM reach GROUP BY a""".stripMargin
 
+  /** q47: cross-document duplicated-SPAN fraction — the exact-substring
+    * dedup signal (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499) at word-k-gram
+    * granularity: for each document, the fraction of its k-gram spans
+    * (k = [[DupSpanK]]) whose gram occurs in at least one OTHER
+    * document. It completes the dedup ladder between whole-doc passes
+    * (q7 exact, q15 MinHash) and within-doc repetition (q45): partial
+    * copies and shared boilerplate that no whole-doc similarity crosses
+    * still light up here, which is exactly what corpus-internal
+    * boilerplate removal needs. On this corpus the 0.5 keep threshold
+    * flags precisely the planted near-dup family.
+    *
+    * Scale shape (100 TB): no pairwise path anywhere — the heavy work
+    * is two fine-grained-key aggregations. (1) span counts per
+    * (gram, doc) pair; (2) distinct-doc counts per gram over that pair
+    * set (strictly smaller, partial-agg combined); (3) the pair⋈gram
+    * equi-join reuses (2)'s gram partitioning, then one per-doc rollup.
+    * `dup_frac` is a single IEEE division (the q41/q45 bit-exactness
+    * rule), so the DuckDB compare stays hash-exact. */
+  val DupSpanK = 6
+
+  def q47DupSpans(s: SparkSession, dir: String): DataFrame = {
+    val k = DupSpanK
+    val d = docs(s, dir)
+      .withColumn("ts", split(trim(col("text")), "\\s+"))
+      .where(size(col("ts")) >= k)
+    val grams = d.select(col("doc_id"), explode(
+      transform(sequence(lit(1), size(col("ts")) - lit(k - 1)),
+        i => concat_ws(" ", slice(col("ts"), i, lit(k))))).as("gram"))
+    val pairs = grams.groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val gramDocs = pairs.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+    pairs.join(gramDocs, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans") * lit(1.0) / col("n_spans")).as("dup_frac"),
+        (col("n_dup_spans") * lit(1.0) / col("n_spans") >= 0.5).as("flagged"))
+  }
+
+  val q47Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(ts[i:i+5], ' ') AS gram
+      |  FROM toks, unnest(generate_series(1, greatest(len(ts) - 5, 0))) AS u(i)
+      |  WHERE len(ts) >= 6),
+      |pairs AS (SELECT gram, doc_id, count(*) AS c FROM grams GROUP BY 1, 2),
+      |gd AS (SELECT gram, count(*) AS nd FROM pairs GROUP BY 1),
+      |agg AS (
+      |  SELECT p.doc_id,
+      |    CAST(sum(p.c) AS BIGINT) AS n_spans,
+      |    CAST(sum(CASE WHEN gd.nd >= 2 THEN p.c ELSE 0 END) AS BIGINT) AS n_dup_spans
+      |  FROM pairs p JOIN gd USING (gram) GROUP BY p.doc_id)
+      |SELECT doc_id, n_spans, n_dup_spans,
+      |  n_dup_spans * 1.0 / n_spans AS dup_frac,
+      |  n_dup_spans * 1.0 / n_spans >= 0.5 AS flagged
+      |FROM agg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_ngram_jaccard" -> (q14NgramJaccard _),
     "q15_minhash_lsh" -> (q15MinhashLsh _),
     "q16_simhash" -> (q16Simhash _),
     "q17_embedding_neardup" -> (q17EmbeddingNearDup _),
-    "q37_dedup_clusters" -> (q37DedupClusters _)
+    "q37_dedup_clusters" -> (q37DedupClusters _),
+    "q47_dup_spans" -> (q47DupSpans _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -441,6 +503,7 @@ object DedupOps {
     "q15_minhash_lsh" -> q15Sql,
     "q16_simhash" -> q16Sql,
     "q17_embedding_neardup" -> q17Sql,
-    "q37_dedup_clusters" -> q37Sql
+    "q37_dedup_clusters" -> q37Sql,
+    "q47_dup_spans" -> q47Sql
   )
 }

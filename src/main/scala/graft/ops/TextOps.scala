@@ -580,6 +580,74 @@ object TextOps {
       |  min(CASE WHEN cum >= ceil(n * 0.9) THEN bucket * 64 END) AS p90_lo
       |FROM cum GROUP BY lang""".stripMargin
 
+  /** q48: GPT-style sequence packing — concatenate every document's
+    * tokens in deterministic doc_id order and cut the stream into fixed
+    * [[Q48ChunkTokens]]-token training chunks; emit each document's
+    * chunk span (first/last chunk id, chunk count). This is the
+    * standard pretraining batch-assembly step (documents are
+    * concatenated and split at fixed sequence boundaries, so a document
+    * may straddle chunks) — the map from documents to training
+    * sequences that every data-loader shuffle/repeat epoch needs.
+    *
+    * Scale shape (100 TB): the naive formulation is a GLOBAL ordered
+    * window — one partition, a scale-killer. This is the classic
+    * two-pass distributed prefix sum instead: doc_id is dense, so
+    * `doc_id div RangeWidth` is a DETERMINISTIC range key (no sampled
+    * boundaries — same result at any parallelism); pass 1 computes
+    * per-range local cumsums in one exchange, pass 2 offsets on the
+    * O(nDocs / RangeWidth) range summary (tiny by construction: at
+    * 10¹⁰ docs and width 2²⁰, ~10⁴ rows) and broadcast-joins them
+    * back. Output is all integers — hash-exact vs the oracle's global
+    * window. */
+  val Q48ChunkTokens = 512
+  val Q48RangeWidth = 1024L
+
+  def q48SeqPack(s: SparkSession, dir: String): DataFrame =
+    q48Packed(s, dir, Q48RangeWidth)
+
+  /** Range width parameterized so specs can force the multi-range
+    * two-pass path at test scale (500 dense doc_ids fit one default
+    * range) and prove the output is range-width-invariant. */
+  private[graft] def q48Packed(s: SparkSession, dir: String,
+                               rangeWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = Q48ChunkTokens
+    val d = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("rk", floor(col("doc_id") / rangeWidth).cast("long"))
+    val wLoc = Window.partitionBy(col("rk")).orderBy(col("doc_id"))
+    val local = d.withColumn("cum_in", sum(col("n_tokens")).over(wLoc))
+    // the global window here runs over the RANGE SUMMARY, not the corpus
+    val wOff = Window.orderBy(col("rk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("rk")).agg(sum(col("n_tokens")).as("rsum"))
+      .withColumn("off", coalesce(sum(col("rsum")).over(wOff), lit(0L)))
+      .select(col("rk"), col("off"))
+    local.join(broadcast(offsets), Seq("rk"))
+      .withColumn("start", col("off") + col("cum_in") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("start") / b).cast("long").as("first_chunk"),
+        floor((col("start") + col("n_tokens") - lit(1L)) / b).cast("long")
+          .as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + lit(1L))
+  }
+
+  val q48Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM d)
+      |SELECT doc_id, n_tokens,
+      |  (cum - n_tokens) // 512 AS first_chunk,
+      |  (cum - 1) // 512 AS last_chunk,
+      |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_chunks
+      |FROM c""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_lang_id" -> (q10LangId _),
     "q11_quality_score" -> (q11Quality _),
@@ -593,7 +661,8 @@ object TextOps {
     "q43_length_quantiles" -> (q43LengthQuantiles _),
     "q44_decontaminate" -> (q44Decontaminate _),
     "q45_repetition" -> (q45Repetition _),
-    "q46_hist_quantiles" -> (q46HistQuantiles _)
+    "q46_hist_quantiles" -> (q46HistQuantiles _),
+    "q48_seq_pack" -> (q48SeqPack _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -609,6 +678,7 @@ object TextOps {
     "q43_length_quantiles" -> q43Sql,
     "q44_decontaminate" -> q44Sql,
     "q45_repetition" -> q45Sql,
-    "q46_hist_quantiles" -> q46Sql
+    "q46_hist_quantiles" -> q46Sql,
+    "q48_seq_pack" -> q48Sql
   )
 }

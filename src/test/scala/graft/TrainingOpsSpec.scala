@@ -269,4 +269,59 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(big.collect().map(_.toString).sorted.toSeq == base)
     }
   }
+
+  test("q47 dup-span fractions equal a brute-force recomputation; flags the planted dups") {
+    val k = DedupOps.DupSpanK
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val spans = texts.view.mapValues(ts => ts.sliding(k).filter(_.size == k)
+      .map(_.mkString(" ")).toSeq).toMap.filter(_._2.nonEmpty)
+    val gramDocs = spans.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val want = spans.map { case (id, gs) =>
+      val dup = gs.count(g => gramDocs(g) >= 2)
+      id -> ((gs.size.toLong, dup.toLong, dup * 1.0 / gs.size))
+    }
+    val got = ops.DedupOps.q47DupSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want)
+    // non-vacuous: the planted near-dup family exceeds the 0.5 flag
+    val flagged = got.filter { case (_, (_, _, f)) => f >= 0.5 }.keySet
+    assert(flagged.nonEmpty, "expected the planted near-dups to flag")
+    // every flagged doc really shares most spans with ANOTHER doc; every
+    // doc in a q15-verified near-dup pair is flagged (partial-copy signal
+    // subsumes whole-doc near-dup on this corpus)
+    val pairDocs = ops.DedupOps.q15MinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairDocs.subsetOf(flagged),
+      s"near-dup pair members missing from flagged: ${pairDocs diff flagged}")
+  }
+
+  test("q48 packing equals a sequential fold; output invariant to range width") {
+    val b = ops.TextOps.Q48ChunkTokens
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").length.toLong)
+      .sortBy(_._1)
+    var cum = 0L
+    val want = toks.map { case (id, n) =>
+      val start = cum; cum += n
+      (id, n, start / b, (start + n - 1) / b, (start + n - 1) / b - start / b + 1)
+    }.toSet
+    val got = ops.TextOps.q48SeqPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == want)
+    // chunk ids are contiguous from 0 (no gaps: every token lands somewhere)
+    val chunks = got.flatMap(t => t._3 to t._4)
+    assert(chunks == (0L to chunks.max).toSet)
+    // the multi-range two-pass path (forced small width ⇒ many range
+    // partitions with nonzero offsets) produces the identical packing
+    val multi = ops.TextOps.q48Packed(spark, sf, rangeWidth = 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(multi == want)
+  }
 }
