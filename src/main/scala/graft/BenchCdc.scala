@@ -93,6 +93,10 @@ object BenchCdc {
     def warmLogDir = s"$work/warmlog"
   }
 
+  /** The env-derived bench config, for the phase-decomposition probe
+    * (tools.ReplayProbe) — same knobs, same log. */
+  private[graft] def probeCfg: Cfg = cfgFromEnv
+
   private def cfgFromEnv = Cfg(
     nEvents = envLong("SPARK_GRAFT_BENCH_EVENTS", 8000000L),
     nBatches = envInt("SPARK_GRAFT_BENCH_BATCHES", 1),
