@@ -298,9 +298,13 @@ object BenchCdc {
     val (nC, mC) = (coreList.head, coreList.last)
     // reps per child invocation: the small-N leg converges fast (its reps
     // are long and relatively noise-immune), the 4N leg is the noise
-    // victim — buy it more samples per JVM warmup.
+    // victim — buy it more samples per JVM warmup. 6 reps per 4N child
+    // (was 4): each invocation pays ~30 s of JVM+JIT warmup either way,
+    // and the 2026-08-20 HEAD run needed six interleaved rounds to draw a
+    // floor rep on the 4N leg — two extra ~20 s draws per warmup is the
+    // cheapest way to buy floor-hunting luck inside the same budget.
     val repsN = envInt("SPARK_GRAFT_BENCH_REPS_N", 2)
-    val repsM = envInt("SPARK_GRAFT_BENCH_REPS_4N", 4)
+    val repsM = envInt("SPARK_GRAFT_BENCH_REPS_4N", 6)
     val t0 = System.nanoTime()
     val (reps, rows) = ScalingEstimator.adaptive(
       nC, mC, repsN, repsM,
