@@ -452,13 +452,10 @@ object DedupOps {
   val DupSpanK = 6
 
   def q47DupSpans(s: SparkSession, dir: String): DataFrame = {
-    val k = DupSpanK
-    val d = docs(s, dir)
-      .withColumn("ts", split(trim(col("text")), "\\s+"))
-      .where(size(col("ts")) >= k)
-    val grams = d.select(col("doc_id"), explode(
-      transform(sequence(lit(1), size(col("ts")) - lit(k - 1)),
-        i => concat_ws(" ", slice(col("ts"), i, lit(k))))).as("gram"))
+    // gram extraction = the same fns helpers q14's shingles use (explode
+    // drops wordShingles' empty too-short array, so no length filter)
+    val grams = docs(s, dir).select(col("doc_id"),
+      explode(fns.wordShingles(fns.wsTokens(col("text")), DupSpanK)).as("gram"))
     val pairs = grams.groupBy(col("gram"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
     val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
@@ -473,12 +470,12 @@ object DedupOps {
   }
 
   val q47Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
       |grams AS (
-      |  SELECT doc_id, array_to_string(ts[i:i+5], ' ') AS gram
-      |  FROM toks, unnest(generate_series(1, greatest(len(ts) - 5, 0))) AS u(i)
-      |  WHERE len(ts) >= 6),
+      |  SELECT doc_id, array_to_string(ts[i:i+${DupSpanK - 1}], ' ') AS gram
+      |  FROM toks, unnest(generate_series(1, greatest(len(ts) - ${DupSpanK - 1}, 0))) AS u(i)
+      |  WHERE len(ts) >= $DupSpanK),
       |pairs AS (SELECT gram, doc_id, count(*) AS c FROM grams GROUP BY 1, 2),
       |gd AS (SELECT gram, count(*) AS nd FROM pairs GROUP BY 1),
       |agg AS (

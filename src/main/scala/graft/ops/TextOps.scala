@@ -634,18 +634,18 @@ object TextOps {
   }
 
   val q48Sql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, n_tokens,
       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
       |  FROM d)
       |SELECT doc_id, n_tokens,
-      |  (cum - n_tokens) // 512 AS first_chunk,
-      |  (cum - 1) // 512 AS last_chunk,
-      |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_chunks
+      |  (cum - n_tokens) // $Q48ChunkTokens AS first_chunk,
+      |  (cum - 1) // $Q48ChunkTokens AS last_chunk,
+      |  (cum - 1) // $Q48ChunkTokens - (cum - n_tokens) // $Q48ChunkTokens + 1 AS n_chunks
       |FROM c""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

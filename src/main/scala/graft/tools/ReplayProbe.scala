@@ -1,6 +1,5 @@
 package graft.tools
 
-import graft.merge.MergeInto
 import graft.lake.LakeTable
 import org.apache.spark.sql.functions._
 
@@ -24,9 +23,12 @@ object ReplayProbe {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cores = if (args.nonEmpty) args(0).toInt else 8
     val reps = if (args.length > 1) args(1).toInt else 3
-    val spark = graft.BenchCdc.session(cores)
+    // generate logs BEFORE creating the probe session: ensureLogs builds
+    // (and STOPS) its own session, and getOrCreate would hand it an
+    // already-active context to kill (BenchCdc.runScaling orders the same)
     val cfg = graft.BenchCdc.probeCfg
     graft.BenchCdc.ensureLogs(cfg)
+    val spark = graft.BenchCdc.session(cores)
     val schema = graft.schema.SchemaRegistry.eventSchemaV1
     val glob = s"${cfg.logDir}/batch-*"
 
@@ -62,15 +64,17 @@ object ReplayProbe {
           .drop("_rn")
           .write.format("noop").mode("overwrite").save()
       }
+      // rm stays OUTSIDE the timer (as BenchCdc.timedRep does): the
+      // unlink cost must not pollute the parquet+commit attribution
+      val dir = s"${cfg.work}/probe_table_$cores"
+      graft.BenchCdc.rm(dir)
       t("full_replay") {
-        val dir = s"${cfg.work}/probe_table_$cores"
-        graft.BenchCdc.rm(dir)
         graft.ingest.BatchReplay.replay(spark, cfg.logDir,
           new LakeTable(spark, dir), numBuckets = cfg.buckets,
           saltBuckets = cfg.salt, recordMeta = false, shaColumn = true,
           format = cfg.format)
-        graft.BenchCdc.rm(dir)
       }
+      graft.BenchCdc.rm(dir)
     }
     spark.stop()
   }
