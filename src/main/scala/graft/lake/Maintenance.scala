@@ -30,6 +30,13 @@ object Maintenance {
     * compacts the appended meta tables on the same trigger — they accrete
     * one small file per epoch otherwise.
     *
+    * Safe under CONCURRENT writers: the commit rebases on conflict —
+    * rewrites of buckets untouched by the interleaved commits land
+    * against the new head (with its ledger/high-water state), stale
+    * rewrites are dropped and their files deleted, so compaction cannot
+    * starve under continuous ingest and never overwrites a racing
+    * merge's result.
+    *
     * Output layout: a bucket whose rows fit `targetFileBytes` (manifest
     * byte sum) becomes ONE key-sorted file; a bucket beyond the budget
     * splits into KEY-DISJOINT sorted files via range partitioning on
@@ -43,7 +50,11 @@ object Maintenance {
     * bucket, so compaction survives buckets far larger than executor
     * memory. */
   def compact(table: LakeTable, maxFilesPerBucket: Int = 4,
-              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              /** Test seam: runs between the rewrite and the commit, the
+                * window where a concurrent merge can land and force the
+                * rebase path below. Production callers leave the default. */
+              beforeCommit: () => Unit = () => ()): Int = {
     // fail loudly BEFORE any work: a zero byte budget would divide by zero
     // mid-pass, after compactMeta already committed
     require(maxFilesPerBucket >= 1, s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
@@ -97,10 +108,55 @@ object Maintenance {
     // and the recorded footer stats let later incremental reads skip the
     // compacted files entirely (nothing in them exceeds the old mark)
     val newFiles = table.listDataFilesWithStats(writeDir)
-    table.commitSnapshot(snap.copy(
-      version = newVersion,
-      filesRef = table.successorFiles(snap, oversized, newFiles)))
-    oversized.size
+    beforeCommit()
+    // Commit with REBASE under concurrent writers: a table ingesting
+    // continuously would otherwise starve compaction forever — the
+    // rewrite takes minutes, a merge lands version N+1 meanwhile, and a
+    // bare commitSnapshot(N+1) loses every race (the merge retries on
+    // conflict; maintenance previously just threw). On conflict, re-read
+    // the head and keep the rewrite for every bucket whose file set is
+    // UNCHANGED since the base snapshot (the interleaved commits touched
+    // other buckets — the rewrite's input is still exactly the head's
+    // content for that bucket); buckets the interleaved commits DID touch
+    // have stale rewrites — drop them (their freshly-written files are
+    // deleted NOW, before any snapshot references them: leaving them
+    // would leak, since vacuum reclaims whole dirs and file-granular
+    // expiry only sees files a snapshot once referenced) and leave those
+    // buckets for the next compaction pass. Ledger/high-water/unordered
+    // state carry from the HEAD snapshot, not the stale base.
+    var base = snap
+    var buckets = oversized
+    var files = newFiles
+    var attempt = 0
+    val maxRetries = 8
+    while (true) {
+      try {
+        table.commitSnapshot(base.copy(
+          version = base.version + 1,
+          filesRef = table.successorFiles(base, buckets, files)))
+        return buckets.size
+      } catch {
+        case e: graft.lake.CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          val head = table.currentSnapshot().getOrElse(throw e)
+          val valid = buckets.filter { b =>
+            head.filesIn(Set(b)).map(_.relPath).toSet ==
+              snap.filesIn(Set(b)).map(_.relPath).toSet
+          }
+          val (keep, stale) = files.partition(f => valid(f.bucket))
+          val hconf = table.spark.sparkContext.hadoopConfiguration
+          stale.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(s"${table.root}/${f.relPath}")
+            p.getFileSystem(hconf).delete(p, false): Unit
+          }
+          if (valid.isEmpty) return 0
+          base = head
+          buckets = valid
+          files = keep
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Bucket-count evolution: rewrite the whole table into `newNumBuckets`

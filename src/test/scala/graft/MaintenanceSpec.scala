@@ -57,6 +57,77 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction rebases across a concurrent merge instead of starving") {
+    import spark.implicits._
+    val (table, _) = replayed(2000L, 5)
+    val snapBefore = table.currentSnapshot().get
+    val stateBefore = table.read().collect().map(_.toString).toSet
+    // a repo name whose bucket is known, for a merge that touches ONE bucket
+    def bucketOf(repo: String): Int =
+      (((org.apache.spark.sql.graftx.Bridge.xxhash64(repo) % 4) + 4) % 4).toInt
+    val newRepo = (0 until 64).map(i => s"cmp-rebase-$i").find(bucketOf(_) == 0).get
+    val touchedBucket = 0
+
+    var mergeFilesB0 = Set.empty[String]
+    var mergeVersion = -1L
+    val racingMerge: () => Unit = () => {
+      val merge = new graft.merge.MergeInto(table, numBuckets = 4, saltBuckets = 2,
+        recordMeta = false)
+      val events = (0 until 5).map(i =>
+        (100000L + i, "U", new java.sql.Timestamp(1700000000000L + i),
+          newRepo, s"f$i.txt", s"c$i", "scala", s"post-$i"))
+        .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+      merge.apply(events, epochId = 777L)
+      val s = table.currentSnapshot().get
+      mergeVersion = s.version
+      mergeFilesB0 = s.filesIn(Set(touchedBucket)).map(_.relPath).toSet
+    }
+
+    // the oversized set at maxFilesPerBucket = 1 (not necessarily all 4
+    // buckets — a bucket whose epoch wrote a single salt file is exempt);
+    // the racing merge lands between the rewrite and the commit
+    val oversized = snapBefore.allFiles.groupBy(_.bucket)
+      .filter(_._2.size > 1).keySet
+    assert(oversized.contains(touchedBucket) && oversized.size >= 2,
+      s"test needs the touched bucket oversized plus another: $oversized")
+    val n = Maintenance.compact(table, maxFilesPerBucket = 1, beforeCommit = racingMerge)
+
+    // the touched bucket's rewrite was stale and dropped; the rest landed
+    assert(n == oversized.size - 1, s"expected ${oversized.size - 1} rebased, got $n")
+    val head = table.currentSnapshot().get
+    assert(head.version == mergeVersion + 1)
+    // ledger state carried from the HEAD (the merge's epoch), not the stale base
+    assert(head.epochs.contains(777L), "rebase must carry the racing merge's ledger")
+    // the touched bucket keeps the merge's files EXACTLY (uncompacted this round)
+    assert(head.filesIn(Set(touchedBucket)).map(_.relPath).toSet == mergeFilesB0)
+    // the other oversized buckets compacted to one file each
+    (oversized - touchedBucket).foreach(b =>
+      assert(head.filesIn(Set(b)).size == 1, s"bucket $b"))
+    // final state = pre-compaction state + the merge's rows (compaction
+    // must neither lose the merge nor resurrect pre-merge rows)
+    val want = stateBefore ++ table.readVersion(mergeVersion).where(col("repo") === newRepo)
+      .collect().map(_.toString)
+    assert(table.read().collect().map(_.toString).toSet == want)
+    // the stale rewrite of the touched bucket is GONE from disk (it would
+    // otherwise leak: vacuum reclaims whole dirs, and file-granular expiry
+    // only sees files some snapshot referenced)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val mergeDirs = mergeFilesB0.map(_.stripPrefix("data/").takeWhile(_ != '/'))
+    val compactDir = table.dataDirNames()
+      .filter(_.startsWith(s"v${snapBefore.version + 1}-")).filterNot(mergeDirs).head
+    val staleB0 = new org.apache.hadoop.fs.Path(
+      s"${table.root}/data/$compactDir/b=$touchedBucket")
+    val fs = staleB0.getFileSystem(hconf)
+    assert(!fs.exists(staleB0) ||
+      fs.listStatus(staleB0).forall(!_.getPath.getName.endsWith(".parquet")),
+      "stale rewrite files of the merge-touched bucket must be deleted")
+    // idempotent follow-up: the touched bucket compacts cleanly now (iff
+    // the merge left it with more than one file)
+    val expectNext = if (head.filesIn(Set(touchedBucket)).size > 1) 1 else 0
+    assert(Maintenance.compact(table, maxFilesPerBucket = 1) == expectNext)
+    assert(table.read().collect().map(_.toString).toSet == want)
+  }
+
   test("changesBetween: emits exactly the keys that changed, typed I/U/D") {
     val (table, cfg) = replayed(1500L, 3)
     val v = table.currentSnapshot().get.version
