@@ -140,6 +140,19 @@ object Maintenance {
           if (attempt >= maxRetries) throw e
           attempt += 1
           val head = table.currentSnapshot().getOrElse(throw e)
+          // an interleaved REBUCKET changed what bucket ids mean — every
+          // rewrite is stale by construction; clean up and report loudly
+          // (rebucket is a stop-the-world administrative move anyway)
+          if (head.numBuckets != snap.numBuckets) {
+            val hc = table.spark.sparkContext.hadoopConfiguration
+            files.foreach { f =>
+              val p = new org.apache.hadoop.fs.Path(s"${table.root}/${f.relPath}")
+              p.getFileSystem(hc).delete(p, false): Unit
+            }
+            throw new graft.lake.CommitConflictException(
+              s"table was rebucketed (${snap.numBuckets} -> ${head.numBuckets}) " +
+                "during compaction; re-run compact against the new layout")
+          }
           val valid = buckets.filter { b =>
             head.filesIn(Set(b)).map(_.relPath).toSet ==
               snap.filesIn(Set(b)).map(_.relPath).toSet
