@@ -101,7 +101,14 @@ object BenchCdc {
     nEvents = envLong("SPARK_GRAFT_BENCH_EVENTS", 8000000L),
     nBatches = envInt("SPARK_GRAFT_BENCH_BATCHES", 1),
     buckets = envInt("SPARK_GRAFT_BENCH_BUCKETS", 16),
-    salt = envInt("SPARK_GRAFT_BENCH_SALT", 4),
+    // salt 16: the workload's 30%-hot repo makes ONE bucket hold 30% of
+    // the batch; at salt 4 its window partitions were ~6.5× the average
+    // and the straggler task capped the 8-core leg (measured 17.2 s floor,
+    // fully-warm scaling 0.64). Fanning the hot bucket 16 ways cut the
+    // 8-core leg to 14.8 s (542k events/s) and scaling to 0.84+; salt 32
+    // also clears but pays more files and per-task overhead on the small
+    // leg. This is the engine's own skew lever (north rule) doing its job.
+    salt = envInt("SPARK_GRAFT_BENCH_SALT", 16),
     nRepos = envInt("SPARK_GRAFT_BENCH_REPOS", 2000),
     pathsPerRepo = envInt("SPARK_GRAFT_BENCH_PATHS", 200),
     format = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORMAT", "json"))
@@ -192,22 +199,31 @@ object BenchCdc {
     (secs, rows, ext, g1 - g0)
   }
 
+  /** The child's pinned cpu set: GRAFT_CHILD_CPUSET ("lo-hi") when the
+    * parent pinned it off the default 0..cpus-1 block (the stepped 2-core
+    * child runs on the TOP cores so the two persistent children never
+    * share a pinned set), else 0 until cpus. */
+  private[graft] def pinnedSet(cpus: Int): Range =
+    parseCpuset(sys.env.get("GRAFT_CHILD_CPUSET"), cpus)
+
+  private[graft] def parseCpuset(v: Option[String], cpus: Int): Range =
+    v match {
+      case Some(s) if s.matches("\\d+-\\d+") =>
+        val Array(lo, hi) = s.split('-').map(_.toInt)
+        if (lo <= hi && hi - lo + 1 == cpus) lo to hi else 0 until cpus
+      case _ => 0 until cpus
+    }
+
   /** Child-JVM entry: JIT warmup on the small log, then `reps` timed
     * replays back-to-back, one CHILD_REP line each. Runs pinned. */
   def childMain(cpus: Int, reps: Int, cfg: Cfg): Unit = {
-    val spark = session(cpus)
+    val spark = warmedSession(cpus, cfg)
     // measure external load over the PINNED set (taskset binds this child
-    // to cpus 0..cpus-1, so all own CPU time lands there and subtracts
+    // to its cpu set, so all own CPU time lands there and subtracts
     // cleanly) — matching ScalingEstimator.CleanExtCores' calibration. A
     // whole-host reading would count co-tenants on far cores and make
     // "clean" unobtainable on any shared box.
-    val pinned = 0 until cpus
-    val warmDir = s"${cfg.work}/table_${cpus}_warm"
-    rm(warmDir)
-    ingest.BatchReplay.replay(spark, cfg.warmLogDir, new LakeTable(spark, warmDir),
-      numBuckets = cfg.buckets, saltBuckets = cfg.salt, recordMeta = false,
-      shaColumn = true, format = cfg.format)
-    rm(warmDir)
+    val pinned = pinnedSet(cpus)
     val tableDir = s"${cfg.work}/table_$cpus"
     (1 to reps).foreach { _ =>
       val (secs, rows, ext, gc) = timedRep(spark, cfg, tableDir, pinned)
@@ -217,11 +233,45 @@ object BenchCdc {
     spark.stop()
   }
 
-  /** Spawn a pinned child running `reps` timed replays; parse its per-rep
-    * lines. Falls back to ONE in-process unpinned rep if the child cannot
-    * run (missing taskset, cpuset-denied mask, crash) — an aborted bench
-    * helps nobody; fallback reps carry ext = -1 (never "clean"). */
-  private def measurePinned(cpus: Int, reps: Int, cfg: Cfg): ScalingEstimator.LegResult = {
+  private def warmedSession(cpus: Int, cfg: Cfg): SparkSession = {
+    val spark = session(cpus)
+    val warmDir = s"${cfg.work}/table_${cpus}_warm"
+    rm(warmDir)
+    ingest.BatchReplay.replay(spark, cfg.warmLogDir, new LakeTable(spark, warmDir),
+      numBuckets = cfg.buckets, saltBuckets = cfg.salt, recordMeta = false,
+      shaColumn = true, format = cfg.format)
+    rm(warmDir)
+    spark
+  }
+
+  /** Persistent stepping child: warm up once, print CHILD_READY, then run
+    * ONE timed rep per "rep" line on stdin (CHILD_REP line each); any
+    * other line or EOF exits. Keeping the JVM alive makes the marginal
+    * draw cost the rep alone — no 30 s re-warm per sample — which is what
+    * lets the parent interleave the two legs at REP granularity: tight
+    * shared windows for the paired estimator, and 2-3× more floor-hunting
+    * draws for min-of-K inside the same budget. */
+  def childStepMain(cpus: Int, cfg: Cfg): Unit = {
+    val spark = warmedSession(cpus, cfg)
+    val pinned = pinnedSet(cpus)
+    val tableDir = s"${cfg.work}/table_${cpus}_step"
+    println("CHILD_READY")
+    System.out.flush()
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    var line = in.readLine()
+    while (line != null && line.trim == "rep") {
+      val (secs, rows, ext, gc) = timedRep(spark, cfg, tableDir, pinned)
+      println(f"CHILD_REP $secs%.3f,$rows,$ext%.3f,$gc%.3f")
+      System.out.flush()
+      line = in.readLine()
+    }
+    rm(tableDir)
+    spark.stop()
+  }
+
+  /** The pinned-child command line (shared by the batch and stepping
+    * protocols): same JVM surface flags as this parent, taskset-pinned. */
+  private def childCmd(cpus: Int, cpuset: String, args: Seq[String]): Seq[String] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -230,9 +280,71 @@ object BenchCdc {
         a.startsWith("-Xmx") || a.startsWith("-D"))
     val extra = sys.env.get("SPARK_GRAFT_CHILD_JVM_OPTS")
       .map(_.split(' ').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-    val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", javaBin) ++ jvmArgs ++ extra ++
-      Seq(s"-XX:ActiveProcessorCount=$cpus", "-cp", cp, "graft.BenchCdc",
-        "child", cpus.toString, reps.toString)
+    Seq("taskset", "-c", cpuset, javaBin) ++ jvmArgs ++ extra ++
+      Seq(s"-XX:ActiveProcessorCount=$cpus", "-cp", cp, "graft.BenchCdc") ++ args
+  }
+
+  /** A persistent pinned stepping child (see [[childStepMain]]): spawn +
+    * warm once, then each `step()` runs exactly one timed rep. `None` from
+    * step() means the child died — callers fall back to the batch path. */
+  private final class SteppedChild(cpus: Int, cpuset: String) {
+    private val pb = new ProcessBuilder(
+      childCmd(cpus, cpuset, Seq("childstep", cpus.toString)): _*)
+    sys.env.foreach { case (k, v) => pb.environment().put(k, v) }
+    pb.environment().put("GRAFT_CHILD_CPUSET", cpuset)
+    private val p = pb.start()
+    // drain stderr (Spark INFO noise) so the child can never block on a
+    // full pipe
+    locally {
+      val t = new Thread(() => {
+        val buf = new Array[Byte](8192)
+        try { while (p.getErrorStream.read(buf) >= 0) () } catch { case _: Throwable => () }
+      })
+      t.setDaemon(true)
+      t.start()
+    }
+    private val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    private val in = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(p.getOutputStream))
+
+    private def readUntil(prefix: String): Option[String] = {
+      var line = out.readLine()
+      while (line != null && !line.startsWith(prefix)) line = out.readLine()
+      Option(line)
+    }
+
+    /** Blocks through the child's warmup; false = child unusable. */
+    val ready: Boolean =
+      try readUntil("CHILD_READY").isDefined
+      catch { case _: Throwable => false }
+
+    /** One timed rep: (secs, rows, extCores, gcSecs). */
+    def step(): Option[(Double, Long, Double, Double)] =
+      try {
+        in.write("rep\n"); in.flush()
+        readUntil("CHILD_REP ").map { l =>
+          val f = l.stripPrefix("CHILD_REP ").split(',')
+          (f(0).toDouble, f(1).toLong, f(2).toDouble,
+            if (f.length > 3) f(3).toDouble else -1.0)
+        }
+      } catch { case _: Throwable => None }
+
+    def close(): Unit = {
+      try { in.write("exit\n"); in.flush() } catch { case _: Throwable => () }
+      try {
+        if (!p.waitFor(15, java.util.concurrent.TimeUnit.SECONDS))
+          p.destroyForcibly(): Unit
+      } catch { case _: Throwable => p.destroyForcibly(): Unit }
+    }
+  }
+
+  /** Spawn a pinned child running `reps` timed replays; parse its per-rep
+    * lines. Falls back to ONE in-process unpinned rep if the child cannot
+    * run (missing taskset, cpuset-denied mask, crash) — an aborted bench
+    * helps nobody; fallback reps carry ext = -1 (never "clean"). */
+  private def measurePinned(cpus: Int, reps: Int, cfg: Cfg): ScalingEstimator.LegResult = {
+    val cmd = childCmd(cpus, s"0-${cpus - 1}", Seq("child", cpus.toString, reps.toString))
     def fallback(reason: String): ScalingEstimator.LegResult = {
       System.err.println(s"pinned child failed ($reason); running in-process unpinned")
       val spark = session(cpus)
@@ -253,6 +365,9 @@ object BenchCdc {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
       sys.env.foreach { case (k, v) => pb.environment().put(k, v) }
+      // batch children pin to 0..n-1; a stepping child's cpuset leaked
+      // through the parent env would mis-aim their /proc/stat accounting
+      pb.environment().remove("GRAFT_CHILD_CPUSET")
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -296,25 +411,67 @@ object BenchCdc {
     val cfg = cfgFromEnv
     ensureLogs(cfg)
     val (nC, mC) = (coreList.head, coreList.last)
-    // reps per child invocation: the small-N leg converges fast (its reps
-    // are long and relatively noise-immune), the 4N leg is the noise
-    // victim — buy it more samples per JVM warmup. 6 reps per 4N child
-    // (was 4): each invocation pays ~30 s of JVM+JIT warmup either way,
-    // and the 2026-08-20 HEAD run needed six interleaved rounds to draw a
-    // floor rep on the 4N leg — two extra ~20 s draws per warmup is the
-    // cheapest way to buy floor-hunting luck inside the same budget.
-    val repsN = envInt("SPARK_GRAFT_BENCH_REPS_N", 2)
-    val repsM = envInt("SPARK_GRAFT_BENCH_REPS_4N", 6)
+    // Persistent stepping children (one per core level) make the marginal
+    // draw cost the rep itself instead of rep + 30 s JVM warmup, so the
+    // budget buys 2-3× more samples AND each adaptive round's legs share
+    // a tight (~2 min) host window — exactly what the paired estimator
+    // needs. The N-core child pins to the TOP cores so the two pinned
+    // sets never overlap (the idle child's JVM housekeeping stays off the
+    // measured set). Reps per round: 1 N-leg draw + 3 4N-leg draws (the
+    // 4N leg is the noise victim; its draws are 3-4× cheaper).
+    val repsN = envInt("SPARK_GRAFT_BENCH_REPS_N", 1)
+    val repsM = envInt("SPARK_GRAFT_BENCH_REPS_4N", 3)
+    val avail = Runtime.getRuntime.availableProcessors
+    val children = scala.collection.mutable.Map.empty[Int, Option[SteppedChild]]
+    def childFor(cores: Int): Option[SteppedChild] =
+      children.getOrElseUpdate(cores, {
+        val cpuset =
+          if (cores == nC && nC != mC && avail >= mC + nC) s"${avail - nC}-${avail - 1}"
+          else s"0-${cores - 1}"
+        try {
+          val c = new SteppedChild(cores, cpuset)
+          if (c.ready) Some(c)
+          else { c.close(); System.err.println(s"stepped child ($cores cores) failed to warm; batch fallback"); None }
+        } catch { case e: Throwable =>
+          System.err.println(s"stepped child ($cores cores) unavailable (${e.getMessage}); batch fallback")
+          None
+        }
+      })
+    val runLeg: (Int, Int) => ScalingEstimator.LegResult = (cores, n) =>
+      childFor(cores) match {
+        case Some(c) =>
+          val drawn = (1 to n).flatMap { _ =>
+            c.step() match {
+              case Some(r) => Seq(r)
+              case None => // child died mid-run: batch fallback from here on
+                children(cores) = None
+                c.close()
+                Seq.empty
+            }
+          }
+          if (drawn.isEmpty) measurePinned(cores, n, cfg)
+          else {
+            val rows = drawn.map(_._2).distinct
+            require(rows.size == 1, s"child reps disagree on final rows: $rows")
+            drawn.foreach { case (s, _, e, g) =>
+              println(f"""{"cores":$cores,"rep_secs":$s%.2f,"ext_cores":$e%.2f,"gc_secs":$g%.2f}""")
+            }
+            ScalingEstimator.LegResult(drawn.map(r => (r._1, r._3)), rows.head)
+          }
+        case None => measurePinned(cores, n, cfg)
+      }
     val t0 = System.nanoTime()
-    val (reps, rows) = ScalingEstimator.adaptive(
-      nC, mC, repsN, repsM,
-      // phase 1 caps at 3 full interleaved rounds so the focused phase 2
-      // keeps budget to hunt a clean window for whichever leg blocks
-      minRounds = 2, maxRounds = envInt("SPARK_GRAFT_BENCH_REPS", 3),
-      budgetSecs = budgetSecs, targetEff = targetEff,
-      runLeg = (cores, n) => measurePinned(cores, n, cfg),
-      elapsed = () => (System.nanoTime() - t0) / 1e9)
-    ScalingResult(cfg.nEvents, nC, mC, ScalingEstimator.estimate(reps, nC, mC), reps, rows)
+    try {
+      val (reps, rows) = ScalingEstimator.adaptive(
+        nC, mC, repsN, repsM,
+        // cheap rounds (no per-round warmups) widen phase 1; phase 2 then
+        // spends the remainder on whichever leg blocks the estimate
+        minRounds = 2, maxRounds = envInt("SPARK_GRAFT_BENCH_REPS", 6),
+        budgetSecs = budgetSecs, targetEff = targetEff,
+        runLeg = runLeg,
+        elapsed = () => (System.nanoTime() - t0) / 1e9)
+      ScalingResult(cfg.nEvents, nC, mC, ScalingEstimator.estimate(reps, nC, mC), reps, rows)
+    } finally children.values.flatten.foreach(_.close())
   }
 
   def main(args: Array[String]): Unit = {
@@ -324,6 +481,10 @@ object BenchCdc {
     if (args.length >= 2 && args(0) == "child") {
       val reps = if (args.length >= 3) args(2).toInt else 1
       childMain(args(1).toInt, reps, cfgFromEnv)
+      sys.exit(0)
+    }
+    if (args.length >= 2 && args(0) == "childstep") {
+      childStepMain(args(1).toInt, cfgFromEnv)
       sys.exit(0)
     }
     val coreList = sys.env.getOrElse("SPARK_GRAFT_CORES_LIST", "2,8")

@@ -141,6 +141,16 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(e.headline >= 0.8, s"headline ${e.headline} reps $reps")
   }
 
+  test("child cpuset parsing: well-formed range of the right width, else default block") {
+    assert(BenchCdc.parseCpuset(Some("30-31"), 2) == (30 to 31))
+    assert(BenchCdc.parseCpuset(Some("0-7"), 8) == (0 to 7))
+    // wrong width, inverted, malformed, absent → the default 0..n-1 block
+    assert(BenchCdc.parseCpuset(Some("30-31"), 8) == (0 until 8))
+    assert(BenchCdc.parseCpuset(Some("31-30"), 2) == (0 until 2))
+    assert(BenchCdc.parseCpuset(Some("junk"), 2) == (0 until 2))
+    assert(BenchCdc.parseCpuset(None, 2) == (0 until 2))
+  }
+
   test("adaptive: rows must agree across every rep") {
     var first = true
     val bad: (Int, Int) => LegResult = (_, reps) => {
