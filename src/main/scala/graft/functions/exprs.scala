@@ -108,6 +108,24 @@ case class HashedWordShingles(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+case class WordShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0 && n <= 16, s"shingle n out of range: $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires array<string>, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(arr: Any): Any =
+    Hashing.wordShingleStrings(arr.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.wordShingleStrings($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleStrings =
+    copy(child = newChild)
+}
+
 case class MinHashBandsL(child: Expression, k: Int, rowsPerBand: Int, seed: Long)
     extends UnaryExpression {
   require(k > 0 && k <= 512 && rowsPerBand > 0 && k % rowsPerBand == 0,
@@ -281,12 +299,15 @@ object fns {
   def countTokensIn(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit): _*)))
 
-  /** Word n-gram shingles, space-joined; empty array when too short. */
+  /** Word n-gram shingles, space-joined; empty array when too short.
+    * A custom expression (not composed built-ins): a higher-order
+    * function re-evaluates a captured non-attribute `tokens` child per
+    * lambda element, so `wordShingles(wsTokens(text), n)` as
+    * transform+element_at costs O(n·T) regex splits per row — the
+    * expression evaluates `tokens` once (see
+    * [[Hashing.wordShingleStrings]]). */
   def wordShingles(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
-      .otherwise(array())
+    Bridge.column(WordShingleStrings(Bridge.expression(tokens), n))
 
   /** Set Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =

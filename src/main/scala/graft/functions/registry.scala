@@ -45,6 +45,8 @@ object GraftFunctions {
         longLit(args(3), "seed")) },
     "hashed_word_shingles" -> { args =>
       HashedWordShingles(args(0), intLit(args(1), "n")) },
+    "word_shingles" -> { args =>
+      WordShingleStrings(args(0), intLit(args(1), "n")) },
     "winnow_fingerprint" -> { args =>
       WinnowFingerprint(args(0), intLit(args(1), "n"), intLit(args(2), "w")) },
     "cosine_sim" -> { args => CosineSim(args(0), args(1)) },

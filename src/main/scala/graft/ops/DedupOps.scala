@@ -445,10 +445,14 @@ object DedupOps {
     * pair; (2) the per-gram distinct-doc count as a WINDOW over that
     * pair set — one exchange+sort on gram, where the groupBy+self-join
     * form pays the gram exchange on BOTH join sides plus the merge
-    * (measured 9.2 s → 6.1 s at sf1 across adjacent runs); (3) one
-    * per-doc rollup. `dup_frac` is a single
-    * IEEE division (the q41/q45 bit-exactness rule), so the DuckDB
-    * compare stays hash-exact. */
+    * (same-JVM interleaved A/B with single-eval gram extraction,
+    * tools/Q47Probe at sf0.1: window 1.26-1.56 s vs join 1.97-2.19 s);
+    * (3) one per-doc rollup. Gram extraction is the single-eval
+    * [[fns.wordShingles]] expression — the composed-builtins form
+    * re-evaluated the token split per lambda element and dominated
+    * everything downstream (12-15 s for this query at sf0.1).
+    * `dup_frac` is a single IEEE division (the q41/q45 bit-exactness
+    * rule), so the DuckDB compare stays hash-exact. */
   val DupSpanK = 6
 
   def q47DupSpans(s: SparkSession, dir: String): DataFrame = {

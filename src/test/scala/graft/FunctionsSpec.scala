@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{fns, Hashing}
+import graft.functions.{fns, GraftFunctions, Hashing}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,11 +81,46 @@ class FunctionsSpec extends AnyFunSuite {
       fns.simhash64(fns.wsTokens(col("text"))).as("sh"),
       fns.minhashSig(fns.tokenSet(col("text")), 16, 3L).as("mh"),
       fns.winnowFingerprint(col("text"), 8, 4).as("fp"),
+      fns.wordShingles(fns.wsTokens(col("text")), 3).as("ws3"),
       fns.cubeCell(col("id") * 37.5 - 20.0, col("id") * 91.25 - 100.0, 9).as("cell"),
       fns.mix64(col("id") * 1000003L).as("mx"))
     val on = withCodegen("CODEGEN_ONLY") { cols.collect().sortBy(_.getLong(0)) }
     val off = withCodegen("NO_CODEGEN") { cols.collect().sortBy(_.getLong(0)) }
     assert(on.map(_.toString).toSeq == off.map(_.toString).toSeq)
+  }
+
+  test("wordShingles expression matches the composed-builtins form") {
+    // the old form this expression replaced (kept here as the semantic
+    // oracle): transform over positions + concat_ws of element_at's —
+    // correct but re-evaluates a non-attribute tokens child per element
+    def oldForm(tokens: org.apache.spark.sql.Column, n: Int) =
+      when(size(tokens) >= n,
+        transform(sequence(lit(0), size(tokens) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
+        .otherwise(array())
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and   irregular   whitespace\there ",
+      "one two", // shorter than n=3 → empty
+      "solo",
+      ""
+    ).toDF("text")
+    val got = df.select(
+      fns.wordShingles(fns.wsTokens(col("text")), 3).as("neu"),
+      oldForm(fns.wsTokens(col("text")), 3).as("alt"))
+    got.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"shingle mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+    // SQL registration round-trip
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("ws_docs")
+    val viaSql = spark.sql(
+      "SELECT word_shingles(split(trim(text), '\\\\s+'), 3) AS s FROM ws_docs")
+      .collect().map(_.getSeq[String](0)).toSeq
+    val viaCol = df.select(fns.wordShingles(fns.wsTokens(col("text")), 3))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(viaSql == viaCol)
   }
 
   private def withCodegen[T](mode: String)(f: => T): T = {
