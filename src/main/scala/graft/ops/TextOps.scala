@@ -28,8 +28,11 @@ object TextOps {
   /** q10: language ID via per-language marker-token counts + deterministic
     * argmax (fixed priority on ties, 'und' when nothing matches). */
   def q10LangId(s: SparkSession, dir: String): DataFrame = {
-    val toks = fns.wsTokens(col("text"))
-    val d = docs(s, dir).select(
+    // materialize the token array once: four countTokensIn's over an
+    // inline wsTokens would each evaluate the regex split per row
+    // (multi-use non-cheap aliases survive CollapseProject)
+    val toks = col("ts")
+    val d = docs(s, dir).withColumn("ts", fns.wsTokens(col("text"))).select(
       col("doc_id"),
       fns.countTokensIn(toks, enWords).as("n_en"),
       fns.countTokensIn(toks, deWords).as("n_de"),
@@ -64,8 +67,8 @@ object TextOps {
   /** q11: document quality score from length / punctuation / stopword
     * signals — the classic pre-training quality filter shape. */
   def q11Quality(s: SparkSession, dir: String): DataFrame = {
-    val toks = fns.wsTokens(col("text"))
-    val d = docs(s, dir).select(
+    val toks = col("ts") // materialized once, same rationale as q10
+    val d = docs(s, dir).withColumn("ts", fns.wsTokens(col("text"))).select(
       col("doc_id"),
       length(col("text")).as("n_chars_m"),
       size(toks).as("n_tokens"),
