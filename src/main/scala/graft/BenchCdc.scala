@@ -323,11 +323,7 @@ object BenchCdc {
     def step(): Option[(Double, Long, Double, Double)] =
       try {
         in.write("rep\n"); in.flush()
-        readUntil("CHILD_REP ").map { l =>
-          val f = l.stripPrefix("CHILD_REP ").split(',')
-          (f(0).toDouble, f(1).toLong, f(2).toDouble,
-            if (f.length > 3) f(3).toDouble else -1.0)
-        }
+        readUntil("CHILD_REP ").map(parseChildRep)
       } catch { case _: Throwable => None }
 
     def close(): Unit = {
@@ -337,6 +333,15 @@ object BenchCdc {
           p.destroyForcibly(): Unit
       } catch { case _: Throwable => p.destroyForcibly(): Unit }
     }
+  }
+
+  /** One CHILD_REP wire line → (secs, rows, extCores, gcSecs). The single
+    * decoder for both the stepped and batch protocols — the format lives
+    * in [[childMain]]/[[childStepMain]]'s println and here, nowhere else. */
+  private def parseChildRep(l: String): (Double, Long, Double, Double) = {
+    val f = l.stripPrefix("CHILD_REP ").split(',')
+    (f(0).toDouble, f(1).toLong, f(2).toDouble,
+      if (f.length > 3) f(3).toDouble else -1.0)
   }
 
   /** Spawn a pinned child running `reps` timed replays; parse its per-rep
@@ -374,11 +379,7 @@ object BenchCdc {
       val exit = p.waitFor()
       val repLines = out.linesIterator.filter(_.startsWith("CHILD_REP ")).toSeq
       if (exit == 0 && repLines.nonEmpty) {
-        val parsed = repLines.map { l =>
-          val f = l.stripPrefix("CHILD_REP ").split(',')
-          (f(0).toDouble, f(1).toLong, f(2).toDouble,
-            if (f.length > 3) f(3).toDouble else -1.0)
-        }
+        val parsed = repLines.map(parseChildRep)
         val rows = parsed.map(_._2).distinct
         require(rows.size == 1, s"child reps disagree on final rows: $rows")
         parsed.foreach { case (s, _, e, g) =>
@@ -422,43 +423,78 @@ object BenchCdc {
     val repsN = envInt("SPARK_GRAFT_BENCH_REPS_N", 1)
     val repsM = envInt("SPARK_GRAFT_BENCH_REPS_4N", 3)
     val avail = Runtime.getRuntime.availableProcessors
+    // Persistent children only when the two pinned sets can be DISJOINT;
+    // otherwise the idle sibling JVM's housekeeping lands on the measured
+    // cpu set during every timed rep (contamination the batch protocol —
+    // children never coexist — does not have). Small hosts get the batch
+    // protocol, loudly.
+    val disjoint = nC == mC || avail >= mC + nC
+    if (!disjoint)
+      System.err.println(s"pinned sets for $nC+$mC cores would overlap on " +
+        s"$avail available processors; using the batch protocol (children never coexist)")
+    // A batch child pays the full JVM+Spark warmup per spawn; when the
+    // stepped path is unavailable, amortize it over at least the old
+    // batch protocol's per-spawn rep counts (2 N-leg / 6 4N-leg draws)
+    // instead of the stepped path's cheap per-round asks.
+    def batchReps(cores: Int, n: Int): Int =
+      math.max(n, if (cores == mC && nC != mC) 6 else 2)
     val children = scala.collection.mutable.Map.empty[Int, Option[SteppedChild]]
     def childFor(cores: Int): Option[SteppedChild] =
       children.getOrElseUpdate(cores, {
-        val cpuset =
-          if (cores == nC && nC != mC && avail >= mC + nC) s"${avail - nC}-${avail - 1}"
-          else s"0-${cores - 1}"
-        try {
-          val c = new SteppedChild(cores, cpuset)
-          if (c.ready) Some(c)
-          else { c.close(); System.err.println(s"stepped child ($cores cores) failed to warm; batch fallback"); None }
-        } catch { case e: Throwable =>
-          System.err.println(s"stepped child ($cores cores) unavailable (${e.getMessage}); batch fallback")
-          None
+        if (!disjoint) None
+        else {
+          val cpuset =
+            if (cores == nC && nC != mC) s"${avail - nC}-${avail - 1}"
+            else s"0-${cores - 1}"
+          try {
+            val c = new SteppedChild(cores, cpuset)
+            if (c.ready) Some(c)
+            else { c.close(); System.err.println(s"stepped child ($cores cores) failed to warm; batch fallback"); None }
+          } catch { case e: Throwable =>
+            System.err.println(s"stepped child ($cores cores) unavailable (${e.getMessage}); batch fallback")
+            None
+          }
         }
       })
     val runLeg: (Int, Int) => ScalingEstimator.LegResult = (cores, n) =>
       childFor(cores) match {
         case Some(c) =>
-          val drawn = (1 to n).flatMap { _ =>
+          val want = math.max(1, n) // a 0-rep ask would make fromChild.get below unsound
+          val drawn = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Double, Double)]
+          var died = false
+          while (drawn.length < want && !died) {
             c.step() match {
-              case Some(r) => Seq(r)
-              case None => // child died mid-run: batch fallback from here on
+              case Some(r) => drawn += r
+              case None => // child died mid-leg: top up from the batch path
+                died = true
                 children(cores) = None
                 c.close()
-                Seq.empty
+                System.err.println(
+                  s"stepped child ($cores cores) died after ${drawn.length}/$want draws; batch fallback for the rest")
             }
           }
-          if (drawn.isEmpty) measurePinned(cores, n, cfg)
+          val fromChild: Option[ScalingEstimator.LegResult] =
+            if (drawn.isEmpty) None
+            else {
+              val rows = drawn.map(_._2).distinct
+              require(rows.size == 1, s"child reps disagree on final rows: $rows")
+              drawn.foreach { case (s, _, e, g) =>
+                println(f"""{"cores":$cores,"rep_secs":$s%.2f,"ext_cores":$e%.2f,"gc_secs":$g%.2f}""")
+              }
+              Some(ScalingEstimator.LegResult(drawn.toSeq.map(r => (r._1, r._3)), rows.head))
+            }
+          if (!died) fromChild.get // loop only exits undied with all n drawn
           else {
-            val rows = drawn.map(_._2).distinct
-            require(rows.size == 1, s"child reps disagree on final rows: $rows")
-            drawn.foreach { case (s, _, e, g) =>
-              println(f"""{"cores":$cores,"rep_secs":$s%.2f,"ext_cores":$e%.2f,"gc_secs":$g%.2f}""")
+            val batch = measurePinned(cores, batchReps(cores, want - drawn.length), cfg)
+            fromChild match {
+              case Some(cr) =>
+                require(cr.rows == batch.rows,
+                  s"stepped and batch reps disagree on final rows: ${cr.rows} vs ${batch.rows}")
+                ScalingEstimator.LegResult(cr.reps ++ batch.reps, cr.rows)
+              case None => batch
             }
-            ScalingEstimator.LegResult(drawn.map(r => (r._1, r._3)), rows.head)
           }
-        case None => measurePinned(cores, n, cfg)
+        case None => measurePinned(cores, batchReps(cores, n), cfg)
       }
     val t0 = System.nanoTime()
     try {

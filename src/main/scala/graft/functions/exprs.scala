@@ -305,9 +305,15 @@ object fns {
     * lambda element, so `wordShingles(wsTokens(text), n)` as
     * transform+element_at costs O(n·T) regex splits per row — the
     * expression evaluates `tokens` once (see
-    * [[Hashing.wordShingleStrings]]). */
+    * [[Hashing.wordShingleStrings]]). The coalesce preserves the old
+    * composed form's NULL contract (NULL tokens → empty array, because
+    * `when(size(null) >= n)` fell through to `otherwise(array())`);
+    * the raw SQL function `word_shingles` null-propagates like every
+    * other registered expression. */
   def wordShingles(tokens: Column, n: Int): Column =
-    Bridge.column(WordShingleStrings(Bridge.expression(tokens), n))
+    coalesce(
+      Bridge.column(WordShingleStrings(Bridge.expression(tokens), n)),
+      typedlit(Array.empty[String]))
 
   /** Set Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =

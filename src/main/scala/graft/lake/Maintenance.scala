@@ -143,26 +143,28 @@ object Maintenance {
           // an interleaved REBUCKET changed what bucket ids mean — every
           // rewrite is stale by construction; clean up and report loudly
           // (rebucket is a stop-the-world administrative move anyway)
+          val hconf = table.spark.sparkContext.hadoopConfiguration
+          def deleteRewrites(fs: Seq[FileEntry]): Unit = fs.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(s"${table.root}/${f.relPath}")
+            p.getFileSystem(hconf).delete(p, false): Unit
+          }
           if (head.numBuckets != snap.numBuckets) {
-            val hc = table.spark.sparkContext.hadoopConfiguration
-            files.foreach { f =>
-              val p = new org.apache.hadoop.fs.Path(s"${table.root}/${f.relPath}")
-              p.getFileSystem(hc).delete(p, false): Unit
-            }
+            deleteRewrites(files)
             throw new graft.lake.CommitConflictException(
               s"table was rebucketed (${snap.numBuckets} -> ${head.numBuckets}) " +
                 "during compaction; re-run compact against the new layout")
           }
-          val valid = buckets.filter { b =>
-            head.filesIn(Set(b)).map(_.relPath).toSet ==
-              snap.filesIn(Set(b)).map(_.relPath).toSet
-          }
+          // ONE filesIn per side (each call loads every group manifest it
+          // needs from disk — per-bucket calls would reload the same
+          // group O(buckets) times per retry)
+          val headByBucket = head.filesIn(buckets).groupBy(_.bucket)
+          val baseByBucket = snap.filesIn(buckets).groupBy(_.bucket)
+          def relPaths(m: Map[Int, Seq[FileEntry]], b: Int): Set[String] =
+            m.getOrElse(b, Seq.empty).map(_.relPath).toSet
+          val valid = buckets.filter(b =>
+            relPaths(headByBucket, b) == relPaths(baseByBucket, b))
           val (keep, stale) = files.partition(f => valid(f.bucket))
-          val hconf = table.spark.sparkContext.hadoopConfiguration
-          stale.foreach { f =>
-            val p = new org.apache.hadoop.fs.Path(s"${table.root}/${f.relPath}")
-            p.getFileSystem(hconf).delete(p, false): Unit
-          }
+          deleteRewrites(stale)
           if (valid.isEmpty) return 0
           base = head
           buckets = valid

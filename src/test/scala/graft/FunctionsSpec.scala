@@ -99,11 +99,12 @@ class FunctionsSpec extends AnyFunSuite {
           i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
         .otherwise(array())
     val df = Seq(
-      "the quick brown fox jumps over the lazy dog",
-      "  leading and   irregular   whitespace\there ",
-      "one two", // shorter than n=3 → empty
-      "solo",
-      ""
+      Some("the quick brown fox jumps over the lazy dog"),
+      Some("  leading and   irregular   whitespace\there "),
+      Some("one two"), // shorter than n=3 → empty
+      Some("solo"),
+      Some(""),
+      None // NULL text → both forms yield [] (the when() fell through)
     ).toDF("text")
     val got = df.select(
       fns.wordShingles(fns.wsTokens(col("text")), 3).as("neu"),
@@ -112,15 +113,22 @@ class FunctionsSpec extends AnyFunSuite {
       assert(r.getSeq[String](0) == r.getSeq[String](1),
         s"shingle mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
     }
-    // SQL registration round-trip
+    // SQL registration round-trip; the RAW function null-propagates
+    // (standard expression contract), the Column helper coalesces to []
     GraftFunctions.register(spark)
     df.createOrReplaceTempView("ws_docs")
     val viaSql = spark.sql(
       "SELECT word_shingles(split(trim(text), '\\\\s+'), 3) AS s FROM ws_docs")
-      .collect().map(_.getSeq[String](0)).toSeq
+      .collect().map(r => Option(r.getSeq[String](0))).toSeq
     val viaCol = df.select(fns.wordShingles(fns.wsTokens(col("text")), 3))
-      .collect().map(_.getSeq[String](0)).toSeq
-    assert(viaSql == viaCol)
+      .collect().map(r => Option(r.getSeq[String](0))).toSeq
+    assert(viaSql.count(_.isEmpty) == 1, "raw SQL word_shingles should null-propagate")
+    assert(viaCol.forall(_.isDefined), "Column helper should coalesce NULL to []")
+    viaSql.zip(viaCol).foreach {
+      case (Some(s), Some(c)) => assert(s == c)
+      case (None, Some(c)) => assert(c.isEmpty)
+      case other => fail(s"unexpected pairing: $other")
+    }
   }
 
   private def withCodegen[T](mode: String)(f: => T): T = {
