@@ -108,6 +108,23 @@ case class HashedWordShingles(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+case class StrHash64(child: Expression, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"str_hash64 requires string, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(s: Any): Any =
+    Hashing.hashUtf8(s.asInstanceOf[UTF8String], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.hashUtf8($c, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): StrHash64 =
+    copy(child = newChild)
+}
+
 case class WordShingleStrings(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0 && n <= 16, s"shingle n out of range: $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -264,6 +281,12 @@ object fns {
   /** One-pass sorted distinct word-n-gram shingle hashes of a text. */
   def hashedWordShingles(c: Column, n: Int): Column =
     Bridge.column(HashedWordShingles(Bridge.expression(c), n))
+
+  /** FNV-1a + splitmix64 of a string (Hashing.hashUtf8) — the engine's
+    * stable 64-bit string hash, DuckDB-mirrorable via
+    * SqlKernels.fnv1aFold + mix64Select. */
+  def strHash64(c: Column, seed: Long = 0L): Column =
+    Bridge.column(StrHash64(Bridge.expression(c), seed))
 
   def minhashBandsFromHashes(c: Column, k: Int, rowsPerBand: Int, seed: Long = 0L): Column =
     Bridge.column(MinHashBandsL(Bridge.expression(c), k, rowsPerBand, seed))

@@ -47,6 +47,8 @@ object GraftFunctions {
       HashedWordShingles(args(0), intLit(args(1), "n")) },
     "word_shingles" -> { args =>
       WordShingleStrings(args(0), intLit(args(1), "n")) },
+    "str_hash64" -> { args =>
+      StrHash64(args(0), if (args.length > 1) longLit(args(1), "seed") else 0L) },
     "winnow_fingerprint" -> { args =>
       WinnowFingerprint(args(0), intLit(args(1), "n"), intLit(args(2), "w")) },
     "cosine_sim" -> { args => CosineSim(args(0), args(1)) },

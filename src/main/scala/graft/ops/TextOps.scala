@@ -651,6 +651,118 @@ object TextOps {
       |  (cum - 1) // $Q48ChunkTokens - (cum - n_tokens) // $Q48ChunkTokens + 1 AS n_chunks
       |FROM c""".stripMargin
 
+  /** q49: per-stratum approximate distinct counts via a KMV (k-minimum-
+    * values) sketch — the 100-TB COUNT DISTINCT path. Exact per-group
+    * distinct over a fine-grained universe (here: word 3-gram shingles)
+    * shuffles the full universe; the KMV estimate needs only each
+    * stratum's K smallest hash values, found with a two-level top-K
+    * (per-(stratum, salt) K smallest inside the exchange the distinct
+    * already pays, then K smallest of the 64·K survivors — the global
+    * K-min is a subset of the per-salt K-mins, so no stratum-sized
+    * window ever forms). KMV estimate = (K-1)·2^48/h_K (unbiased;
+    * stderr ≈ 1/√(K-2) ≈ 6% at K=256), falling back to the exact count
+    * in the n < K regime. Hashes are the TOP 48 bits of the engine's
+    * mirrorable string hash (Hashing.hashUtf8 = FNV-1a + splitmix64):
+    * 48-bit values are nonnegative longs AND exactly representable as
+    * doubles, so ordering agrees between Spark (signed) and DuckDB
+    * (unsigned HUGEINT) and the estimate is ONE exactly-reproducible
+    * IEEE division — hash-exact across engines, which libm-dependent
+    * sketches (HLL's ln, t-digest) cannot be. Production full-64-bit
+    * variants move the math to integer domains; the sketch itself
+    * merges associatively across partitions, days, and tables. */
+  val Q49K = 256
+
+  def q49KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs(s, dir)
+      .withColumn("ts", fns.wsTokens(col("text")))
+      .select(col("lang"), explode(fns.wordShingles(col("ts"), 3)).as("gram"))
+    val hashes = grams
+      .select(col("lang"),
+        shiftrightunsigned(fns.strHash64(col("gram")), 16).as("h48"))
+      .distinct()
+    val salted = Window.partitionBy(col("lang"), col("h48") % 64)
+      .orderBy(col("h48"))
+    val cand = hashes.withColumn("rn", row_number().over(salted))
+      .where(col("rn") <= Q49K)
+    val wl = Window.partitionBy(col("lang")).orderBy(col("h48"))
+    val kth = cand.withColumn("rk", row_number().over(wl))
+      .where(col("rk") === Q49K)
+      .select(col("lang"), col("h48").as("hk"))
+    val raw = lit((Q49K - 1).toDouble * 281474976710656.0) / col("hk").cast("double")
+    hashes.groupBy(col("lang")).agg(count(lit(1)).as("n_distinct_h"))
+      .join(kth, Seq("lang"), "left")
+      .select(col("lang"), col("n_distinct_h"),
+        round(when(col("hk").isNull, col("n_distinct_h").cast("double"))
+          .otherwise(raw), 3).as("kmv_estimate"),
+        round(when(col("hk").isNull, lit(0.0))
+          .otherwise((raw - col("n_distinct_h")) / col("n_distinct_h")), 6)
+          .as("rel_err"))
+  }
+
+  val q49Sql: String = {
+    import SqlKernels._
+    s"""WITH toks AS (
+       |  SELECT lang, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+       |grams AS (
+       |  SELECT lang, array_to_string(ts[i:i+2], ' ') AS gram
+       |  FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+       |  WHERE len(ts) >= 3),
+       |h0 AS (SELECT lang, gram, ${fnv1aFold(charCodes("gram"))} AS h0 FROM grams),
+       |hs AS (SELECT DISTINCT lang, (hu // 65536)::BIGINT AS h48
+       |       FROM ${mix64Select("h0", "h0", "hu")} AS mx),
+       |rk AS (SELECT lang, h48,
+       |         row_number() OVER (PARTITION BY lang ORDER BY h48) AS rk
+       |       FROM hs),
+       |st AS (SELECT lang, count(*) AS n_distinct_h FROM hs GROUP BY lang),
+       |kth AS (SELECT lang, h48 AS hk FROM rk WHERE rk = $Q49K)
+       |SELECT st.lang, n_distinct_h,
+       |  round(CASE WHEN hk IS NULL THEN n_distinct_h::DOUBLE
+       |    ELSE (${Q49K - 1}::DOUBLE * 281474976710656::DOUBLE) / hk::DOUBLE END, 3)
+       |    AS kmv_estimate,
+       |  round(CASE WHEN hk IS NULL THEN 0.0::DOUBLE
+       |    ELSE ((${Q49K - 1}::DOUBLE * 281474976710656::DOUBLE) / hk::DOUBLE
+       |          - n_distinct_h) / n_distinct_h END, 6) AS rel_err
+       |FROM st LEFT JOIN kth ON st.lang = kth.lang""".stripMargin
+  }
+
+  /** q50: deterministic weighted (PPS) sampling with Horvitz-Thompson
+    * weights — "sample training docs proportional to size/quality,
+    * reproducibly". Bernoulli probability-proportional-to-size: doc d
+    * is kept iff u48(d) < w(d)·2^37 where u48 = top 48 bits of
+    * mix64(doc_id) (uniform on [0, 2^48)) and w = n_chars, i.e.
+    * p = min(1, n_chars/2048); the emitted ht_weight 1/p makes any
+    * downstream sum over the sample unbiased for the corpus total
+    * (Horvitz-Thompson). The sample is a pure function of the data —
+    * same members on every worker, run, engine, and partitioning — and
+    * the operator is a shuffle-free codegen'd scan-filter: at 100 TB it
+    * parallelizes exactly as the scan does, and the weight column
+    * composes with q11's quality score as w for quality-weighted
+    * epochs. All arithmetic is power-of-two exact (p is an exact
+    * double, the inclusion test is integer), so the oracle compare is
+    * hash-exact; ht_weight is the single rounded IEEE division. */
+  def q50WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u48 = shiftrightunsigned(fns.mix64(col("doc_id")), 16)
+    val p = least(lit(1.0), col("n_chars").cast("double") / lit(2048.0))
+    docs(s, dir)
+      .withColumn("u48", u48)
+      .where(col("u48") < col("n_chars").cast("long") * lit(137438953472L))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        p.as("p"), round(lit(1.0) / p, 6).as("ht_weight"))
+  }
+
+  val q50Sql: String = {
+    import SqlKernels._
+    val inner =
+      "(SELECT doc_id, lang, n_chars, doc_id::HUGEINT AS h0 FROM documents)"
+    s"""SELECT doc_id, lang, n_chars,
+       |  least(1.0::DOUBLE, n_chars::DOUBLE / 2048.0::DOUBLE) AS p,
+       |  round(1.0::DOUBLE / least(1.0::DOUBLE, n_chars::DOUBLE / 2048.0::DOUBLE), 6)
+       |    AS ht_weight
+       |FROM ${mix64Select(inner, "h0", "hu")}
+       |WHERE hu // 65536 < n_chars::HUGEINT * 137438953472::HUGEINT""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_lang_id" -> (q10LangId _),
     "q11_quality_score" -> (q11Quality _),
@@ -665,7 +777,9 @@ object TextOps {
     "q44_decontaminate" -> (q44Decontaminate _),
     "q45_repetition" -> (q45Repetition _),
     "q46_hist_quantiles" -> (q46HistQuantiles _),
-    "q48_seq_pack" -> (q48SeqPack _)
+    "q48_seq_pack" -> (q48SeqPack _),
+    "q49_kmv_distinct" -> (q49KmvDistinct _),
+    "q50_weighted_sample" -> (q50WeightedSample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -682,6 +796,8 @@ object TextOps {
     "q44_decontaminate" -> q44Sql,
     "q45_repetition" -> q45Sql,
     "q46_hist_quantiles" -> q46Sql,
-    "q48_seq_pack" -> q48Sql
+    "q48_seq_pack" -> q48Sql,
+    "q49_kmv_distinct" -> q49Sql,
+    "q50_weighted_sample" -> q50Sql
   )
 }

@@ -324,4 +324,68 @@ class TrainingOpsSpec extends AnyFunSuite {
       .toSet
     assert(multi == want)
   }
+
+  test("q49 KMV: two-level top-K equals brute-force kth-min; estimate within tolerance") {
+    import graft.functions.fns
+    val K = ops.TextOps.Q49K
+    // brute-force distinct 48-bit gram hashes per lang (same kernel)
+    val hs = spark.read.parquet(s"/root/testdata/sf0.01/documents.parquet")
+      .withColumn("ts", fns.wsTokens(col("text")))
+      .select(col("lang"),
+        explode(fns.wordShingles(col("ts"), 3)).as("gram"))
+      .select(col("lang"), shiftrightunsigned(fns.strHash64(col("gram")), 16).as("h48"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
+    val got = ops.TextOps.q49KmvDistinct(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == hs.size)
+    got.foreach { case (lang, n, est, relErr) =>
+      val sorted = hs(lang)
+      assert(n == sorted.length, s"$lang exact count")
+      if (sorted.length >= K) {
+        val hk = sorted(K - 1) // brute-force kth smallest distinct hash
+        val want = (K - 1).toDouble * 281474976710656.0 / hk.toDouble
+        assert(math.abs(est - want) < 0.001, s"$lang: est=$est want=$want")
+        // KMV stderr ~ 1/sqrt(K-2) ≈ 6.3%; 4σ tolerance
+        assert(math.abs(relErr) < 0.25, s"$lang: relErr=$relErr")
+      } else assert(est == n.toDouble && relErr == 0.0)
+    }
+    // at sf0.001 strata are below K: the sketch must report exactly
+    ops.TextOps.q49KmvDistinct(spark, sf).collect().foreach { r =>
+      if (r.getLong(1) < K) {
+        assert(r.getDouble(2) == r.getLong(1).toDouble)
+        assert(r.getDouble(3) == 0.0)
+      }
+    }
+  }
+
+  test("q50 PPS sample: deterministic membership, exact p, HT estimate unbiased-ish") {
+    val d = spark.read.parquet(s"/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = ops.TextOps.q50WeightedSample(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val s2 = ops.TextOps.q50WeightedSample(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(s1.toSet == s2.toSet, "sample must be a pure function of the data")
+    assert(s1.nonEmpty && s1.length < d.size, "nontrivial proper sample")
+    // membership matches the closed-form rule; p and ht are exact
+    val members = s1.map(_._1).toSet
+    d.foreach { case (id, nc) =>
+      val u48 = graft.functions.Hashing.mix64(id) >>> 16
+      val in = java.lang.Long.compareUnsigned(u48, nc * 137438953472L) < 0
+      assert(members.contains(id) == in, s"doc $id membership")
+    }
+    s1.foreach { case (id, nc, p, ht) =>
+      assert(p == math.min(1.0, nc / 2048.0))
+      assert(math.abs(ht - 1.0 / p) < 1e-6)
+    }
+    // Horvitz-Thompson: sum over sample of n_chars/p estimates the
+    // corpus total; with p ∝ n_chars the per-doc HT term is constant
+    // (2048), so the estimate is 2048·|sample| — check within 4σ of
+    // the true total (binomial variance over ~500 docs)
+    val total = d.values.sum.toDouble
+    val ht = s1.map { case (_, nc, p, _) => nc / p }.sum
+    assert(math.abs(ht - total) / total < 0.30, s"HT=$ht total=$total")
+  }
 }
