@@ -1,0 +1,114 @@
+package graft
+
+import graft.gen.{ChangeGen, GenConfig}
+import graft.ingest.BatchReplay
+import graft.lake.{EnrichedView, LakeTable, Maintenance}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incrementally-maintained enrichment views (derived lake tables fed by
+  * the CDC stream). Oracle throughout: the view's live rows must equal
+  * `enrich` recomputed from scratch over the base's CURRENT live state —
+  * after inserts, updates, deletes, multi-epoch gaps, compaction-only
+  * commits, crash-window retries, and an expired incremental anchor. */
+class EnrichedViewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // the dimension is derived deterministically from the repo key so the
+  // oracle can rebuild it; a real deployment would broadcast-join any
+  // slowly-changing dimension table here
+  private def dim(base: LakeTable): DataFrame =
+    base.read().select("repo").distinct()
+      .withColumn("tier", length(col("repo")) % 3)
+
+  private def enrichWith(d: DataFrame)(rows: DataFrame): DataFrame =
+    rows.join(broadcast(d), Seq("repo"))
+      .select(col("repo"), col("path"), col("lsn"), col("tier"),
+        length(col("content")).cast("long").as("content_len"))
+
+  private def oracle(base: LakeTable): Seq[String] =
+    canon(enrichWith(dim(base))(base.read()))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select("repo", "path", "lsn", "tier", "content_len")
+      .orderBy("repo", "path").collect().map(_.toString).toSeq
+
+  test("enriched view tracks inserts, updates, and deletes incrementally") {
+    val work = TestSpark.tmpDir("enrichview")
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 1200L), s"$work/log12", nBatches = 2, partitions = 2)
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 1800L), s"$work/logAll", nBatches = 3, partitions = 2)
+    val base = new LakeTable(spark, s"$work/base")
+    val view = new LakeTable(spark, s"$work/view")
+    BatchReplay.replay(spark, s"$work/log12", base, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+
+    // initial refresh = full build
+    val d = dim(base)
+    val s1 = EnrichedView.refresh(base, view, enrichWith(d), numBuckets = 4, saltBuckets = 2)
+    assert(s1.initialFull && !s1.noOp)
+    assert(canon(view.read()) == oracle(base))
+
+    // same-version refresh is a no-op (no merge epoch spent)
+    val s2 = EnrichedView.refresh(base, view, enrichWith(d), numBuckets = 4, saltBuckets = 2)
+    assert(s2.noOp && s2.merge.isEmpty)
+
+    // advance the base (updates + deletes + inserts), refresh incrementally
+    BatchReplay.replay(spark, s"$work/logAll", base, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val d2 = dim(base)
+    val s3 = EnrichedView.refresh(base, view, enrichWith(d2), numBuckets = 4, saltBuckets = 2)
+    assert(!s3.initialFull && !s3.noOp)
+    assert(s3.merge.exists(m => !m.skipped && m.tombstonesWritten > 0),
+      s"expected real deletes through the feed: ${s3.merge}")
+    assert(canon(view.read()) == oracle(base))
+
+    // crash window: watermark lost after the merge committed — the retry
+    // replays the same range and the view's epoch ledger skips it
+    val f = new org.apache.hadoop.fs.Path(s"$work/view/enrich")
+    f.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(f, true)
+    val s4 = EnrichedView.refresh(base, view, enrichWith(d2), numBuckets = 4, saltBuckets = 2)
+    assert(s4.merge.exists(_.skipped), s"retry must ledger-skip: ${s4.merge}")
+    assert(canon(view.read()) == oracle(base))
+
+    // compaction-only commit: the pruned feed is empty; the view stays
+    // equal and the refresh does no data IO to speak of
+    assert(Maintenance.compact(base, maxFilesPerBucket = 1) > 0)
+    val s5 = EnrichedView.refresh(base, view, enrichWith(d2), numBuckets = 4, saltBuckets = 2)
+    assert(!s5.noOp && s5.merge.exists(m => m.keysWritten == 0 && m.tombstonesWritten == 0))
+    assert(canon(view.read()) == oracle(base))
+  }
+
+  test("expired incremental anchor rebuilds, sweeping keys the base dropped") {
+    val work = TestSpark.tmpDir("enrichexp")
+    // l2 extends l1 (same seed, aligned 800-event batches), so replaying
+    // it ledger-skips batch 0 and commits batches 1-2 as new versions
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 800L), s"$work/l1", nBatches = 1, partitions = 2)
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 2400L), s"$work/l2", nBatches = 3, partitions = 2)
+    val base = new LakeTable(spark, s"$work/base")
+    val view = new LakeTable(spark, s"$work/view")
+    BatchReplay.replay(spark, s"$work/l1", base, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val d = dim(base)
+    EnrichedView.refresh(base, view, enrichWith(d), numBuckets = 4, saltBuckets = 2)
+    val anchor = EnrichedView.lastRefreshed(view).get
+
+    // the base advances twice (the longer log rewrites and DELETES keys)
+    // and retention expires the anchor version
+    BatchReplay.replay(spark, s"$work/l2", base, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    Maintenance.expireSnapshots(base, keepLast = 1, olderThanMs = 0L)
+    assert(!base.snapshotVersions().contains(anchor), "anchor must be expired for this test")
+    // some view keys must be gone from the base, or the sweep is vacuous
+    val viewKeys = view.read().select("repo", "path").collect().map(_.toString).toSet
+    val baseKeys = base.read().select("repo", "path").collect().map(_.toString).toSet
+    assert((viewKeys -- baseKeys).nonEmpty, "generator produced no deletes — widen the logs")
+
+    val d2 = dim(base)
+    val s = EnrichedView.refresh(base, view, enrichWith(d2), numBuckets = 4, saltBuckets = 2)
+    assert(s.initialFull && !s.noOp)
+    assert(canon(view.read()) == oracle(base))
+    // and the view is a real lake table: time travel across the rebuild
+    assert(view.snapshotVersions().size >= 2)
+  }
+}
