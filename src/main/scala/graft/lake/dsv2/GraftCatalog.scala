@@ -2,7 +2,7 @@ package graft.lake.dsv2
 
 import java.util.{Iterator => JIterator}
 
-import graft.lake.{InlineFiles, LakeTable, Maintenance, MaterializedView, Snapshot, ViewDef}
+import graft.lake.{EnrichedView, InlineFiles, LakeTable, Maintenance, MaterializedView, Snapshot, ViewDef}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, Proced
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{broadcast, col, expr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -50,7 +50,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
     Array("compact", "vacuum", "rebucket", "refresh_view", "expire_snapshots", "history",
       "rollback", "revert", "create_tag", "drop_tag", "list_tags",
       "create_branch", "fast_forward", "drop_branch", "list_branches",
-      "replay_quarantine")
+      "replay_quarantine", "refresh_enriched_view")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procNames.map(Identifier.of(Array("system"), _))
@@ -353,6 +353,8 @@ private final class GraftProcedure(procName: String)
     case "list_branches" => "one row per branch: name, current version"
     case "replay_quarantine" =>
       "re-merge quarantined (repaired) events as one epoch; still-poison rows re-quarantine"
+    case "refresh_enriched_view" =>
+      "create or incrementally refresh an enrichment view (a derived lake table fed by the CDC stream)"
   }
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -386,6 +388,13 @@ private final class GraftProcedure(procName: String)
     case "list_branches" => Array(in("path", StringType))
     case "replay_quarantine" => Array(in("path", StringType),
       inDefault("source", StringType, "''")) // '' = <path>/meta/quarantine
+    case "refresh_enriched_view" => Array(in("path", StringType),
+      in("view_path", StringType),
+      inDefault("dim_path", StringType, "''"), // '' = no dimension join
+      inDefault("join_cols", StringType, "'repo'"),
+      inDefault("select", StringType, "''"), // name:expr;... beyond repo/path/lsn
+      inDefault("num_buckets", IntegerType, "16"),
+      inDefault("salt_buckets", IntegerType, "4"))
   }
 
   override def call(input: InternalRow): JIterator[Scan] = {
@@ -443,6 +452,43 @@ private final class GraftProcedure(procName: String)
       case "rebucket" =>
         val version = Maintenance.rebucket(table, input.getInt(1))
         (StructType(Seq(StructField("version", LongType))), Seq(version))
+      case "refresh_enriched_view" =>
+        // SQL-surface form of lake.EnrichedView: the enrichment is an
+        // optional broadcast dimension join plus derived columns given
+        // as name:expression pairs over the joined frame; repo/path/lsn
+        // (the view key + LWW order) are always carried.
+        val viewTable = new LakeTable(spark, input.getString(1))
+        val dimPath = Option(input.getString(2)).getOrElse("")
+        val joinCols = Option(input.getString(3)).getOrElse("")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val derived = Option(input.getString(4)).getOrElse("")
+          .split(';').map(_.trim).filter(_.nonEmpty).toSeq
+          .map { m =>
+            val i = m.indexOf(':')
+            require(i > 0, s"select must be name:expression, got '$m'")
+            m.substring(0, i).trim -> expr(m.substring(i + 1))
+          }
+        val enrich: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          rows => {
+            val joined =
+              if (dimPath.isEmpty) rows
+              else rows.join(broadcast(spark.read.parquet(dimPath)), joinCols)
+            joined.select((Seq("repo", "path", "lsn").map(col) ++
+              derived.map { case (n, e) => e.as(n) }): _*)
+          }
+        val stats = EnrichedView.refresh(table, viewTable, enrich,
+          numBuckets = input.getInt(5), saltBuckets = input.getInt(6))
+        (StructType(Seq(
+          StructField("from_version", LongType),
+          StructField("to_version", LongType),
+          StructField("initial_full", BooleanType),
+          StructField("no_op", BooleanType),
+          StructField("keys_written", LongType),
+          StructField("tombstones_written", LongType))),
+          Seq(stats.fromVersion.map(Long.box).orNull, stats.toVersion,
+            stats.initialFull, stats.noOp,
+            stats.merge.map(m => Long.box(m.keysWritten)).getOrElse(Long.box(0L)),
+            stats.merge.map(m => Long.box(m.tombstonesWritten)).getOrElse(Long.box(0L))))
       case "refresh_view" =>
         val groupCols = input.getString(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val sums = input.getString(3).split(';').map(_.trim).filter(_.nonEmpty).toSeq
