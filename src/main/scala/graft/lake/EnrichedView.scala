@@ -1,7 +1,6 @@
 package graft.lake
 
 import graft.merge.{MergeInto, MergeStats}
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -19,61 +18,45 @@ final case class EnrichStats(fromVersion: Option[Long], toVersion: Long,
   * caller's `enrich` transform (typically a broadcast join to a
   * dimension plus derived columns) and LWW-merge at their base lsns;
   * base deletes become view tombstones at the TOMBSTONE's lsn, so view
-  * replicas converge under the same lsn order as the base. Refresh IO
-  * tracks change volume: `Maintenance.changesBetween` prunes to the
-  * files actually holding post-anchor rows (a compaction-only commit
-  * refreshes with zero data IO), and the merge itself touches only the
-  * buckets the changed keys hash to.
+  * replicas converge under the same lsn order as the base — a late
+  * tombstone (unique lsn) folds exactly as it would at the base.
+  * Refresh IO tracks change volume: `Maintenance.changesBetween` prunes
+  * to the files actually holding post-anchor rows (a compaction-only
+  * commit refreshes with zero data IO), and the merge itself touches
+  * only the buckets the changed keys hash to.
   *
-  * Exactly-once without coordination: the merge epoch id IS the base
-  * version the refresh targets, so a crash between the merge commit and
-  * the watermark write replays the same range on retry and ledger-skips;
-  * a retry that targets a LATER base version re-derives a superset range
-  * whose re-applied events are LWW-idempotent (same rows, same lsns).
-  * The watermark pointer (`<view>/enrich/p<baseVersion>`, highest wins,
-  * tmp + atomic rename like the view/snapshot commit protocol) is
-  * therefore purely an optimization — never a correctness anchor.
+  * Exactly-once without coordination or side files: the merge epoch id
+  * IS the base version the refresh targets, and the incremental ANCHOR
+  * is read back from the view's own epoch ledger (`epochs.max`) — the
+  * applied-range record is crash-atomic with the data it describes, so
+  * there is no window in which the view's state and its watermark can
+  * disagree. A retry of a crashed refresh replays the same range and
+  * ledger-skips; a retry that targets a later base version re-derives a
+  * superset range whose re-applied events are LWW-idempotent (same
+  * rows, same lsns).
   *
-  * If snapshot retention on the base outran the refresh cadence (the
-  * anchor version was expired), the incremental range is unreadable;
-  * the view is rebuilt by one full-state pass: upserts for every live
-  * base row plus COMPENSATING tombstones for view keys the base no
-  * longer has, sequenced at base-hwm + 1. That sequencing is sound only
-  * when the base log is delivering in order (later events carry larger
-  * lsns); under observed unordered delivery the rebuild refuses loudly
-  * rather than risk a compensating tombstone outranking a late real
-  * event. Single maintainer, like [[Maintenance.compact]].
+  * The incremental path REFUSES (rather than risks wrong answers) when
+  * the endpoint diff can no longer be trusted to speak the base's lsn
+  * language: the anchor version was expired by snapshot retention, or
+  * the base's high-water mark REGRESSED across the range (a rollback —
+  * after which `changesBetween` must synthesize deletes carrying the
+  * dropped row's own lsn, which would tie with the view's copy and lose
+  * to the merge's target-wins rule). A view is derived data: the remedy
+  * is a rebuild at a fresh root, stated in the error. Residual
+  * documented limit: a rollback followed by enough re-ingest to push
+  * the hwm back past its old value between two refreshes is
+  * indistinguishable from ordinary progress at the endpoints; schedule
+  * refreshes (or tag anchors) more often than administrative rollbacks.
+  * `enrich` must preserve rows (use LEFT joins for lossy dimensions):
+  * a dropped post-image leaves the view's previous value live.
+  * Single maintainer, like [[Maintenance.compact]].
   */
 object EnrichedView {
 
-  private def markDir(view: LakeTable) = new Path(s"${view.root}/enrich")
-
-  private def fs(view: LakeTable, p: Path) =
-    p.getFileSystem(view.spark.sparkContext.hadoopConfiguration)
-
-  /** The base version the view last refreshed to, if any. */
-  def lastRefreshed(view: LakeTable): Option[Long] = {
-    val dir = markDir(view)
-    val f = fs(view, dir)
-    if (!f.exists(dir)) return None
-    f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.matches("p\\d+")).map(_.drop(1).toLong).sorted.lastOption
-  }
-
-  private def writeMark(view: LakeTable, toVersion: Long): Unit = {
-    val dir = markDir(view)
-    val f = fs(view, dir)
-    f.mkdirs(dir)
-    val tmp = new Path(dir, s".p$toVersion.tmp")
-    val out = f.create(tmp, true)
-    try out.write(Array.emptyByteArray) finally out.close()
-    require(f.rename(tmp, new Path(dir, s"p$toVersion")),
-      s"enrich watermark commit failed at $toVersion")
-    f.listStatus(dir).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.matches("p\\d+") && n.drop(1).toLong < toVersion) f.delete(p, false): Unit
-    }
-  }
+  /** The base version the view last refreshed to — the max applied epoch
+    * in the view's own ledger (epoch id = base version by construction). */
+  def lastRefreshed(view: LakeTable): Option[Long] =
+    view.currentSnapshot().map(_.epochs.max)
 
   /** Columns `enrich` must preserve for the view merge to stay keyed and
     * lsn-ordered like the base. */
@@ -97,9 +80,20 @@ object EnrichedView {
     if (fromOpt.contains(toVersion))
       return EnrichStats(fromOpt, toVersion, initialFull = false, noOp = true, None)
 
-    val anchorAlive = fromOpt.forall(f => base.snapshotVersions().contains(f))
     val events = fromOpt match {
-      case Some(f) if anchorAlive =>
+      case Some(f) =>
+        if (!base.snapshotVersions().contains(f))
+          throw new IllegalStateException(
+            s"the view's incremental anchor (base version $f) was expired by snapshot " +
+              "retention; the endpoint diff is unreadable. The view is derived data — " +
+              "rebuild it at a fresh root, and refresh more often than the base expires.")
+        val fromHw = base.snapshotAt(f).highWaterLsn.getOrElse(Long.MinValue)
+        if (to.highWaterLsn.getOrElse(Long.MinValue) < fromHw)
+          throw new IllegalStateException(
+            s"the base's high-water lsn regressed across the refresh range ($f -> $toVersion): " +
+              "its history was rewritten (rollback). Synthesized deletes would carry " +
+              "already-used lsns and tie-lose in the view merge — rebuild the view at a " +
+              "fresh root instead.")
         val ch = Maintenance.changesBetween(base, f, toVersion)
         val ups = requireContract(
           enrich(ch.where(col("_change_type") =!= "delete").drop("_change_type")))
@@ -110,29 +104,13 @@ object EnrichedView {
           .select(col("repo"), col("path"), col("lsn"))
           .withColumn("op", lit("D"))
         ups.unionByName(dels, allowMissingColumns = true)
-      case stale =>
-        // first refresh, or expired anchor: full-state rebuild. The
-        // compensating tombstones for keys the base dropped while the
-        // anchor was expired are sequenced at hwm+1, which outranks
-        // every live row only under ordered delivery — refuse otherwise.
-        val live = requireContract(enrich(base.readVersion(toVersion)))
+      case None => // first build (the view has no committed state)
+        requireContract(enrich(base.readVersion(toVersion)))
           .withColumn("op", lit("U"))
-        if (stale.isEmpty) live
-        else {
-          require(to.unorderedCommits == 0L,
-            "expired-anchor rebuild needs ordered log delivery (base has " +
-              s"${to.unorderedCommits} unordered commits); rebuild the view at a fresh root")
-          val gone = view.read().select(col("repo"), col("path"))
-            .except(base.readVersion(toVersion).select(col("repo"), col("path")))
-            .withColumn("lsn", lit(to.highWaterLsn.getOrElse(0L) + 1L))
-            .withColumn("op", lit("D"))
-          live.unionByName(gone, allowMissingColumns = true)
-        }
     }
     val stats = new MergeInto(view, numBuckets = numBuckets,
       saltBuckets = saltBuckets, recordMeta = false).apply(events, epochId = toVersion)
-    writeMark(view, toVersion)
     EnrichStats(fromOpt, toVersion,
-      initialFull = fromOpt.isEmpty || !anchorAlive, noOp = false, Some(stats))
+      initialFull = fromOpt.isEmpty, noOp = false, Some(stats))
   }
 }

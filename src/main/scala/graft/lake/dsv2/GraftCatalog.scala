@@ -470,9 +470,12 @@ private final class GraftProcedure(procName: String)
           }
         val enrich: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
           rows => {
+            // LEFT join: a dim miss must not drop the post-image (a
+            // dropped row would leave the view's previous value live
+            // forever) — missing enrichment columns become nulls
             val joined =
               if (dimPath.isEmpty) rows
-              else rows.join(broadcast(spark.read.parquet(dimPath)), joinCols)
+              else rows.join(broadcast(spark.read.parquet(dimPath)), joinCols, "left")
             joined.select((Seq("repo", "path", "lsn").map(col) ++
               derived.map { case (n, e) => e.as(n) }): _*)
           }

@@ -677,20 +677,34 @@ object TextOps {
     val grams = docs(s, dir)
       .withColumn("ts", fns.wsTokens(col("text")))
       .select(col("lang"), explode(fns.wordShingles(col("ts"), 3)).as("gram"))
+    // one map-side-combined distinct carries the heavy gram stream; the
+    // per-salt rank AND the per-salt distinct count then ride a single
+    // window pass over the (already small) distinct set, and the tiny
+    // survivor frame is checkpointed so neither downstream consumer
+    // re-runs the scan+explode pipeline (the naive two-consumer form
+    // planned the whole extraction twice — two Generate nodes)
     val hashes = grams
       .select(col("lang"),
         shiftrightunsigned(fns.strHash64(col("gram")), 16).as("h48"))
       .distinct()
-    val salted = Window.partitionBy(col("lang"), col("h48") % 64)
-      .orderBy(col("h48"))
-    val cand = hashes.withColumn("rn", row_number().over(salted))
-      .where(col("rn") <= Q49K)
+      .withColumn("salt", col("h48") % 64)
+    val wOrd = Window.partitionBy(col("lang"), col("salt")).orderBy(col("h48"))
+    val wCnt = Window.partitionBy(col("lang"), col("salt"))
+    val marked = hashes
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("sc", count(lit(1)).over(wCnt))
+      .where(col("rn") <= Q49K) // <= 64*K survivors per stratum
+      .select(col("lang"), col("h48"), col("rn"), col("sc"))
+      .localCheckpoint()
+    // every salt's rn=1 row carries that salt's distinct count
+    val stats = marked.where(col("rn") === 1)
+      .groupBy(col("lang")).agg(sum(col("sc")).as("n_distinct_h"))
     val wl = Window.partitionBy(col("lang")).orderBy(col("h48"))
-    val kth = cand.withColumn("rk", row_number().over(wl))
+    val kth = marked.withColumn("rk", row_number().over(wl))
       .where(col("rk") === Q49K)
       .select(col("lang"), col("h48").as("hk"))
     val raw = lit((Q49K - 1).toDouble * 281474976710656.0) / col("hk").cast("double")
-    hashes.groupBy(col("lang")).agg(count(lit(1)).as("n_distinct_h"))
+    stats
       .join(kth, Seq("lang"), "left")
       .select(col("lang"), col("n_distinct_h"),
         round(when(col("hk").isNull, col("n_distinct_h").cast("double"))
@@ -744,9 +758,13 @@ object TextOps {
   def q50WeightedSample(s: SparkSession, dir: String): DataFrame = {
     val u48 = shiftrightunsigned(fns.mix64(col("doc_id")), 16)
     val p = least(lit(1.0), col("n_chars").cast("double") / lit(2048.0))
+    // the clamp keeps the threshold product <= 2^48 (no long overflow for
+    // huge docs) and makes every p = 1 doc unconditionally included
+    // (u48 < 2^48 always holds)
     docs(s, dir)
       .withColumn("u48", u48)
-      .where(col("u48") < col("n_chars").cast("long") * lit(137438953472L))
+      .where(col("u48") <
+        least(col("n_chars").cast("long"), lit(2048L)) * lit(137438953472L))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         p.as("p"), round(lit(1.0) / p, 6).as("ht_weight"))
   }
@@ -760,7 +778,7 @@ object TextOps {
        |  round(1.0::DOUBLE / least(1.0::DOUBLE, n_chars::DOUBLE / 2048.0::DOUBLE), 6)
        |    AS ht_weight
        |FROM ${mix64Select(inner, "h0", "hu")}
-       |WHERE hu // 65536 < n_chars::HUGEINT * 137438953472::HUGEINT""".stripMargin
+       |WHERE hu // 65536 < least(n_chars, 2048)::HUGEINT * 137438953472::HUGEINT""".stripMargin
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

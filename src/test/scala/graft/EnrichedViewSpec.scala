@@ -63,13 +63,10 @@ class EnrichedViewSpec extends AnyFunSuite {
       s"expected real deletes through the feed: ${s3.merge}")
     assert(canon(view.read()) == oracle(base))
 
-    // crash window: watermark lost after the merge committed — the retry
-    // replays the same range and the view's epoch ledger skips it
-    val f = new org.apache.hadoop.fs.Path(s"$work/view/enrich")
-    f.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(f, true)
-    val s4 = EnrichedView.refresh(base, view, enrichWith(d2), numBuckets = 4, saltBuckets = 2)
-    assert(s4.merge.exists(_.skipped), s"retry must ledger-skip: ${s4.merge}")
-    assert(canon(view.read()) == oracle(base))
+    // the incremental anchor IS the view's own ledger (crash-atomic with
+    // the state it describes — no watermark file to lose)
+    assert(EnrichedView.lastRefreshed(view) ==
+      Some(base.currentSnapshot().get.version))
 
     // compaction-only commit: the pruned feed is empty; the view stays
     // equal and the refresh does no data IO to speak of
@@ -79,7 +76,7 @@ class EnrichedViewSpec extends AnyFunSuite {
     assert(canon(view.read()) == oracle(base))
   }
 
-  test("expired incremental anchor rebuilds, sweeping keys the base dropped") {
+  test("expired anchor and hwm regression refuse; a fresh-root rebuild recovers") {
     val work = TestSpark.tmpDir("enrichexp")
     // l2 extends l1 (same seed, aligned 800-event batches), so replaying
     // it ledger-skips batch 0 and commits batches 1-2 as new versions
@@ -105,11 +102,41 @@ class EnrichedViewSpec extends AnyFunSuite {
     assert((viewKeys -- baseKeys).nonEmpty, "generator produced no deletes — widen the logs")
 
     val d2 = dim(base)
-    val s = EnrichedView.refresh(base, view, enrichWith(d2), numBuckets = 4, saltBuckets = 2)
-    assert(s.initialFull && !s.noOp)
-    assert(canon(view.read()) == oracle(base))
-    // and the view is a real lake table: time travel across the rebuild
-    assert(view.snapshotVersions().size >= 2)
+    // the endpoint diff is unreadable -> loud refusal naming the remedy
+    val e = intercept[IllegalStateException] {
+      EnrichedView.refresh(base, view, enrichWith(d2), numBuckets = 4, saltBuckets = 2)
+    }
+    assert(e.getMessage.contains("fresh root"), e.getMessage)
+    // the view is stale but intact (derived data, never corrupted)...
+    assert(canon(view.read()).nonEmpty)
+    // ...and a rebuild at a fresh root recovers the oracle
+    val view2 = new LakeTable(spark, s"$work/view2")
+    val s2 = EnrichedView.refresh(base, view2, enrichWith(d2), numBuckets = 4, saltBuckets = 2)
+    assert(s2.initialFull)
+    assert(canon(view2.read()) == oracle(base))
+  }
+
+  test("a base rollback across the range refuses incrementally (hwm regression)") {
+    val work = TestSpark.tmpDir("enrichrb")
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 600L), s"$work/l1", nBatches = 1, partitions = 2)
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 1200L), s"$work/l2", nBatches = 2, partitions = 2)
+    val base = new LakeTable(spark, s"$work/base")
+    val view = new LakeTable(spark, s"$work/view")
+    BatchReplay.replay(spark, s"$work/l1", base, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val v0 = base.currentSnapshot().get.version
+    BatchReplay.replay(spark, s"$work/l2", base, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val d = dim(base)
+    EnrichedView.refresh(base, view, enrichWith(d), numBuckets = 4, saltBuckets = 2)
+    // roll the base back below the view's anchor: synthesized deletes
+    // would carry already-used lsns and silently tie-lose in the merge —
+    // the refresh must refuse instead
+    Maintenance.rollback(base, v0)
+    val e = intercept[IllegalStateException] {
+      EnrichedView.refresh(base, view, enrichWith(d), numBuckets = 4, saltBuckets = 2)
+    }
+    assert(e.getMessage.contains("rollback"), e.getMessage)
   }
 
   test("refresh_enriched_view: the SQL CALL surface builds and maintains the view") {

@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class TrainingOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
 
   test("minhash LSH finds exactly the exhaustive near-dup pairs (recall 1.0 here)") {
     // q15 (LSH candidates → exact verify) must equal the exhaustive
@@ -336,7 +337,7 @@ class TrainingOpsSpec extends AnyFunSuite {
       .select(col("lang"), shiftrightunsigned(fns.strHash64(col("gram")), 16).as("h48"))
       .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
-    val got = ops.TextOps.q49KmvDistinct(spark, "/root/testdata/sf0.01")
+    val got = ops.TextOps.q49KmvDistinct(spark, sf01)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(got.length == hs.size)
     got.foreach { case (lang, n, est, relErr) =>
@@ -363,9 +364,9 @@ class TrainingOpsSpec extends AnyFunSuite {
     val d = spark.read.parquet(s"/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "n_chars").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val s1 = ops.TextOps.q50WeightedSample(spark, "/root/testdata/sf0.01").collect()
+    val s1 = ops.TextOps.q50WeightedSample(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
-    val s2 = ops.TextOps.q50WeightedSample(spark, "/root/testdata/sf0.01").collect()
+    val s2 = ops.TextOps.q50WeightedSample(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
     assert(s1.toSet == s2.toSet, "sample must be a pure function of the data")
     assert(s1.nonEmpty && s1.length < d.size, "nontrivial proper sample")
@@ -373,7 +374,9 @@ class TrainingOpsSpec extends AnyFunSuite {
     val members = s1.map(_._1).toSet
     d.foreach { case (id, nc) =>
       val u48 = graft.functions.Hashing.mix64(id) >>> 16
-      val in = java.lang.Long.compareUnsigned(u48, nc * 137438953472L) < 0
+      // same clamp as the query: min(n_chars, 2048) * 2^37 <= 2^48, so the
+      // signed compare is overflow-safe and p = 1 docs are always included
+      val in = u48 < math.min(nc, 2048L) * 137438953472L
       assert(members.contains(id) == in, s"doc $id membership")
     }
     s1.foreach { case (id, nc, p, ht) =>
