@@ -74,6 +74,43 @@ class EnrichedViewSpec extends AnyFunSuite {
     val s5 = EnrichedView.refresh(base, view, enrichWith(d2), numBuckets = 4, saltBuckets = 2)
     assert(!s5.noOp && s5.merge.exists(m => m.keysWritten == 0 && m.tombstonesWritten == 0))
     assert(canon(view.read()) == oracle(base))
+
+    // the view is a first-class lake table: DSv2-readable as-is
+    assert(canon(spark.read.format("graft").load(s"$work/view")) == oracle(base))
+  }
+
+  test("continuous maintenance: the streaming CDC source drives per-commit refreshes") {
+    val work = TestSpark.tmpDir("enrichstream")
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 600L), s"$work/l1", nBatches = 1, partitions = 2)
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 1800L), s"$work/l3", nBatches = 3, partitions = 2)
+    val base = new LakeTable(spark, s"$work/base")
+    val view = new LakeTable(spark, s"$work/view")
+    BatchReplay.replay(spark, s"$work/l1", base, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val d = dim(base)
+    EnrichedView.refresh(base, view, enrichWith(d), numBuckets = 4, saltBuckets = 2)
+    // two more base commits land
+    BatchReplay.replay(spark, s"$work/l3", base, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val d2 = dim(base)
+    // the graft CDC stream (one commit per micro-batch) is the refresh
+    // trigger: each micro-batch marks one committed base version, and the
+    // refresh re-derives its own range from the view ledger — the
+    // notification-driven maintenance loop a deployment would run
+    var refreshes = 0
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(s"$work/base")
+      .writeStream
+      .option("checkpointLocation", s"$work/cp")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        EnrichedView.refresh(base, view, enrichWith(d2), numBuckets = 4, saltBuckets = 2)
+        refreshes += 1
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(refreshes >= 2, s"expected per-commit micro-batches, got $refreshes")
+    assert(canon(view.read()) == oracle(base))
   }
 
   test("expired anchor and hwm regression refuse; a fresh-root rebuild recovers") {
