@@ -191,4 +191,23 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(plan, _.getClass.getSimpleName.contains("WholeStageCodegen")) >= 1,
       s"mix64 fell out of codegen:\n${plan.toString.take(1500)}")
   }
+
+  test("q50 PPS sample is a shuffle-free codegen'd scan-filter") {
+    val plan = executed(SparkEntry.queries("q50_weighted_sample")(spark, sf))
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("ShuffleExchange")) == 0,
+      s"weighted sampling must not shuffle:\n${plan.toString.take(1500)}")
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("WholeStageCodegen")) >= 1,
+      s"mix64/shift fell out of codegen:\n${plan.toString.take(1500)}")
+  }
+
+  test("q49 KMV consumers read the checkpointed survivors, not the gram pipeline") {
+    // the heavy scan+explode+distinct+window pipeline runs ONCE (inside
+    // the localCheckpoint job at construction); the final plan's two
+    // branches must both read the checkpointed frame — zero Generate
+    // (explode) nodes may remain
+    val plan = executed(SparkEntry.queries("q49_kmv_distinct")(spark, sf))
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("Generate")) == 0,
+      s"the gram explode leaked into the final plan (runs per consumer):\n${plan.toString.take(1500)}")
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("CartesianProduct")) == 0)
+  }
 }
