@@ -176,6 +176,45 @@ class EnrichedViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rollback"), e.getMessage)
   }
 
+  test("an evolving enrich schema widens the view; only changed keys carry the new column") {
+    // the honest contract of INCREMENTAL enrichment: adding a derived
+    // column re-enriches only keys that change afterwards — untouched
+    // rows keep their committed shape (null in the new column) until
+    // their next change or a fresh-root rebuild. The view schema itself
+    // evolves through the merge's add-nullable rule.
+    val work = TestSpark.tmpDir("enrichevo")
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 600L), s"$work/l1", nBatches = 1, partitions = 2)
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 1200L), s"$work/l2", nBatches = 2, partitions = 2)
+    val base = new LakeTable(spark, s"$work/base")
+    val view = new LakeTable(spark, s"$work/view")
+    BatchReplay.replay(spark, s"$work/l1", base, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val d = dim(base)
+    EnrichedView.refresh(base, view, enrichWith(d), numBuckets = 4, saltBuckets = 2)
+    assert(!view.read().columns.contains("lang_tag"))
+
+    BatchReplay.replay(spark, s"$work/l2", base, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val d2 = dim(base)
+    def enrich2(rows: DataFrame): DataFrame =
+      enrichWith(d2)(rows).withColumn("lang_tag", lit("v2"))
+    EnrichedView.refresh(base, view, enrich2, numBuckets = 4, saltBuckets = 2)
+
+    val got = view.read()
+    assert(got.columns.contains("lang_tag"), "schema must evolve add-nullable")
+    val changedKeys = Maintenance.changesBetween(base,
+        base.snapshotVersions().sorted.dropRight(1).last, base.currentSnapshot().get.version)
+      .where(col("_change_type") =!= "delete")
+      .select("repo", "path").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    got.select("repo", "path", "lang_tag").collect().foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      if (changedKeys(k)) assert(r.getString(2) == "v2", s"$k should carry the new column")
+      else assert(r.isNullAt(2), s"$k predates the evolution and must be null")
+    }
+    // the old columns still reconcile with the from-scratch oracle
+    assert(canon(got) == oracle(base))
+  }
+
   test("refresh_enriched_view: the SQL CALL surface builds and maintains the view") {
     val work = TestSpark.tmpDir("enrichsql")
     ChangeGen.writeLog(spark, GenConfig(nEvents = 900L), s"$work/l1", nBatches = 1, partitions = 2)
