@@ -53,8 +53,10 @@ object ChangeGen {
 
   def repoOf(cfg: GenConfig, lsn: Long): String = {
     val r = pos(h(cfg.seed, lsn, 1))
+    // nRepos = 1 is the all-hot single-repo fixture (100% skew): every
+    // event must land on repo 0, not divide by (nRepos - 1) = 0
     val idx =
-      if (r % 100 < cfg.hotRepoPct) 0
+      if (cfg.nRepos <= 1 || r % 100 < cfg.hotRepoPct) 0
       else 1 + ((r / 100) % (cfg.nRepos - 1)).toInt
     f"org-${idx % 7}%02d/repo-$idx%03d"
   }

@@ -22,7 +22,11 @@ object BatchReplay {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath)
       .filter(_.getName.startsWith("batch-"))
-      .map(pp => (pp.getName.stripPrefix("batch-").toLong, pp.toString))
+      .flatMap { pp =>
+        // tolerate stray non-numeric entries (batch-00003.bak, batch-tmp):
+        // a snapshot copy must not abort the whole replay
+        pp.getName.stripPrefix("batch-").toLongOption.map(_ -> pp.toString)
+      }
       .sortBy(_._1).toSeq
   }
 
@@ -50,12 +54,21 @@ object BatchReplay {
   }
 
   /** One-shot replay of a whole log as a single epoch — the fastest path
-    * when no incremental checkpointing is needed (initial backfill). */
+    * when no incremental checkpointing is needed (initial backfill).
+    * `epochId` defaults to 0: replaying onto a table whose ledger already
+    * holds that epoch is a deliberate no-op skip (the resume contract) —
+    * pass a fresh id to force application onto a pre-loaded table. */
   def replayAll(spark: SparkSession, logDir: String, table: LakeTable,
                 numBuckets: Int = 16, saltBuckets: Int = 4,
-                recordMeta: Boolean = false): MergeStats = {
+                recordMeta: Boolean = false,
+                format: String = "parquet",
+                epochId: Long = 0L): MergeStats = {
     val merge = new MergeInto(table, numBuckets, saltBuckets, recordMeta)
-    merge.apply(spark.read.parquet(s"$logDir/batch-*"), 0L)
+    val reader = spark.read.format(format)
+    val df = (if (format == "json")
+      reader.schema(graft.schema.SchemaRegistry.eventSchemaV1) else reader)
+      .load(s"$logDir/batch-*")
+    merge.apply(df, epochId)
   }
 }
 
@@ -73,12 +86,22 @@ object BatchReplay {
   *   - lsn-argmax + tombstones make even beyond-watermark duplicates
   *     harmless (they lose the argmax).
   *
-  * Late-data contract: events arriving with `ts` older than
-  * (max event-time seen − watermark) are still applied CORRECTLY (the
-  * lsn-argmax is order-independent); the watermark only bounds the dedup
-  * state. Such events are counted per batch in the `meta/stream_metrics`
-  * table — the observability surface the reference keeps as atomic
-  * counters (src/atp/mod.rs:67-72).
+  * Late-data contract (the honest one): the watermark bounds BOTH the
+  * dedup state AND the lateness the stream tolerates — Spark's stateful
+  * dedup operator drops input rows older than (max event-time seen −
+  * watermark) before they ever reach the merge. That is the standard
+  * bounded-state trade; set the watermark at or above the log's maximum
+  * event-time disorder (the generator's fixtures are ±4 min against the
+  * 10-minute default, so no correct event is ever late). Beyond-watermark
+  * drops are NOT silent: Spark's own per-batch
+  * `numRowsDroppedByWatermark` counter is recorded in
+  * `meta/stream_metrics.late_beyond_watermark` (the observability
+  * surface the reference keeps as atomic counters,
+  * src/atp/mod.rs:67-72), and recovery is one idempotent
+  * `BatchReplay.replay` of the affected log segment — batch replay has
+  * no watermark, applies everything, and the lsn-argmax makes
+  * re-application of already-merged events a no-op (spec:
+  * ReplaySpec "beyond-watermark straggler").
   */
 object StreamingReplay {
 
@@ -133,9 +156,35 @@ object StreamingReplay {
     // the ledger-skip bug this namespacing exists to prevent).
     val cpBytes = checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val epochBase = graft.functions.Hashing.hashBytes(cpBytes, 0, cpBytes.length, 0L)
-    // running max event-time across batches (driver-held, like the
-    // stream's own watermark tracker); used to classify late arrivals
-    val maxTsMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    // per-batch stats captured in foreachBatch (events_in, min/max ts);
+    // joined with Spark's OWN numRowsDroppedByWatermark from the progress
+    // event (which fires after the batch commits) by the listener below
+    val batchStats = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]()
+    val written = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+    val runId = new java.util.concurrent.atomic.AtomicReference[String]("")
+    def writeMetricsRow(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
+      val bid = p.batchId
+      val st = batchStats.get(bid)
+      if (recordMeta && st != null && written.add(bid)) {
+        val dropped = Option(p.stateOperators)
+          .map(_.map(_.numRowsDroppedByWatermark).sum).getOrElse(0L)
+        val sparkL = table.spark
+        import sparkL.implicits._
+        val smDf = Seq((bid, epochBase, st._1, dropped, st._2, st._3))
+          .toDF("batch_id", "generation", "events_in", "late_beyond_watermark",
+            "min_ts_sec", "max_ts_sec")
+          .coalesce(1)
+        graft.merge.Meta.atomicAppend(table, smDf,
+          s"${table.root}/meta/stream_metrics", "parquet")
+      }
+    }
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.runId.toString == runId.get()) writeMetricsRow(e.progress)
+    }
+    spark.streams.addListener(listener)
     val reader = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // backpressure — the
@@ -158,21 +207,21 @@ object StreamingReplay {
     val deduped = base.where(statefulOk)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("lsn")
+    // NOTE: the two branches are two scans of the same files per trigger
+    // (json parses twice). The split must live in the PLAN — a null event
+    // time must never reach the stateful operator — and mirrors the
+    // merge's own measured re-read-over-cache choice (MergeInto
+    // cacheSource scaladoc); the poison branch is empty on healthy logs.
     val stream = deduped.unionByName(base.where(!statefulOk))
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
-        val cutoff = maxTsMs.get() match {
-          case Long.MinValue => null
-          case ms => new java.sql.Timestamp(ms - wmMs)
-        }
-        val obs = org.apache.spark.sql.Observation(s"stream-late-$batchId")
+        val obs = org.apache.spark.sql.Observation(s"stream-obs-$batchId")
         val observed = df.observe(obs,
           max(col("ts").cast("timestamp_ltz").cast("long")).as("max_ts_sec"),
-          min(col("ts").cast("timestamp_ltz").cast("long")).as("min_ts_sec"),
-          count(when(col("ts") < lit(cutoff).cast(df.schema("ts").dataType), 1)).as("n_late"))
+          min(col("ts").cast("timestamp_ltz").cast("long")).as("min_ts_sec"))
         val stats = merge.apply(observed, epochBase + batchId)
         // A ledger-skipped batch (crash-retry of an already-committed
         // epoch) must still EVALUATE the batch dataframe: the watermark /
@@ -183,24 +232,21 @@ object StreamingReplay {
         if (!stats.skipped) {
           views.foreach(v => graft.lake.MaterializedView.refresh(table, v): Unit)
           val m = obs.get
-          m.get("max_ts_sec").collect { case s: Long =>
-            maxTsMs.getAndUpdate(cur => math.max(cur, s * 1000L)): Unit
-          }
-          if (recordMeta) {
-            val sparkL = table.spark
-            import sparkL.implicits._
-            val smDf = Seq((batchId, stats.eventsIn,
-              m.get("n_late").collect { case l: Long => l }.getOrElse(0L),
-              m.get("min_ts_sec").collect { case l: Long => l }.getOrElse(-1L),
-              m.get("max_ts_sec").collect { case l: Long => l }.getOrElse(-1L)))
-              .toDF("batch_id", "events_in", "late_beyond_watermark", "min_ts_sec", "max_ts_sec")
-              .coalesce(1)
-            graft.merge.Meta.atomicAppend(table, smDf,
-              s"${table.root}/meta/stream_metrics", "parquet")
-          }
+          batchStats.put(batchId, (stats.eventsIn,
+            m.get("min_ts_sec").collect { case l: Long => l }.getOrElse(-1L),
+            m.get("max_ts_sec").collect { case l: Long => l }.getOrElse(-1L))): Unit
         }
       }
       .start()
-    q.awaitTermination()
+    runId.set(q.runId.toString)
+    try q.awaitTermination()
+    finally {
+      // The per-batch watermark-drop counter lives in the PROGRESS event,
+      // which fires after foreachBatch — drain whatever the async listener
+      // has not yet written from the query's own progress history, then
+      // detach. (Rows are written once: `written` is the dedup set.)
+      q.recentProgress.foreach(p => writeMetricsRow(p))
+      spark.streams.removeListener(listener)
+    }
   }
 }

@@ -70,8 +70,16 @@ object Sessionize {
 
   /** Run sessionization over a parquet events directory as a file stream;
     * results append to `outDir` as parquet. */
+  /** `watermark` must be set at or above the stream's maximum event-time
+    * disorder ACROSS triggers: the stateful operator drops input rows
+    * older than (max event time seen − watermark) — with the "0 seconds"
+    * default, any file whose events predate an earlier trigger's maximum
+    * silently loses those events (file streams order by mtime, not event
+    * time). The default assumes in-order file arrival; a spec drives the
+    * out-of-order case with a widened watermark. */
   def run(spark: SparkSession, eventsGlob: String, outDir: String, checkpoint: String,
-          gap: String = "1 hour", maxFilesPerTrigger: Int = 4): Unit = {
+          gap: String = "1 hour", maxFilesPerTrigger: Int = 4,
+          watermark: String = "0 seconds"): Unit = {
     import spark.implicits._
     val gapMs = graft.ingest.StreamingReplay.durationMs(gap)
     val schema = spark.read.parquet(eventsGlob).schema
@@ -83,7 +91,7 @@ object Sessionize {
       // The watermarked column itself must flow into the stateful
       // operator (event-time timeouts are validated against it).
       .withColumn("ts", col("ts").cast("timestamp_ltz"))
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", watermark)
       .select(col("user_id"), col("ts"))
       .as[Ev]
     val sessions = evs
@@ -107,7 +115,10 @@ object Sessionize {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
     spark.read.parquet(eventsGlob)
       .select(col("user_id"),
-        (col("ts").cast("timestamp_ltz").cast("double") * 1000).cast("long").as("ts_ms"))
+        // unix_millis, NOT a double round-trip: (cast double)*1000 can
+        // truncate 1 ms below the stream path's exact getTime and shift
+        // session endpoints between the oracle and the stream
+        unix_millis(col("ts").cast("timestamp_ltz")).as("ts_ms"))
       .withColumn("new_sess",
         when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) <= gapMs, 0).otherwise(1))
       .withColumn("sess_id", sum(col("new_sess")).over(

@@ -64,6 +64,51 @@ class SessionizeSpec extends AnyFunSuite {
       s"missing ${(surelySealed diff streamed).size} sealed windows")
   }
 
+  test("out-of-order file arrival: a widened watermark keeps sealed sessions exact") {
+    import spark.implicits._
+    // two files whose MTIME order inverts their EVENT-TIME order: file B
+    // (written second → later trigger at maxFilesPerTrigger=1) holds
+    // events 3 minutes OLDER than file A's maximum. With the default
+    // 0-second watermark the stateful operator would drop them; a
+    // watermark >= the disorder keeps them, and the stream equals the
+    // batch oracle on every sealed session.
+    val work = TestSpark.tmpDir("sess-ooo")
+    val evDir = s"$work/events"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val base = 1735689600000L
+    // the file stream reads a flat directory of parquet FILES: stage each
+    // single-part write as one file (mirrors the suite's events fixture)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp-$name"
+      df.repartition(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(evDir, name)): Unit
+    }
+    // user 1: one session whose middle events live in the late file
+    stage(Seq((1L, ts(base)), (1L, ts(base + 10 * 60000L)), (2L, ts(base)),
+        (2L, ts(base + 4 * 3600000L))) // user 2's far-future event seals everything
+      .toDF("user_id", "ts"), "a.parquet")
+    Thread.sleep(1100) // distinct mtime second → stable trigger order
+    stage(Seq((1L, ts(base + 7 * 60000L)), (1L, ts(base + 8 * 60000L)))
+      .toDF("user_id", "ts"), "b.parquet")
+    Sessionize.run(spark, evDir, s"$work/out", s"$work/cp", gap = "15 minutes",
+      maxFilesPerTrigger = 1, watermark = "10 minutes")
+    val streamed = spark.read.parquet(s"$work/out")
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val batch = Sessionize.batchSessions(spark, evDir, "15 minutes")
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // user 1's single 4-event session (the late events bridge the gap)
+    // must be sealed and exact — losing the late file would split it
+    val u1 = batch.filter(_._1 == 1L)
+    assert(u1.size == 1 && u1.head._4 == 4, s"oracle premise: $batch")
+    assert(u1 subsetOf streamed, s"streamed=$streamed batch=$batch")
+  }
+
   test("sessionization is deterministic across runs") {
     val w1 = TestSpark.tmpDir("sess-d1")
     val w2 = TestSpark.tmpDir("sess-d2")

@@ -18,6 +18,45 @@ class StreamingSpec extends AnyFunSuite {
   private def expectedOf(cfg: GenConfig): Map[(String, String), Long] =
     ChangeGen.expectedState(cfg).map { case (k, e) => k -> e.lsn }
 
+  test("beyond-watermark straggler: counted (not silent), healed by idempotent batch replay") {
+    import spark.implicits._
+    val cfg = GenConfig(nEvents = 900L)
+    val work = TestSpark.tmpDir("straggler")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 2, partitions = 2)
+    // a genuinely-late segment lands AFTER the log (later mtime → later
+    // trigger): its event time predates everything by an hour, far past
+    // the 10-minute watermark
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    Seq((9999999L, "I", ts(1735689600000L - 3600L * 1000), "org-99/straggler",
+        "late.txt", "a" * 40, "scala", "late body"))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$work/log/batch-00002")
+    val table = new LakeTable(spark, s"$work/table")
+    StreamingReplay.run(spark, s"$work/log", table,
+      SchemaRegistry.eventSchemaV1, s"$work/cp",
+      numBuckets = 4, recordMeta = true, maxFilesPerTrigger = 1,
+      watermark = "10 minutes")
+    // the stream survived, but the stateful dedup dropped the straggler
+    // before the merge — and said so in the metrics
+    val st1 = stateOf(table)
+    assert(!st1.contains(("org-99/straggler", "late.txt")),
+      "test premise: the straggler must be beyond the watermark")
+    val m = spark.read.parquet(s"${table.root}/meta/stream_metrics")
+    assert(m.columns.contains("generation"))
+    val lateSum = m.agg(org.apache.spark.sql.functions.sum("late_beyond_watermark"))
+      .collect().head.getLong(0)
+    assert(lateSum >= 1L, s"watermark drop must be observable, got $lateSum")
+    // recovery: batch replay has no watermark and is idempotent over the
+    // already-applied events (lsn argmax) — one pass heals the state
+    graft.ingest.BatchReplay.replay(spark, s"$work/log", table,
+      numBuckets = 4, saltBuckets = 2, recordMeta = false)
+    val st2 = stateOf(table)
+    assert(st2(("org-99/straggler", "late.txt")) == 9999999L)
+    // every previously-applied key is untouched by the re-application
+    st1.foreach { case (k, lsn) => assert(st2(k) == lsn, s"$k changed") }
+  }
+
   test("streaming replay (AvailableNow) matches the independent fold") {
     val cfg = GenConfig(nEvents = 1200L)
     val work = TestSpark.tmpDir("stream")
