@@ -194,14 +194,18 @@ object Hashing {
     */
   def wordShingleHashes(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    // tokenize on whitespace runs (same split semantics as \s+)
+    // tokenize on the explicit Java∩RE2 whitespace class [ \t\n\f\r]
+    // (see fns.wsTokens): Character.isWhitespace is BROADER than either
+    // regex (\x0B, unicode separators) and would diverge the hashed
+    // shingle universe from the string_split_regex oracles
+    @inline def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
     val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && ws(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !ws(s.charAt(i))) i += 1
       if (i > start) {
         var h = 0xcbf29ce484222325L
         var j = start

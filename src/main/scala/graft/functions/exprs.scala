@@ -312,8 +312,12 @@ object fns {
   // Text helpers (built-ins only → codegen'd, and DuckDB-mirrorable)
   // ---------------------------------------------------------------
 
-  /** Whitespace tokens of trimmed text. */
-  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokens of trimmed text. The split class is the explicit
+    * Java∩RE2 intersection [ \t\n\f\r]: Java's \s additionally matches
+    * \x0B (vertical tab) while DuckDB's RE2 \s does not, so a bare \s+
+    * here would diverge from every string_split_regex oracle on a \x0B
+    * byte. One authority for all tokenizing queries (q10-q16, q44-q49). */
+  def wsTokens(c: Column): Column = split(trim(c), "[ \t\n\f\r]+")
 
   /** Distinct token set (for Jaccard). */
   def tokenSet(c: Column): Column = array_distinct(wsTokens(c))

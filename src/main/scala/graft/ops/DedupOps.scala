@@ -24,18 +24,6 @@ object DedupOps {
 
   val JaccardThreshold = 0.8
 
-  /** Shingled view: doc_id, lang, distinct word-3-gram shingle set. Word
-    * n-grams — not unigram token sets — are the dedup unit: unigram sets
-    * saturate on a small vocabulary (every doc resembles every doc),
-    * while shingles keep ambient similarity near zero so only true
-    * near-duplicates cross the threshold. (Measured on this corpus:
-    * unigram-set ambient jaccard ~0.85 → 965k "near-dup" pairs at sf0.1;
-    * shingle ambient ~0.0 → 79 genuine pairs.) */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id"), col("lang"),
-      array_distinct(fns.wordShingles(fns.wsTokens(col("text")), 3)).as("sh"))
-
   private val shingleSqlExpr =
     """list_distinct(list_transform(
       |      range(1, len(string_split_regex(trim(text), '\s+')) - 1),
@@ -118,10 +106,17 @@ object DedupOps {
     val bandRows = 2
     // narrow banded view: (doc_id, band, band_hash) — one single-pass
     // band-hash expression per row, no wide payload in the shuffle
+    // docs with NO shingles (< 3 tokens) are excluded before banding:
+    // their minhash signature is the identical all-MaxValue sentinel, so
+    // every band would collide every such doc with every other — an
+    // O(n_short^2) candidate blow-up — while contributing zero output
+    // (two empty sets can never reach the jaccard threshold; the oracle's
+    // 0/0 comparison is NULL ≥ θ = false, same exclusion)
     val banded = docs(s, dir).select(
-      col("doc_id"),
-      posexplode(fns.minhashBandsFromHashes(
-        fns.hashedWordShingles(col("text"), 3), k, bandRows, seed = 7L)))
+      col("doc_id"), fns.hashedWordShingles(col("text"), 3).as("shh"))
+      .where(size(col("shh")) > 0)
+      .select(col("doc_id"),
+        posexplode(fns.minhashBandsFromHashes(col("shh"), k, bandRows, seed = 7L)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     // candidate pairs: equi-join on (band, band_hash), dedup multi-band hits
     val cand = banded.as("a").join(banded.as("b"),
@@ -211,7 +206,7 @@ object DedupOps {
   private[graft] def simhashCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("text"))
     base.unionByName(base.where(col("doc_id") % 20 === 0).select(
-      (col("doc_id") + 1000000).as("doc_id"),
+      (col("doc_id") + 1099511627776L).as("doc_id"),
       concat(col("text"), lit(" graftdup")).as("text")))
   }
 
@@ -233,7 +228,7 @@ object DedupOps {
     s"""WITH docs16 AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id, text || ' graftdup' AS text
+       |  SELECT doc_id + 1099511627776 AS doc_id, text || ' graftdup' AS text
        |  FROM documents WHERE doc_id % 20 = 0),
        |toks AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -295,7 +290,7 @@ object DedupOps {
       .join(base.as("b"), col("b.vec_id") === col("a.vec_id") + 7)
       .where(col("a.vec_id") % 10 === 0)
       .select(
-        (col("a.vec_id") + 1000000).as("vec_id"),
+        (col("a.vec_id") + 1099511627776L).as("vec_id"),
         zip_with(col("a.embedding"), col("b.embedding"),
           (x, y) => (x.cast("double") + lit(0.1) * y.cast("double")).cast("float"))
           .as("embedding"))
@@ -321,7 +316,7 @@ object DedupOps {
     import SqlKernels._
     s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
        |pert AS (
-       |  SELECT a.vec_id + 1000000 AS vec_id,
+       |  SELECT a.vec_id + 1099511627776 AS vec_id,
        |    list_transform(range(1, len(a.embedding) + 1),
        |      i -> CAST(a.embedding[i]::DOUBLE + 0.1 * b.embedding[i]::DOUBLE AS FLOAT)) AS embedding
        |  FROM base a JOIN base b ON b.vec_id = a.vec_id + 7

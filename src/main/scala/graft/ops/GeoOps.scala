@@ -32,9 +32,22 @@ object GeoOps {
   private def lat(key: Column): Column = (key * 37 % 178 - 89).cast("double") + 0.5
   private def lng(key: Column): Column = (key * 73 % 300 - 150).cast("double") + 0.5
 
-  /** C5 analogue: search radius picked by category (km). */
+  /** C5 analogue: search radius picked by category (km) — the SINGLE
+    * source for the Scala covering UDF, the Column filter, and the SQL
+    * oracle CASE: a radius edited in one place cannot desynchronize the
+    * cap covering from the distance filter (a covering smaller than the
+    * filter radius would silently miss true matches). */
+  private[ops] val RadiusByCat: Map[Int, Double] = Map(0 -> 50.0, 1 -> 200.0)
+  private[ops] val RadiusDefault: Double = 500.0
+  private[ops] def radiusOf(cat: Int): Double = RadiusByCat.getOrElse(cat, RadiusDefault)
   private def radiusKm(cat: Column): Column =
-    when(cat === 0, 50.0).when(cat === 1, 200.0).otherwise(500.0)
+    RadiusByCat.foldRight(lit(RadiusDefault): Column) { case ((c, r), e) =>
+      when(cat === c, r).otherwise(e)
+    }
+  private[ops] def radiusSqlCase(cat: String): String =
+    RadiusByCat.toSeq.sortBy(_._1)
+      .map { case (c, r) => s"WHEN $cat = $c THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $RadiusDefault END")
 
   /** Cell level per category: sized so the cap spans ~1–2 cells per axis
     * (level-7 cube cells ≈ 78 km across, 5 ≈ 312 km, 4 ≈ 625 km). */
@@ -73,8 +86,7 @@ object GeoOps {
     * once per query row and fans out ~10–25 cells, so the join stays an
     * equi-join and the UDF is off every hot aggregate path. */
   private val coverUdf = udf { (latDeg: Double, lngDeg: Double, cat: Int) =>
-    val r = cat match { case 0 => 50.0; case 1 => 200.0; case _ => 500.0 }
-    GeoCells.cover(latDeg, lngDeg, r, levelOf(cat))
+    GeoCells.cover(latDeg, lngDeg, radiusOf(cat), levelOf(cat))
   }
 
   /** q29: best-match join — for each customer point, the nearest supplier
@@ -130,7 +142,7 @@ object GeoOps {
        |  FROM supplier),
        |pairs AS (
        |  SELECT c.c_custkey, sp.s_suppkey,
-       |    CASE c.cat WHEN 0 THEN 50.0 WHEN 1 THEN 200.0 ELSE 500.0 END AS r,
+       |    ${radiusSqlCase("c.cat")} AS r,
        |    2 * 6371.0088 * asin(sqrt(
        |      pow(sin((radians(clat) - radians(slat)) / 2), 2)
        |      + cos(radians(clat)) * cos(radians(slat))

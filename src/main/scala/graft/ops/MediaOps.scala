@@ -87,9 +87,9 @@ object MediaOps {
        |  16 + b.n % 64 AS width,
        |  greatest(1, b.n // (16 + b.n % 64)) AS height,
        |  b.n // 256 + 1 AS n_frames,
-       |  round(s.sumc::DOUBLE / b.n, 6) AS mean_byte,
-       |  round(ent.e, 6) AS byte_entropy
-       |FROM base b JOIN stats s USING (doc_id) JOIN ent USING (doc_id)""".stripMargin
+       |  round(coalesce(s.sumc, 0)::DOUBLE / greatest(b.n, 1), 6) AS mean_byte,
+       |  round(coalesce(ent.e, 0.0), 6) AS byte_entropy
+       |FROM base b LEFT JOIN stats s USING (doc_id) LEFT JOIN ent USING (doc_id)""".stripMargin
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

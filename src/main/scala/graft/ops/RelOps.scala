@@ -155,7 +155,11 @@ object RelOps {
     *   same argument makes every recorded depth minimal at that point.
     * Each iteration shuffles O(|closure|) rows; localCheckpoint keeps
     * plans flat; the driver carries only handles and two counters. */
-  def closure(edges: DataFrame, seeds: DataFrame, maxIter: Int = 40): DataFrame = {
+  def closure(edges: DataFrame, seeds: DataFrame, maxIter: Int = 30): DataFrame = {
+    // depth uses IntegerType and the jump spans 2^k, so k is hard-capped
+    // at 30 regardless of maxIter; a closure that has not converged by
+    // then fails LOUDLY below instead of returning a silent prefix
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     var jump = edges.select(col("child").as("jsrc"), col("parent").as("jdst"))
       .localCheckpoint()
     var acc = seeds.localCheckpoint()
@@ -184,6 +188,9 @@ object RelOps {
       }
       k += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"transitive closure did not converge within ${math.min(maxIter, 30)} " +
+        "doubling rounds (graph depth > 2^rounds?) — the partial result would be wrong")
     acc
   }
 

@@ -101,9 +101,15 @@ object SqlKernels {
        |$out AS (SELECT e.vec_id, e.embedding, b.bucket FROM $src e JOIN bkt b USING (vec_id))""".stripMargin
 
   /** Exact cosine over FLOAT list columns, double accumulation in index
-    * order — mirrors Hashing.cosine (and the q17/q18 oracle formula). */
-  def cosineSql(a: String, b: String): String =
-    s"""(list_sum(list_transform(range(1, len($a) + 1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))
-       |      / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> ($a)[i]::DOUBLE * ($a)[i]::DOUBLE)))
-       |       * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> ($b)[i]::DOUBLE * ($b)[i]::DOUBLE)))))""".stripMargin
+    * order — mirrors Hashing.cosine INCLUDING its zero-norm guard (an
+    * all-zero vector yields 0.0, not NaN/NULL: a bare division here
+    * would silently diverge the oracle's DISTINCT/rank results from the
+    * Scala kernel on exactly the degenerate input it defines). */
+  def cosineSql(a: String, b: String): String = {
+    def norm2(x: String) =
+      s"list_sum(list_transform(range(1, len($x) + 1), i -> ($x)[i]::DOUBLE * ($x)[i]::DOUBLE))"
+    s"""(CASE WHEN ${norm2(a)} = 0 OR ${norm2(b)} = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(range(1, len($a) + 1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))
+       |      / (sqrt(${norm2(a)}) * sqrt(${norm2(b)})) END)""".stripMargin
+  }
 }

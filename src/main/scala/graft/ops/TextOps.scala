@@ -288,7 +288,7 @@ object TextOps {
       .agg(
         sum(col("tf")).as("n_terms"),
         count(lit(1)).as("n_distinct"),
-        min(concat(lpad(col("df").cast("string"), 6, "0"), lit(":"), col("w")))
+        min(concat(lpad(col("df").cast("string"), 12, "0"), lit(":"), col("w")))
           .as("rarest"),
         sum(when(col("df") <= 25, 1L).otherwise(0L)).as("n_rare_terms"))
   }
@@ -303,7 +303,7 @@ object TextOps {
       |SELECT doc_id,
       |  CAST(sum(tf) AS BIGINT) AS n_terms,
       |  count(*) AS n_distinct,
-      |  min(lpad(CAST(df AS VARCHAR), 6, '0') || ':' || w) AS rarest,
+      |  min(lpad(CAST(df AS VARCHAR), 12, '0') || ':' || w) AS rarest,
       |  CAST(sum(CASE WHEN df <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_terms
       |FROM per_doc JOIN dft USING (w)
       |GROUP BY doc_id""".stripMargin
@@ -447,7 +447,7 @@ object TextOps {
   private[graft] def q44Bounded(s: SparkSession, dir: String,
                                 maxBroadcastGrams: Long): DataFrame = {
     val grams = docs(s, dir)
-      .withColumn("ts", split(trim(col("text")), "\\s+"))
+      .withColumn("ts", fns.wsTokens(col("text")))
       .where(size(col("ts")) >= 4)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("ts")) - lit(3)),
@@ -487,7 +487,7 @@ object TextOps {
     * the same partitioning. */
   def q45Repetition(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs(s, dir).withColumn("ts", split(trim(col("text")), "\\s+"))
+    val d = docs(s, dir).withColumn("ts", fns.wsTokens(col("text")))
     val toks = d.select(col("doc_id"), explode(col("ts")).as("t"))
     val cnt = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("t").asc)
@@ -617,7 +617,7 @@ object TextOps {
     val b = Q48ChunkTokens
     val d = docs(s, dir)
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        size(fns.wsTokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("rk", floor(col("doc_id") / rangeWidth).cast("long"))
     val wLoc = Window.partitionBy(col("rk")).orderBy(col("doc_id"))
     val local = d.withColumn("cum_in", sum(col("n_tokens")).over(wLoc))
