@@ -41,6 +41,20 @@ object Hashing {
     hashBytes(b, 0, b.length, seed)
   }
 
+  /** Unicode NFC normalization (canonical composition) — the q53 kernel.
+    * Pure ASCII (the overwhelmingly common case in a code/text corpus) is
+    * detected with a byte scan and returned as-is, zero-copy; only rows
+    * carrying non-ASCII bytes pay the String round-trip through
+    * java.text.Normalizer. Mirrors DuckDB's `nfc_normalize`. */
+  def nfc(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var i = 0
+    while (i < b.length && b(i) >= 0) i += 1
+    if (i == b.length) return s
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------

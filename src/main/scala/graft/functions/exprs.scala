@@ -143,6 +143,25 @@ case class WordShingleStrings(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (Hashing.nfc): canonical composition with a
+  * zero-copy ASCII fast path. DuckDB mirror: `nfc_normalize`. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize requires string, got ${t.simpleString}")
+    }
+  }
+  override def nullSafeEval(s: Any): Any =
+    Hashing.nfc(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 case class MinHashBandsL(child: Expression, k: Int, rowsPerBand: Int, seed: Long)
     extends UnaryExpression {
   require(k > 0 && k <= 512 && rowsPerBand > 0 && k % rowsPerBand == 0,
@@ -287,6 +306,10 @@ object fns {
     * SqlKernels.fnv1aFold + mix64Select. */
   def strHash64(c: Column, seed: Long = 0L): Column =
     Bridge.column(StrHash64(Bridge.expression(c), seed))
+
+  /** Unicode NFC normalization (DuckDB-mirrorable via nfc_normalize). */
+  def nfcNormalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
 
   def minhashBandsFromHashes(c: Column, k: Int, rowsPerBand: Int, seed: Long = 0L): Column =
     Bridge.column(MinHashBandsL(Bridge.expression(c), k, rowsPerBand, seed))

@@ -51,6 +51,8 @@ object GraftFunctions {
       HashedWordShingles(args(0), intLit(args(1), "n")) },
     "word_shingles" -> { args => arity(args, 2, "word_shingles", "(tokens, n)")
       WordShingleStrings(args(0), intLit(args(1), "n")) },
+    "nfc_normalize" -> { args => arity(args, 1, "nfc_normalize", "(text)")
+      NfcNormalize(args.head) },
     "str_hash64" -> { args =>
       if (args.isEmpty || args.length > 2) throw new IllegalArgumentException(
         "str_hash64 expects (text[, seed])")

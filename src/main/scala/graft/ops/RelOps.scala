@@ -342,6 +342,77 @@ object RelOps {
       |  FROM events)
       |WHERE rn = 1 AND op <> 'D'""".stripMargin
 
+  /** q52: ordered funnel analysis (sequential pattern matching) — for
+    * each user, the earliest view → click → purchase chain where every
+    * later step strictly follows the prior one and the whole funnel
+    * completes within [[Q52HorizonHours]] hours of the first view. The
+    * sequential dependency (each step's anchor is the PREVIOUS step's
+    * resolved timestamp) is what separates this from plain conditional
+    * aggregation — it is the MATCH_RECOGNIZE-lite shape every
+    * product-analytics pipeline runs.
+    *
+    * Scale shape: three chained unordered window aggregates over the
+    * same user_id partitioning — ONE exchange on user_id, and the final
+    * groupBy reuses that partitioning (no second shuffle). State per
+    * user is three timestamps; no ordered global window, no driver
+    * materialization. Null step timestamps are coalesced to -1 so the
+    * output stays non-nullable integer (engine-stable compare). */
+  val Q52HorizonHours = 48
+
+  def q52Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val horizon = expr(s"INTERVAL $Q52HorizonHours HOURS")
+    val ev = events(s, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+    ev
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click"
+          && col("ts") > col("t_view")
+          && col("ts") <= col("t_view") + horizon, col("ts"))).over(w))
+      .withColumn("t_buy",
+        min(when(col("event_type") === "purchase"
+          && col("ts") > col("t_click")
+          && col("ts") <= col("t_view") + horizon, col("ts"))).over(w))
+      .where(col("t_view").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("t_view")).cast("timestamp_ltz").cast("long").as("view_sec"),
+        coalesce(max(col("t_click")).cast("timestamp_ltz").cast("long"), lit(-1L))
+          .as("click_sec"),
+        coalesce(max(col("t_buy")).cast("timestamp_ltz").cast("long"), lit(-1L))
+          .as("buy_sec"))
+      .withColumn("steps",
+        lit(1) + (col("click_sec") >= 0).cast("int") + (col("buy_sec") >= 0).cast("int"))
+  }
+
+  val q52Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, ts FROM events
+       |  WHERE event_type IN ('view', 'click', 'purchase')),
+       |s1 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+       |    OVER (PARTITION BY user_id) AS t_view FROM ev),
+       |s2 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+       |      AND ts <= t_view + INTERVAL $Q52HorizonHours HOUR THEN ts END)
+       |    OVER (PARTITION BY user_id) AS t_click FROM s1),
+       |s3 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+       |      AND ts <= t_view + INTERVAL $Q52HorizonHours HOUR THEN ts END)
+       |    OVER (PARTITION BY user_id) AS t_buy FROM s2)
+       |SELECT user_id,
+       |  CAST(floor(epoch(max(t_view))) AS BIGINT) AS view_sec,
+       |  coalesce(CAST(floor(epoch(max(t_click))) AS BIGINT), -1) AS click_sec,
+       |  coalesce(CAST(floor(epoch(max(t_buy))) AS BIGINT), -1) AS buy_sec,
+       |  1 + CAST(coalesce(CAST(floor(epoch(max(t_click))) AS BIGINT), -1) >= 0 AS INT)
+       |    + CAST(coalesce(CAST(floor(epoch(max(t_buy))) AS BIGINT), -1) >= 0 AS INT)
+       |    AS steps
+       |FROM s3 WHERE t_view IS NOT NULL
+       |GROUP BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_rle" -> (q20Rle _),
     "q21_asof_join" -> (q21AsofJoin _),
@@ -350,7 +421,8 @@ object RelOps {
     "q24_tag_diff" -> (q24TagDiff _),
     "q25_bitmask" -> (q25Bitmask _),
     "q26_geo" -> (q26Geo _),
-    "q27_cdc_lww" -> (q27CdcLww _)
+    "q27_cdc_lww" -> (q27CdcLww _),
+    "q52_funnel" -> (q52Funnel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -361,6 +433,7 @@ object RelOps {
     "q24_tag_diff" -> q24Sql,
     "q25_bitmask" -> q25Sql,
     "q26_geo" -> q26Sql,
-    "q27_cdc_lww" -> q27Sql
+    "q27_cdc_lww" -> q27Sql,
+    "q52_funnel" -> q52Sql
   )
 }

@@ -781,6 +781,136 @@ object TextOps {
        |WHERE hu // 65536 < least(n_chars, 2048)::HUGEINT * 137438953472::HUGEINT""".stripMargin
   }
 
+  /** q51: cross-document LINE-level dedup (the FineWeb/CCNet structural
+    * pass): split every document into lines, drop each line that occurs
+    * in ≥2 DISTINCT documents (boilerplate headers, navigation chrome,
+    * repeated disclaimers), and reassemble what remains in original
+    * order. Whole-doc dedup (q7) and near-dup (q14-q17) can't touch
+    * this — the duplication lives INSIDE otherwise-unique documents.
+    * The synthetic corpus has no newlines, so "lines" are deterministic
+    * [[Q51LineTokens]]-token chunks, and a constant boilerplate header
+    * is injected on every third document (q34/q39's injection pattern)
+    * so the boilerplate-removal case is exercised alongside the
+    * corpus's natural cross-doc duplicate chunks.
+    *
+    * Scale shape (100 TB): explode once; the duplicate-line set comes
+    * from a map-side-combined count-distinct on the SAME exploded
+    * subplan (ReuseExchange shares the one wide exchange on `line`),
+    * and is typically ≪ corpus (only lines seen in ≥2 docs) so the
+    * mark join's build side is small; reassembly is ONE exchange on
+    * doc_id with an order-restoring array_sort — no global order, no
+    * driver materialization. Output rows are narrow (counts + sha of
+    * the reassembled text) so the op composes as a pipeline stage. */
+  val Q51LineTokens = 8
+
+  private val Q51Boiler =
+    "begin common header boilerplate license notice terms apply "
+
+  def q51LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = Q51LineTokens
+    val injected = concat(
+      when(col("doc_id") % 3 === 0, lit(Q51Boiler)).otherwise(lit("")),
+      col("text"))
+    // ts is materialized behind an alias so the transform lambda below
+    // captures an ATTRIBUTE — a non-attribute child would re-evaluate
+    // the tokenizer once per line (the word_shingles lesson)
+    val d = docs(s, dir).select(col("doc_id"), fns.wsTokens(injected).as("ts"))
+    val nLines = ((size(col("ts")) + lit(k - 1)) / lit(k)).cast("int")
+    val lines = d.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(col("ts"), i * k + 1, lit(k)), " ")))
+        .as(Seq("pos", "line")))
+    val dup = lines
+      .groupBy(col("line")).agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("line"), lit(true).as("isdup"))
+    lines.join(dup, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("isdup").isNull, 1)).as("n_kept"),
+        sha2(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("isdup").isNull, struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          " "), 256).as("kept_sha"))
+  }
+
+  val q51Sql: String =
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN '$Q51Boiler' ELSE '' END || text AS t
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(t), '\\s+') AS ts FROM injected),
+       |lines AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    array_to_string(ts[((i-1)*$Q51LineTokens+1):((i-1)*$Q51LineTokens+$Q51LineTokens)], ' ') AS line
+       |  FROM toks,
+       |    unnest(generate_series(1, CAST((len(ts) + ${Q51LineTokens - 1}) // $Q51LineTokens AS BIGINT))) AS u(i)),
+       |dup AS (
+       |  SELECT line FROM (
+       |    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
+       |  WHERE nd >= 2),
+       |marked AS (
+       |  SELECT l.doc_id, l.pos, l.line, d.line IS NOT NULL AS isdup
+       |  FROM lines l LEFT JOIN dup d ON l.line = d.line)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  count(CASE WHEN NOT isdup THEN 1 END) AS n_kept,
+       |  sha256(coalesce(
+       |    string_agg(CASE WHEN NOT isdup THEN line END, ' ' ORDER BY pos),
+       |    '')) AS kept_sha
+       |FROM marked GROUP BY doc_id""".stripMargin
+
+  /** q53: unicode normalization + control-character scrub — the
+    * mojibake/NFC cleanup pass (C4/CCNet-style) that runs before any
+    * hash-keyed dedup, because visually-identical strings with
+    * different codepoint sequences ("café" composed vs decomposed)
+    * otherwise land in different dedup buckets. NFC is a custom
+    * codegen'd expression ([[graft.functions.fns.nfcNormalize]] →
+    * java.text.Normalizer); the strip class stays in the Java∩RE2
+    * regex subset so DuckDB computes the identical function
+    * (`nfc_normalize` + the same class). Decomposed sequences,
+    * zero-width and control characters are deterministically injected
+    * (the corpus is pure ASCII — q39's pattern). Narrow codegen'd
+    * scan-project: IO-bound at 100 TB. */
+  private val Q53StripRe = "[\\x00-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{feff}]"
+
+  def q53UnicodeClean(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 2 === 0, lit(" cafe\u0301 nai\u0308ve")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" zero\u200Bwidth\u0007ctl")).otherwise(lit("")))
+    docs(s, dir)
+      .select(col("doc_id"), injected.as("t0"))
+      .withColumn("cleaned",
+        regexp_replace(fns.nfcNormalize(col("t0")), Q53StripRe, ""))
+      .select(col("doc_id"),
+        length(col("t0")).as("n_chars_raw"),
+        length(col("cleaned")).as("n_chars_clean"),
+        (col("cleaned") =!= col("t0")).as("changed"),
+        sha2(col("cleaned"), 256).as("clean_sha"))
+  }
+
+  val q53Sql: String =
+    s"""WITH injected AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 2 = 0
+       |         THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' zero' || chr(8203) || 'width' || chr(7) || 'ctl' ELSE '' END
+       |    AS t0
+       |  FROM documents)
+       |SELECT doc_id,
+       |  length(t0) AS n_chars_raw,
+       |  length(regexp_replace(nfc_normalize(t0), '$Q53StripRe', '', 'g'))
+       |    AS n_chars_clean,
+       |  regexp_replace(nfc_normalize(t0), '$Q53StripRe', '', 'g') <> t0 AS changed,
+       |  sha256(regexp_replace(nfc_normalize(t0), '$Q53StripRe', '', 'g'))
+       |    AS clean_sha
+       |FROM injected""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_lang_id" -> (q10LangId _),
     "q11_quality_score" -> (q11Quality _),
@@ -797,7 +927,9 @@ object TextOps {
     "q46_hist_quantiles" -> (q46HistQuantiles _),
     "q48_seq_pack" -> (q48SeqPack _),
     "q49_kmv_distinct" -> (q49KmvDistinct _),
-    "q50_weighted_sample" -> (q50WeightedSample _)
+    "q50_weighted_sample" -> (q50WeightedSample _),
+    "q51_line_dedup" -> (q51LineDedup _),
+    "q53_unicode_clean" -> (q53UnicodeClean _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -816,6 +948,8 @@ object TextOps {
     "q46_hist_quantiles" -> q46Sql,
     "q48_seq_pack" -> q48Sql,
     "q49_kmv_distinct" -> q49Sql,
-    "q50_weighted_sample" -> q50Sql
+    "q50_weighted_sample" -> q50Sql,
+    "q51_line_dedup" -> q51Sql,
+    "q53_unicode_clean" -> q53Sql
   )
 }

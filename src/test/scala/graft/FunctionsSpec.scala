@@ -131,6 +131,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc_normalize: composes decomposed sequences; ASCII is zero-copy identity") {
+    val dec = "cafe\u0301 nai\u0308ve" // e+COMBINING ACUTE, i+COMBINING DIAERESIS
+    val comp = "caf\u00e9 na\u00efve"
+    assert(Hashing.nfc(UTF8String.fromString(dec)).toString == comp)
+    assert(Hashing.nfc(UTF8String.fromString(comp)).toString == comp) // idempotent
+    val ascii = UTF8String.fromString("plain ascii text 123")
+    assert(Hashing.nfc(ascii) eq ascii, "ASCII fast path must return the input object")
+    val df = Seq((1L, dec), (2L, "plain"), (3L, comp)).toDF("id", "s")
+    val sel = df.select(col("id"), fns.nfcNormalize(col("s")).as("n"),
+      length(fns.nfcNormalize(col("s"))).as("l"))
+    val on = withCodegen("CODEGEN_ONLY") { sel.collect().sortBy(_.getLong(0)) }
+    val off = withCodegen("NO_CODEGEN") { sel.collect().sortBy(_.getLong(0)) }
+    assert(on.map(_.toString).toSeq == off.map(_.toString).toSeq)
+    assert(on.head.getString(1) == comp && on.head.getInt(2) == comp.length)
+    GraftFunctions.register(spark)
+    // NB Spark's chr() is mod-256 (ASCII-only, unlike DuckDB's): build
+    // the combining mark with a \u escape in the SQL literal instead
+    assert(spark.sql("SELECT nfc_normalize('cafe\\u0301') AS n")
+      .collect().head.getString(0) == "caf\u00e9")
+  }
+
   private def withCodegen[T](mode: String)(f: => T): T = {
     val key = "spark.sql.codegen.factoryMode"
     val old = spark.conf.getOption(key)

@@ -200,6 +200,24 @@ class PlanSpec extends AnyFunSuite {
       s"mix64/shift fell out of codegen:\n${plan.toString.take(1500)}")
   }
 
+  test("q52 funnel is a single exchange: windows and final agg share the user_id partitioning") {
+    val plan = executed(SparkEntry.queries("q52_funnel")(spark, sf))
+    // three chained window aggregates + groupBy all ride ONE shuffle on
+    // user_id — a second exchange means the groupBy stopped reusing the
+    // window partitioning (catastrophic at 10^10 events)
+    assert(countNodes(plan, _.isInstanceOf[ShuffleExchangeExec]) == 1,
+      s"funnel must shuffle exactly once:\n${plan.toString.take(1500)}")
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("CartesianProduct")) == 0)
+  }
+
+  test("q51 line dedup: no cartesian; the dup-line join is an equi-join") {
+    val plan = executed(SparkEntry.queries("q51_line_dedup")(spark, sf))
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("CartesianProduct")) == 0,
+      s"line join degenerated:\n${plan.toString.take(1500)}")
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastNestedLoop")) == 0,
+      s"line join degenerated to a nested loop:\n${plan.toString.take(1500)}")
+  }
+
   test("q49 KMV consumers read the checkpointed survivors, not the gram pipeline") {
     // the heavy scan+explode+distinct+window pipeline runs ONCE (inside
     // the localCheckpoint job at construction); the final plan's two

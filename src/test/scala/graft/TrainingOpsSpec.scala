@@ -391,4 +391,83 @@ class TrainingOpsSpec extends AnyFunSuite {
     val ht = s1.map { case (_, nc, p, _) => nc / p }.sum
     assert(math.abs(ht - total) / total < 0.30, s"HT=$ht total=$total")
   }
+
+  test("q51 line dedup equals a driver-side recomputation (order-preserving)") {
+    // brute-force semantic oracle in plain Scala: same chunking, same
+    // >=2-distinct-docs drop rule, same ordered reassembly
+    val k = ops.TextOps.Q51LineTokens
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val boiler = "begin common header boilerplate license notice terms apply "
+    def lines(id: Long, text: String): Seq[String] = {
+      val t = (if (id % 3 == 0) boiler else "") + text
+      val toks = t.trim.split("[ \t\n\f\r]+").toSeq
+      toks.grouped(k).map(_.mkString(" ")).toSeq
+    }
+    val perDoc = raw.map { case (id, tx) => id -> lines(id, tx) }.toMap
+    val docsPerLine = perDoc.toSeq
+      .flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val want = perDoc.map { case (id, ls) =>
+      val kept = ls.filter(l => docsPerLine(l) < 2)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      id -> ((ls.size.toLong, kept.size.toLong, sha))
+    }
+    val got = ops.TextOps.q51LineDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id: got ${got(id)} want $w")
+    }
+    // the operator must actually drop something on this corpus (the
+    // injected boilerplate guarantees it)
+    assert(want.values.exists { case (n, keep, _) => keep < n })
+    // and reassembly preserves ORDER: a doc whose kept lines equal all
+    // its lines must hash to the original chunking joined in order
+    val untouched = want.collectFirst {
+      case (id, (n, keep, sha)) if n == keep => (id, sha) }
+    untouched.foreach { case (id, sha) =>
+      val direct = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(perDoc(id).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(sha == direct)
+    }
+  }
+
+  test("q52 funnel matches a per-user sequential replay") {
+    val horizon = ops.RelOps.Q52HorizonHours * 3600L
+    val ev = spark.read.parquet(s"$sf01/events.parquet")
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        col("event_type"),
+        col("ts").cast("timestamp_ltz").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val want = byUser.flatMap { case (u, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val tView = views.min
+        val deadline = tView + horizon
+        val tClick = es.filter(e => e._2 == "click" && e._3 > tView && e._3 <= deadline)
+          .map(_._3).minOption
+        val tBuy = tClick.flatMap(tc =>
+          es.filter(e => e._2 == "purchase" && e._3 > tc && e._3 <= deadline)
+            .map(_._3).minOption)
+        Some(u -> ((tView, tClick.getOrElse(-1L), tBuy.getOrElse(-1L),
+          1 + tClick.size + tBuy.size)))
+      }
+    }
+    val got = ops.RelOps.q52Funnel(spark, sf01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, w) => assert(got(u) == w, s"user $u: got ${got(u)} want $w") }
+    // the corpus must exercise all three funnel depths
+    val depths = want.values.map(_._4).toSet
+    assert(depths == Set(1, 2, 3), s"funnel depths seen: $depths")
+  }
 }
