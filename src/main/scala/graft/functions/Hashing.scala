@@ -47,10 +47,13 @@ object Hashing {
     * carrying non-ASCII bytes pay the String round-trip through
     * java.text.Normalizer. Mirrors DuckDB's `nfc_normalize`. */
   def nfc(s: UTF8String): UTF8String = {
-    val b = s.getBytes
+    // scan via getByte, not getBytes: parquet/unsafe-row strings are
+    // offset SLICES of a shared buffer, for which getBytes allocates
+    // and copies the whole payload before the check even runs
+    val n = s.numBytes()
     var i = 0
-    while (i < b.length && b(i) >= 0) i += 1
-    if (i == b.length) return s
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s
     UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
   }

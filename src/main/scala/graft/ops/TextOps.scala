@@ -793,14 +793,19 @@ object TextOps {
     * so the boilerplate-removal case is exercised alongside the
     * corpus's natural cross-doc duplicate chunks.
     *
-    * Scale shape (100 TB): explode once; the duplicate-line set comes
-    * from a map-side-combined count-distinct on the SAME exploded
-    * subplan (ReuseExchange shares the one wide exchange on `line`),
-    * and is typically ≪ corpus (only lines seen in ≥2 docs) so the
-    * mark join's build side is small; reassembly is ONE exchange on
-    * doc_id with an order-restoring array_sort — no global order, no
-    * driver materialization. Output rows are narrow (counts + sha of
-    * the reassembled text) so the op composes as a pipeline stage. */
+    * Scale shape (100 TB): the corpus is scanned, tokenized, and
+    * exploded exactly ONCE. The per-line distinct-doc count is NOT a
+    * groupBy + join back (that plans a second scan+explode of the
+    * corpus — caught in review, the executed plan had two Generate
+    * subtrees); it is the classic dense_rank→max window pair over one
+    * exchange on `line`: dense_rank orders docs within a line
+    * partition, its partition max IS count(DISTINCT doc_id), and both
+    * window passes share the same sort. Reassembly is the second and
+    * last exchange (doc_id) with an order-restoring array_sort — no
+    * global order, no driver materialization, no join. Output rows are
+    * narrow (counts + sha of the reassembled text) so the op composes
+    * as a pipeline stage. PlanSpec pins the shape: one scan instance,
+    * exactly two shuffles. */
   val Q51LineTokens = 8
 
   private val Q51Boiler =
@@ -820,19 +825,24 @@ object TextOps {
       posexplode(transform(sequence(lit(0), nLines - 1),
         i => array_join(slice(col("ts"), i * k + 1, lit(k)), " ")))
         .as(Seq("pos", "line")))
-    val dup = lines
-      .groupBy(col("line")).agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2)
-      .select(col("line"), lit(true).as("isdup"))
-    lines.join(dup, Seq("line"), "left")
+    import org.apache.spark.sql.expressions.Window
+    // count(DISTINCT doc_id) per line without a second aggregate+join:
+    // dense_rank over (line ORDER BY doc_id), then its partition max —
+    // both windows ride the same (line, doc_id) sort in one exchange
+    val wOrd = Window.partitionBy(col("line")).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(col("line"))
+    val marked = lines
+      .withColumn("rk", dense_rank().over(wOrd))
+      .withColumn("nd", max(col("rk")).over(wAll))
+    marked
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
-        count(when(col("isdup").isNull, 1)).as("n_kept"),
+        count(when(col("nd") < 2, 1)).as("n_kept"),
         sha2(array_join(
           transform(
             array_sort(collect_list(
-              when(col("isdup").isNull, struct(col("pos"), col("line"))))),
+              when(col("nd") < 2, struct(col("pos"), col("line"))))),
             x => x.getField("line")),
           " "), 256).as("kept_sha"))
   }

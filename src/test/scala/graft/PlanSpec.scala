@@ -210,12 +210,19 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(plan, _.getClass.getSimpleName.contains("CartesianProduct")) == 0)
   }
 
-  test("q51 line dedup: no cartesian; the dup-line join is an equi-join") {
+  test("q51 line dedup: ONE corpus scan, exactly two shuffles, no join") {
+    // the dense_rank→max window pair computes the per-line distinct-doc
+    // count inside the line exchange; a groupBy+join-back formulation
+    // plans a SECOND scan+tokenize+explode of the corpus (the shape a
+    // review caught in the first version of this query)
     val plan = executed(SparkEntry.queries("q51_line_dedup")(spark, sf))
-    assert(countNodes(plan, _.getClass.getSimpleName.contains("CartesianProduct")) == 0,
-      s"line join degenerated:\n${plan.toString.take(1500)}")
-    assert(countNodes(plan, _.getClass.getSimpleName.contains("BroadcastNestedLoop")) == 0,
-      s"line join degenerated to a nested loop:\n${plan.toString.take(1500)}")
+    assert(countNodes(plan,
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) == 1,
+      s"corpus scanned more than once:\n${plan.toString.take(1500)}")
+    assert(countNodes(plan, _.isInstanceOf[ShuffleExchangeExec]) == 2,
+      s"expected exactly line + doc_id exchanges:\n${plan.toString.take(1500)}")
+    assert(countNodes(plan, _.getClass.getSimpleName.contains("Join")) == 0,
+      s"no join should remain:\n${plan.toString.take(1500)}")
   }
 
   test("q49 KMV consumers read the checkpointed survivors, not the gram pipeline") {

@@ -402,7 +402,12 @@ class TrainingOpsSpec extends AnyFunSuite {
     val boiler = "begin common header boilerplate license notice terms apply "
     def lines(id: Long, text: String): Seq[String] = {
       val t = (if (id % 3 == 0) boiler else "") + text
-      val toks = t.trim.split("[ \t\n\f\r]+").toSeq
+      // mirror SPARK's edge semantics, not Java's: Spark trim strips
+      // only the space char (Java trim eats all <= U+0020) and
+      // functions.split keeps trailing empty tokens (Java's 1-arg
+      // split drops them — hence the -1 limit)
+      val stripped = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = stripped.split("[ \t\n\f\r]+", -1).toSeq
       toks.grouped(k).map(_.mkString(" ")).toSeq
     }
     val perDoc = raw.map { case (id, tx) => id -> lines(id, tx) }.toMap
