@@ -392,20 +392,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(math.abs(ht - total) / total < 0.30, s"HT=$ht total=$total")
   }
 
-  test("q51 line dedup equals a driver-side recomputation (order-preserving)") {
-    // brute-force semantic oracle in plain Scala: same chunking, same
-    // >=2-distinct-docs drop rule, same ordered reassembly
+  /** Driver-side mirror of q51: same chunking, same ≥2-distinct-docs
+    * drop rule, same ordered reassembly — mirroring SPARK's edge
+    * semantics, not Java's: Spark trim strips only the space char (Java
+    * trim eats all <= U+0020) and functions.split keeps trailing empty
+    * tokens (Java's 1-arg split drops them — hence the -1 limit). */
+  private def q51Mirror(raw: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
     val k = ops.TextOps.Q51LineTokens
-    val raw = spark.read.parquet(s"$sf/documents.parquet")
-      .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1))
     val boiler = "begin common header boilerplate license notice terms apply "
     def lines(id: Long, text: String): Seq[String] = {
       val t = (if (id % 3 == 0) boiler else "") + text
-      // mirror SPARK's edge semantics, not Java's: Spark trim strips
-      // only the space char (Java trim eats all <= U+0020) and
-      // functions.split keeps trailing empty tokens (Java's 1-arg
-      // split drops them — hence the -1 limit)
       val stripped = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
       val toks = stripped.split("[ \t\n\f\r]+", -1).toSeq
       toks.grouped(k).map(_.mkString(" ")).toSeq
@@ -414,13 +410,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     val docsPerLine = perDoc.toSeq
       .flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
       .groupBy(_._1).view.mapValues(_.size).toMap
-    val want = perDoc.map { case (id, ls) =>
+    perDoc.map { case (id, ls) =>
       val kept = ls.filter(l => docsPerLine(l) < 2)
       val sha = java.security.MessageDigest.getInstance("SHA-256")
         .digest(kept.mkString(" ").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       id -> ((ls.size.toLong, kept.size.toLong, sha))
     }
+  }
+
+  test("q51 line dedup equals a driver-side recomputation (order-preserving)") {
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val want = q51Mirror(raw)
+    val perDoc = raw.toMap
     val got = ops.TextOps.q51LineDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(got.keySet == want.keySet)
@@ -430,16 +434,56 @@ class TrainingOpsSpec extends AnyFunSuite {
     // the operator must actually drop something on this corpus (the
     // injected boilerplate guarantees it)
     assert(want.values.exists { case (n, keep, _) => keep < n })
-    // and reassembly preserves ORDER: a doc whose kept lines equal all
-    // its lines must hash to the original chunking joined in order
+    // and reassembly preserves ORDER: an untouched (nothing-dropped,
+    // non-injected) doc must hash to its ORIGINAL text re-joined with
+    // single spaces — proving pos-sorted reassembly, independent of the
+    // mirror's own chunk-then-join path
     val untouched = want.collectFirst {
-      case (id, (n, keep, sha)) if n == keep => (id, sha) }
+      case (id, (n, keep, sha)) if n == keep && id % 3 != 0 => (id, sha) }
+    assert(untouched.nonEmpty, "corpus should have an untouched non-injected doc")
     untouched.foreach { case (id, sha) =>
+      val t = perDoc(id)
+      val stripped = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val rejoined = stripped.split("[ \t\n\f\r]+", -1).mkString(" ")
       val direct = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(perDoc(id).mkString(" ").getBytes("UTF-8"))
+        .digest(rejoined.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       assert(sha == direct)
     }
+  }
+
+  test("q51 tokenization contract holds on adversarial whitespace docs") {
+    // the sf corpora are single-space; this corpus exercises the edges
+    // where Spark/DuckDB/JVM string semantics differ — leading/trailing
+    // whitespace of every class, runs, CR/FF, empty-ish docs — against
+    // the Spark-faithful mirror (space-only trim, kept trailing empties)
+    val docs = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      1L -> "  leading spaces then words one two three four five six",
+      2L -> "trailing spaces after words one two three four five   ",
+      3L -> "\ttab lead and trail\t",
+      4L -> "\nnewline lead and trail\n",
+      5L -> "words  with   multi    spaces and\ttabs\nand\rcrff mixed in here",
+      6L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // dup of 0
+      7L -> " ",
+      8L -> "solo",
+      9L -> "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    val dir = java.nio.file.Files.createTempDirectory("q51-adv").toString
+    try {
+      import spark.implicits._
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val want = q51Mirror(docs)
+      val got = ops.TextOps.q51LineDedup(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (id, w) =>
+        assert(got(id) == w, s"doc $id: got ${got(id)} want $w")
+      }
+      // docs 0 and 6 share every line → both fully dropped
+      assert(got(0L)._2 == 0L && got(6L)._2 == 0L,
+        s"exact-dup docs must lose all lines: ${got(0L)} / ${got(6L)}")
+    } finally graft.BenchCdc.rm(dir)
   }
 
   test("q52 funnel matches a per-user sequential replay") {
