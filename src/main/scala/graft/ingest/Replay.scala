@@ -64,10 +64,16 @@ object BatchReplay {
                 format: String = "parquet",
                 epochId: Long = 0L): MergeStats = {
     val merge = new MergeInto(table, numBuckets, saltBuckets, recordMeta)
+    // the same tolerant listing replay() uses — a raw batch-* glob would
+    // ingest exactly the stray entries (batch-00003.bak, batch-tmp)
+    // listBatches exists to skip, double-reading copies or aborting on
+    // a half-written spool dir
+    val dirs = listBatches(spark, logDir).map(_._2)
+    require(dirs.nonEmpty, s"no batch-N dirs under $logDir")
     val reader = spark.read.format(format)
     val df = (if (format == "json")
       reader.schema(graft.schema.SchemaRegistry.eventSchemaV1) else reader)
-      .load(s"$logDir/batch-*")
+      .load(dirs: _*)
     merge.apply(df, epochId)
   }
 }
@@ -189,6 +195,12 @@ object StreamingReplay {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // backpressure — the
       // reference's bounded-channel capacity (src/atp/mod.rs:36) as a rate cap
+    // The stream watches a PATTERN (new batch dirs must keep arriving),
+    // so it cannot use listBatches' point-in-time tolerant listing.
+    // Operator contract: the log dir is the stream's spool — only live
+    // batch-N dirs may be placed under it (park snapshot copies and
+    // half-written dirs elsewhere and rename in), because a file stream
+    // reads whatever matches, including batch-00003.bak.
     val glob = s"$logDir/batch-*"
     val base = format match {
       case "json" => reader.json(glob)
@@ -213,6 +225,12 @@ object StreamingReplay {
     // merge's own measured re-read-over-cache choice (MergeInto
     // cacheSource scaladoc); the poison branch is empty on healthy logs.
     val stream = deduped.unionByName(base.where(!statefulOk))
+    // The listener filters on runId, which is only known AFTER start():
+    // a batch completing in that window is dropped by the listener and
+    // recovered solely from q.recentProgress in the finally-drain. The
+    // default retention (~100 progress updates) could age such a batch
+    // out on a long AvailableNow run — retain enough for any real spool.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -245,7 +263,21 @@ object StreamingReplay {
       // which fires after foreachBatch — drain whatever the async listener
       // has not yet written from the query's own progress history, then
       // detach. (Rows are written once: `written` is the dedup set.)
-      q.recentProgress.foreach(p => writeMetricsRow(p))
+      // The FINAL batch's progress can still be in flight on the async
+      // listener bus when awaitTermination returns (observed under suite
+      // load: the metrics row landed milliseconds after the caller read
+      // the table) — so wait until every batch that ran foreachBatch has
+      // its row, re-draining recentProgress, before declaring run() done.
+      if (recordMeta) {
+        import scala.jdk.CollectionConverters._
+        def pending = batchStats.keySet.asScala.exists(b => !written.contains(b))
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        q.recentProgress.foreach(p => writeMetricsRow(p))
+        while (pending && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          q.recentProgress.foreach(p => writeMetricsRow(p))
+        }
+      }
       spark.streams.removeListener(listener)
     }
   }

@@ -54,9 +54,11 @@ final case class EnrichStats(fromVersion: Option[Long], toVersion: Long,
 object EnrichedView {
 
   /** The base version the view last refreshed to — the max applied epoch
-    * in the view's own ledger (epoch id = base version by construction). */
+    * in the view's own ledger (epoch id = base version by construction).
+    * A snapshot with an EMPTY ledger (a catalog-created, never-refreshed
+    * view table) counts as never refreshed, not a crash. */
   def lastRefreshed(view: LakeTable): Option[Long] =
-    view.currentSnapshot().map(_.epochs.max)
+    view.currentSnapshot().flatMap(_.epochs.maxOption)
 
   /** Columns `enrich` must preserve for the view merge to stay keyed and
     * lsn-ordered like the base. */

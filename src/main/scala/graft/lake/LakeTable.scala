@@ -421,7 +421,7 @@ final class LakeTable(
     * six-writer race spec as a missing version). On `file:` URIs the
     * publish therefore goes through link(2) (`Files.createLink`), whose
     * EEXIST failure is atomic in the kernel — true rename-if-absent. */
-  private def writeAtomic(f: FileSystem, dst: Path, body: String): Boolean = {
+  private[lake] def writeAtomic(f: FileSystem, dst: Path, body: String): Boolean = {
     val tmp = new Path(dst.getParent,
       s".${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)

@@ -507,16 +507,17 @@ object Maintenance {
           val part = fs.listStatus(tmp)
             .find(s => s.isFile && s.getPath.getName.startsWith("part-"))
             .getOrElse(throw new IllegalStateException(s"no consolidated part for $name"))
-          // marker lands ATOMICALLY (full write to a dot-tmp, then rename):
-          // a reader can never observe a partial/empty marker
+          // marker lands ATOMICALLY (writeAtomic: full write to a dot-tmp,
+          // then link/rename-if-absent): a reader can never observe a
+          // partial/empty marker
           val consolidated = s"c-$uuid.parquet"
           val marker = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.compact-pending-$name")
-          val mtmp = new org.apache.hadoop.fs.Path(s"${table.root}/meta/.compact-pending-$name.$uuid.tmp")
           val body = (consolidated +: victims).mkString("", "\n", "\n")
-          val out = fs.create(mtmp, true)
-          try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          require(fs.rename(mtmp, marker), s"meta compaction marker failed for $name")
+          // shared rename-if-absent publish: a bare rename would silently
+          // REPLACE a concurrent compactor's marker on file: URIs,
+          // orphaning its consolidated file while its victims get swept
+          require(table.writeAtomic(fs, marker, body),
+            s"meta compaction marker failed for $name (concurrent compactor?)")
           require(fs.rename(part.getPath, new org.apache.hadoop.fs.Path(dir, consolidated)),
             s"meta compaction landing failed for $name")
           // victims and marker are NOT deleted here: they age through the
@@ -593,7 +594,20 @@ object Maintenance {
       .filterNot(refManifests)
       .filter(m => table.manifestMtime(m) <= cutoff)
     orphanManifests.foreach(table.deleteManifest)
-    orphans ++ orphanManifests
+    // DML staging (_dml/<queryId>, GraftDeltaBatchWrite): commit/abort
+    // clean their own dir, but a driver crash between task commits and
+    // batch commit strands it — no snapshot ever references staging, so
+    // ordinary reachability would never reclaim it
+    val dmlStale = {
+      val hconf = table.spark.sparkContext.hadoopConfiguration
+      val dml = new org.apache.hadoop.fs.Path(s"${table.root}/_dml")
+      val fs = dml.getFileSystem(hconf)
+      if (!fs.exists(dml)) Seq.empty
+      else fs.listStatus(dml).toSeq
+        .filter(_.getModificationTime <= cutoff)
+        .map { st => fs.delete(st.getPath, true); s"_dml/${st.getPath.getName}" }
+    }
+    orphans ++ orphanManifests ++ dmlStale
   }
 
   /** Expire old snapshot versions and reclaim the storage only they

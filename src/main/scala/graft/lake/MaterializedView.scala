@@ -118,18 +118,32 @@ object MaterializedView {
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$root/$dataDir")
 
     val f = fs(table, new Path(root))
-    val tmp = new Path(root, s".p$toVersion.tmp")
     val dst = new Path(root, s"p$toVersion")
-    val out = f.create(tmp, true)
-    try out.write(dataDir.getBytes("UTF-8")) finally out.close()
-    require(f.rename(tmp, dst), s"view pointer commit failed for ${view.name}")
+    // the shared rename-if-absent publish (link(2) on file: URIs —
+    // POSIX rename silently REPLACES an existing destination, so a
+    // hand-rolled tmp+rename would let two racing maintainers both
+    // "succeed" with one pointer silently vanishing). A lost race means
+    // another maintainer already published this exact base version: our
+    // data dir is unreferenced garbage — drop it and yield.
+    if (!table.writeAtomic(f, dst, dataDir)) {
+      f.delete(new Path(root, dataDir), true): Unit
+      return RefreshStats(pointer.map(_._1), toVersion,
+        initialFull = false, noOp = true)
+    }
     // reclaim what the (single-maintainer) new pointer supersedes: older
     // pointers and every data dir it doesn't name — including leftovers
-    // of crashed earlier refreshes
-    f.listStatus(new Path(root)).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if ((n.matches("p\\d+") && n.drop(1).toLong < toVersion) ||
-          (n.startsWith("d-") && n != dataDir)) f.delete(p, true): Unit
+    // of crashed earlier refreshes. Superseded entries get the same
+    // reader grace window as meta-compaction victims: a dashboard query
+    // that resolved the OLD pointer and planned its files must not have
+    // them deleted mid-read (streaming refreshes supersede every
+    // micro-batch, so an immediate delete races constantly).
+    val cutoff = System.currentTimeMillis() - Maintenance.metaCompactGraceMs
+    f.listStatus(new Path(root)).foreach { st =>
+      val n = st.getPath.getName
+      val superseded = (n.matches("p\\d+") && n.drop(1).toLong < toVersion) ||
+        (n.startsWith("d-") && n != dataDir)
+      if (superseded && st.getModificationTime < cutoff)
+        f.delete(st.getPath, true): Unit
     }
     RefreshStats(pointer.map(_._1), toVersion,
       initialFull = pointer.isEmpty || !anchorAlive, noOp = false)

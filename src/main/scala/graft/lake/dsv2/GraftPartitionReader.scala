@@ -112,9 +112,11 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
   private def inFile(name: String): Boolean = fileSchema.containsField(name)
 
   // always read the tombstone flag (filtered here unless surfaced) and,
-  // when an lsn bound applies, the lsn column, plus the requested cols
+  // when an lsn bound applies, the lsn column, plus the requested cols —
+  // an unbounded scan must not pay lsn decompression+decode per row
   private val readNames: Seq[String] =
-    (required.fieldNames.toSeq ++ Seq(LakeTable.DeletedCol, "lsn") ++
+    (required.fieldNames.toSeq ++ Seq(LakeTable.DeletedCol) ++
+      (if (lsnLowerExclusive != Long.MinValue) Seq("lsn") else Seq.empty) ++
       Option(repoEq).map(_ => "repo") ++ Option(pathEq).map(_ => "path"))
       .distinct.filter(inFile)
   private val projection = new MessageType("graft_projection",

@@ -215,6 +215,35 @@ class EnrichedViewSpec extends AnyFunSuite {
     assert(canon(got) == oracle(base))
   }
 
+  test("a catalog-created EMPTY-ledger view table refreshes as a first full build") {
+    // GraftCatalog.createTable commits a v0 with epochs = Set.empty;
+    // lastRefreshed must read that as "never refreshed" (first-build
+    // path), not crash on empty.max
+    val work = TestSpark.tmpDir("enrichempty")
+    ChangeGen.writeLog(spark, GenConfig(nEvents = 600L), s"$work/log", nBatches = 1, partitions = 2)
+    val base = new LakeTable(spark, s"$work/base")
+    BatchReplay.replay(spark, s"$work/log", base, numBuckets = 4, saltBuckets = 2,
+      recordMeta = false)
+    val view = new LakeTable(spark, s"$work/view")
+    import graft.lake.{InlineFiles, Snapshot}
+    import org.apache.spark.sql.types._
+    // the v0 a `CREATE TABLE view (…)` through GraftCatalog commits:
+    // the declared view schema + tombstone flag, empty ledger, no files
+    view.commitSnapshot(Snapshot(
+      version = 0L, schemaVersion = 1,
+      schema = StructType(Seq(
+        StructField("repo", StringType), StructField("path", StringType),
+        StructField("lsn", LongType), StructField("tier", IntegerType),
+        StructField("content_len", LongType),
+        StructField(LakeTable.DeletedCol, BooleanType, nullable = false))),
+      numBuckets = 4, epochs = Set.empty, filesRef = InlineFiles(Seq.empty)))
+    assert(EnrichedView.lastRefreshed(view).isEmpty)
+    val s1 = EnrichedView.refresh(base, view, enrichWith(dim(base)),
+      numBuckets = 4, saltBuckets = 2)
+    assert(s1.initialFull && !s1.noOp)
+    assert(canon(view.read()) == oracle(base))
+  }
+
   test("refresh_enriched_view: the SQL CALL surface builds and maintains the view") {
     val work = TestSpark.tmpDir("enrichsql")
     ChangeGen.writeLog(spark, GenConfig(nEvents = 900L), s"$work/l1", nBatches = 1, partitions = 2)

@@ -467,6 +467,22 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.vacuum(table, retentionMs = 0L) == Seq("v99-inflight"))
   }
 
+  test("vacuum sweeps aged _dml staging dirs (crashed DML), spares fresh ones") {
+    val (table, _) = replayed(300L, 1)
+    val fs = new org.apache.hadoop.fs.Path(table.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed GraftDeltaBatchWrite strands its staging dir: no snapshot
+    // ever references _dml, so only this sweep can reclaim it
+    val stranded = new org.apache.hadoop.fs.Path(s"${table.root}/_dml/q-dead")
+    fs.mkdirs(stranded)
+    val out = fs.create(new org.apache.hadoop.fs.Path(stranded, "task-0.jsonl"), true)
+    out.write("{}".getBytes); out.close()
+    assert(Maintenance.vacuum(table).isEmpty, "fresh staging must survive retention")
+    assert(fs.exists(stranded))
+    assert(Maintenance.vacuum(table, retentionMs = 0L).contains("_dml/q-dead"))
+    assert(!fs.exists(stranded))
+  }
+
   test("compactMeta swap interrupted between renames is repaired on read") {
     val cfg = GenConfig(nEvents = 400L)
     val work = TestSpark.tmpDir("metarepair")

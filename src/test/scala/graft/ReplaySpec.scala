@@ -53,6 +53,38 @@ class ReplaySpec extends AnyFunSuite {
     }
   }
 
+  test("stray batch-* entries (snapshot copy, half-written dir) do not abort or double-read") {
+    // listBatches' tolerance invariant must hold for BOTH batch entry
+    // points: per-epoch replay AND the one-shot replayAll (which used a
+    // raw batch-* glob that ingested exactly these entries)
+    val cfg = GenConfig(nEvents = 1500L, nRepos = 10, pathsPerRepo = 20)
+    val work = TestSpark.tmpDir("straybatch")
+    ChangeGen.writeLog(spark, cfg, s"$work/log", nBatches = 3, partitions = 2)
+    val fs = new org.apache.hadoop.fs.Path(s"$work/log")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a snapshot copy of a real batch (would double-apply its events)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$work/log/batch-00001"),
+      fs, new org.apache.hadoop.fs.Path(s"$work/log/batch-00001.bak"),
+      false, spark.sparkContext.hadoopConfiguration)
+    // a half-written spool dir with a corrupt part file (would abort)
+    val tmpDir = new org.apache.hadoop.fs.Path(s"$work/log/batch-tmp")
+    fs.mkdirs(tmpDir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmpDir, "part-0.parquet"), true)
+    out.write(Array[Byte](0x13, 0x37)); out.close()
+
+    val t1 = new LakeTable(spark, s"$work/t1")
+    BatchReplay.replay(spark, s"$work/log", t1, numBuckets = 4)
+    val t2 = new LakeTable(spark, s"$work/t2")
+    BatchReplay.replayAll(spark, s"$work/log", t2, numBuckets = 4)
+    val want = expectedOf(cfg)
+    Seq(t1, t2).foreach { t =>
+      val got = stateOf(t)
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, v) => assert(v == want(k), s"row mismatch at $k") }
+    }
+  }
+
   test("re-delivering a committed epoch is a no-op (exactly-once)") {
     val cfg = GenConfig(nEvents = 800L)
     val work = TestSpark.tmpDir("idem")
