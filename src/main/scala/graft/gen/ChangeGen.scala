@@ -33,13 +33,10 @@ final case class GenConfig(
 
 object ChangeGen {
 
-  /** splitmix64 finalizer — a public-domain mixing function. */
-  def mix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  /** splitmix64 finalizer — ONE kernel ([[graft.functions.Hashing.mix64]]):
+    * fixtures cross-check generator hashes against engine hashes, so a
+    * second copy drifting would silently desynchronize them. */
+  def mix(x0: Long): Long = graft.functions.Hashing.mix64(x0)
 
   private def h(seed: Long, lsn: Long, stream: Long): Long =
     mix(mix(seed ^ (stream * 0x9e3779b97f4a7c15L)) ^ lsn)

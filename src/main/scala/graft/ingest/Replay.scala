@@ -167,6 +167,11 @@ object StreamingReplay {
     // event (which fires after the batch commits) by the listener below
     val batchStats = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]()
     val written = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+    // rows whose append has LANDED (vs `written` = claimed): the drain
+    // below must wait on landed — a claim made by the async listener with
+    // the parquet append still in flight would otherwise satisfy it, and
+    // run() would return before the row is readable (observed flake)
+    val landed = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
     val runId = new java.util.concurrent.atomic.AtomicReference[String]("")
     def writeMetricsRow(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
       val bid = p.batchId
@@ -182,6 +187,7 @@ object StreamingReplay {
           .coalesce(1)
         graft.merge.Meta.atomicAppend(table, smDf,
           s"${table.root}/meta/stream_metrics", "parquet")
+        landed.add(bid): Unit
       }
     }
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -270,8 +276,8 @@ object StreamingReplay {
       // its row, re-draining recentProgress, before declaring run() done.
       if (recordMeta) {
         import scala.jdk.CollectionConverters._
-        def pending = batchStats.keySet.asScala.exists(b => !written.contains(b))
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        def pending = batchStats.keySet.asScala.exists(b => !landed.contains(b))
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
         q.recentProgress.foreach(p => writeMetricsRow(p))
         while (pending && System.nanoTime() < deadline) {
           Thread.sleep(50)

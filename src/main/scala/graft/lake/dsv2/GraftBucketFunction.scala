@@ -39,8 +39,13 @@ object GraftBucketFunction extends UnboundFunction {
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
     override def canonicalName(): String = "graft.bucket"
-    override def isResultNullable: Boolean = false
+    // null repo → null bucket (Iceberg's bucket-transform convention):
+    // Spark may evaluate the bound function over the OTHER side of a
+    // storage-partitioned join, whose key can be nullable — an NPE here
+    // would fail the job for a row an equi-join drops anyway
+    override def isResultNullable: Boolean = true
     override def produceResult(input: InternalRow): Integer = {
+      if (input.isNullAt(1)) return null
       val n = input.getInt(0)
       val repo = input.getUTF8String(1)
       val h = org.apache.spark.sql.catalyst.expressions.XXH64

@@ -164,6 +164,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
     val path = pathOf(ident)
     if (snapshotIfAny(path).isDefined) throw new TableAlreadyExistsException(ident)
     val numBuckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(16)
+    schema.fields.foreach(f => GraftCatalog.requireReadableType(f.name, f.dataType))
     val physical = StructType(schema.fields.filterNot(_.name == LakeTable.DeletedCol))
       .add(StructField(LakeTable.DeletedCol, BooleanType, nullable = false))
     // an empty v0: the first INSERT/merge initializes the high-water mark
@@ -203,6 +204,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
               "ALTER have no value for it)")
           require(add.dataType() != NullType, s"new column $name needs a real type")
           require(!current.fieldNames.contains(name), s"column $name already exists")
+          GraftCatalog.requireReadableType(name, add.dataType())
           StructField(name, add.dataType(), nullable = true)
         case up: TableChange.UpdateColumnType =>
           require(up.fieldNames().length == 1,
@@ -619,4 +621,21 @@ private final class GraftResultScan(schema: StructType, rs: Array[InternalRow])
     extends LocalScan {
   override def readSchema(): StructType = schema
   override def rows(): Array[InternalRow] = rs
+}
+
+/** DDL-time schema validation: the set of column types the graft row
+  * reader can decode (GraftPartitionReader.readValue). Accepting a
+  * richer type at CREATE/ALTER time would commit a table that is
+  * permanently unreadable through the row path — fail at DDL instead. */
+object GraftCatalog {
+  private val Readable: Set[org.apache.spark.sql.types.DataType] = Set(
+    StringType, LongType, IntegerType, DoubleType, FloatType,
+    BooleanType, BinaryType, TimestampType, TimestampNTZType)
+
+  private[dsv2] def requireReadableType(
+      name: String, t: org.apache.spark.sql.types.DataType): Unit =
+    require(Readable.contains(t),
+      s"column '$name' has type ${t.simpleString}, which the graft reader " +
+        "cannot decode (flat state schemas only: string/long/int/double/" +
+        "float/boolean/binary/timestamp)")
 }

@@ -65,7 +65,9 @@ class GraftDataSource extends TableProvider
 
   private def snapshotOf(options: CaseInsensitiveStringMap) =
     snapshotOpt(options).getOrElse(
-      throw new IllegalStateException(s"no snapshot at ${rootOf(options)}"))
+      throw new IllegalStateException(s"no snapshot at ${rootOf(options)} " +
+        "(writing a STREAM to a new table? pass .option(\"checkpointLocation\", ...) " +
+        "— it marks the sink target and is the exactly-once epoch-generation identity)"))
 
   /** A streaming WRITE to a not-yet-created table must not fail in table
     * resolution: the sink creates the table on its first batch. The
@@ -105,7 +107,17 @@ class GraftDataSource extends TableProvider
     def opt(k: String) = parameters.collectFirst { case (n, v) if n.equalsIgnoreCase(k) => v }
     val path = opt("path").getOrElse(
       throw new IllegalArgumentException("graft sink requires a path"))
-    new GraftSink(path, opt("checkpointLocation").getOrElse(path),
+    // the checkpoint IS the epoch-generation identity (GraftSink scaladoc).
+    // Only USER-SET options reach a V1 sink: a checkpoint resolved from
+    // the session conf or a temp dir would be invisible here, and falling
+    // back to the table path would make every fresh-checkpoint stream
+    // share the previous generation's epoch ids — its batches ledger-skip
+    // as crash-retries and data silently drops. Require it explicitly.
+    val cp = opt("checkpointLocation").getOrElse(throw new IllegalArgumentException(
+      "graft sink requires .option(\"checkpointLocation\", ...) — the checkpoint is " +
+        "the stream's exactly-once epoch-generation identity; a session-conf or " +
+        "temporary checkpoint does not reach the sink and cannot provide one"))
+    new GraftSink(path, cp,
       numBuckets = opt("numBuckets").map(_.toInt),
       saltBuckets = opt("saltBuckets").map(_.toInt).getOrElse(2),
       recordMeta = opt("recordMeta").exists(_.toBoolean),
@@ -670,5 +682,7 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
       startingVersion = Option(options.get("startingVersion")).map(_.toLong),
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
       maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
+        .getOrElse(GraftSplit.DefaultMaxSplitBytes),
       branch = BranchOpt.of(options))
 }

@@ -64,6 +64,7 @@ final class GraftMicroBatchStream(
     startingVersion: Option[Long],
     maxVersionsPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long] = None,
+    maxSplitBytes: Long = GraftSplit.DefaultMaxSplitBytes,
     branch: String = graft.lake.LakeTable.MainBranch)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -141,7 +142,7 @@ final class GraftMicroBatchStream(
     if (toV <= fromV) return Array.empty
     val t = table
     val (entries, bound) = GraftChanges.entriesAfter(t, fromV, t.snapshotAt(toV))
-    GraftSplit.partitions(root, entries, bound, GraftSplit.DefaultMaxSplitBytes)
+    GraftSplit.partitions(root, entries, bound, maxSplitBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

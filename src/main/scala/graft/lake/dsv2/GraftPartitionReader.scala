@@ -104,11 +104,8 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
 
   // the file's own schema decides what can be projected; requested
   // fields missing from the file surface as nulls
-  private val fileSchema: MessageType = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getFooter.getFileMetaData.getSchema finally r.close()
-  }
+  private val fileSchema: MessageType =
+    GraftPartitionReader.fileSchemaOf(absPath, path, conf)
   private def inFile(name: String): Boolean = fileSchema.containsField(name)
 
   // always read the tombstone flag (filtered here unless surfaced) and,
@@ -233,4 +230,34 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
   }
 
   override def close(): Unit = reader.close()
+}
+
+object GraftPartitionReader {
+  /** Per-executor cache of parquet file schemas. Lake data files are
+    * IMMUTABLE once published (uuid-named, never rewritten in place), so
+    * the path is a sound key. Saves one footer open+parse per SPLIT of a
+    * multi-split file and per revisit — streaming CDC consumers re-plan
+    * the same files every micro-batch, and object-storage footer reads
+    * are a round-trip each. (The data read below re-reads its own footer
+    * inside ParquetReader.build(); this cache halves the constructor's
+    * share.) Bounded LRU, access-ordered. */
+  private val SchemaCacheMax = 1024
+  private val schemaCache =
+    new java.util.LinkedHashMap[String, MessageType](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, MessageType]): Boolean =
+        size() > SchemaCacheMax
+    }
+
+  private def fileSchemaOf(key: String, path: Path, conf: Configuration): MessageType = {
+    schemaCache.synchronized {
+      val hit = schemaCache.get(key)
+      if (hit != null) return hit
+    }
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val s = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    schemaCache.synchronized { schemaCache.put(key, s): Unit }
+    s
+  }
 }

@@ -106,13 +106,16 @@ object TextOps {
     docs(s, dir).select(
       col("doc_id"),
       size(fns.wsTokens(col("text"))).as("n_ws_tokens"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+      // explicit whitespace class, NOT \s: Java's \s matches \x0B where
+      // RE2's does not, so the engines would disagree on a vertical-tab
+      // byte (the q39/wsTokens rule; \x0B itself counts as a symbol)
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]"), lit(0))).as("n_bpe_tokens"),
       length(col("text")).as("n_chars_m"))
 
   val q12Sql: String =
     """SELECT doc_id,
       |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
-      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]')) AS n_bpe_tokens,
       |  length(text) AS n_chars_m
       |FROM documents""".stripMargin
 

@@ -823,6 +823,46 @@ class Dsv2Spec extends AnyFunSuite {
     assert(t.currentSnapshot().get.version == vBefore)
   }
 
+  test("DDL rejects column types the reader cannot decode; sink requires a checkpoint") {
+    val wh = TestSpark.tmpDir("dsv2ddlval")
+    spark.conf.set("spark.sql.catalog.graft_val",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_val.warehouse", wh)
+    // CREATE with a nested type must fail AT DDL TIME — accepting it
+    // would commit a table permanently unreadable through the row path
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE graft_val.db.bad (repo STRING, tags ARRAY<STRING>) " +
+        "TBLPROPERTIES ('buckets'='2')"))
+    assert(e1.getMessage.contains("cannot decode"), e1.getMessage)
+    assert(new graft.lake.LakeTable(spark, s"$wh/db/bad").currentSnapshot().isEmpty,
+      "failed DDL must not leave a snapshot")
+    spark.sql("CREATE TABLE graft_val.db.ok (lsn BIGINT, repo STRING, path STRING) " +
+      "TBLPROPERTIES ('buckets'='2')")
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_val.db.ok ADD COLUMN m MAP<STRING,STRING>"))
+    assert(e2.getMessage.contains("cannot decode"), e2.getMessage)
+    // a sink without an explicit checkpointLocation cannot derive its
+    // epoch-generation identity (a conf-resolved checkpoint never reaches
+    // the V1 sink) — it must refuse rather than silently reuse the path
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val e3 = intercept[Exception](
+      ms.toDF().toDF("lsn", "repo").writeStream.format("graft")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$wh/nockpt"))
+    assert(e3.getMessage.contains("checkpointLocation"), e3.getMessage)
+    // the EXISTING-table case is where the old path fallback silently
+    // collided generations (Spark hands the sink a TEMP checkpoint it
+    // never names in the options) — it must refuse too
+    val e4 = intercept[Exception](
+      ms.toDF().toDF("lsn", "repo").writeStream.format("graft")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$wh/db/ok"))
+    assert(e4.getMessage.contains("checkpointLocation"), e4.getMessage)
+  }
+
   test("catalog: namespaces, CTAS, TIMESTAMP AS OF, CALL expire_snapshots") {
     val wh = TestSpark.tmpDir("dsv2cat2")
     spark.conf.set("spark.sql.catalog.graft_c2",
