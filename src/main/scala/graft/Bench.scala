@@ -15,15 +15,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private def querySession(cpus: Int): SparkSession = {
-    val b0 = SparkSession.builder()
-    val b1 = if (sys.props.contains("spark.master") || sys.env.contains("MASTER")) b0
-             else b0.master(s"local[$cpus]")
-    val s = b1
-      .appName(s"graft-bench-queries")
-      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
-      .config("spark.sql.session.timeZone", "UTC")
+    val s = Sessions.builder("graft-bench-queries", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -44,28 +37,34 @@ object Bench {
       try SparkEntry.queries(w)(sq, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(sq, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     sq.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // failures must be VISIBLE in the machine-parsed line, not only on
+    // stderr — a missing dataset would otherwise print a spectacular
+    // ~1 s "total" with every query silently broken
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // queries-only mode: ad-hoc suite timings at other scale factors
     // (e.g. the sf1 headroom run in BASELINE.md) without the ~22-minute
     // scaling protocol. The driver never sets this.
     if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
       return
     }
 
     // ---- part 2: CDC replay scaling protocol ---------------------------
-    val coreList = sys.env.getOrElse("SPARK_GRAFT_CORES_LIST", "2,8")
-      .split(',').map(_.trim.toInt).toSeq
-    val r = BenchCdc.runScaling(coreList)
+    val r = BenchCdc.runScaling(BenchCdc.coreListFromEnv())
     val (nC, mC) = (r.nCores, r.mCores)
     val e = r.est
     // rep_secs keeps its historical [[cores, secs], ...] shape; "reps"
@@ -84,6 +83,6 @@ object Bench {
       f""""efficiency_paired_best":${opt(e.effPairedBest)},""" +
       f""""final_rows":${r.rows},"rep_secs":$repsJson,"reps":$repsFull}"""
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cdc":$cdc,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"cdc":$cdc,"sf":"$sfDir"}""")
   }
 }

@@ -42,16 +42,7 @@ object BenchCdc {
   }
 
   def session(cpus: Int): SparkSession = {
-    // honor an externally-provided master (spark-submit --master) so the
-    // same mains run unchanged on a real cluster; local[cpus] is the
-    // sandbox default
-    val b0 = SparkSession.builder()
-    val b1 = if (sys.props.contains("spark.master") || sys.env.contains("MASTER")) b0
-             else b0.master(s"local[$cpus]")
-    val s = b1
-      .appName(s"graft-cdc-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
-      .config("spark.sql.session.timeZone", "UTC")
+    val s = Sessions.builder(s"graft-cdc-bench-$cpus", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "false"))
       // keep the shuffle at 2×cores partitions: AQE's size-based coalescing
@@ -65,7 +56,6 @@ object BenchCdc {
       .config("spark.memory.offHeap.enabled",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OFFHEAP", "true"))
       .config("spark.memory.offHeap.size", "6g")
-      .config("spark.ui.enabled", "false")
       // extra confs: "k=v;k=v" passthrough for experiments
       .applyExtra()
       .getOrCreate()
@@ -97,9 +87,22 @@ object BenchCdc {
     * (tools.ReplayProbe) — same knobs, same log. */
   private[graft] def probeCfg: Cfg = cfgFromEnv
 
-  private def cfgFromEnv = Cfg(
-    nEvents = envLong("SPARK_GRAFT_BENCH_EVENTS", 8000000L),
-    nBatches = envInt("SPARK_GRAFT_BENCH_BATCHES", 1),
+  private def cfgFromEnv = {
+    val nEvents = envLong("SPARK_GRAFT_BENCH_EVENTS", 8000000L)
+    val rawBatches = envInt("SPARK_GRAFT_BENCH_BATCHES", 1)
+    // more batches than events: ChangeGen skips the empty tail dirs, so
+    // ensureLogs' last-batch sentinel would never exist and every run
+    // would silently regenerate from scratch — clamp loudly instead
+    val batches = math.min(rawBatches.toLong, math.max(1L, nEvents)).toInt
+    if (batches != rawBatches)
+      System.err.println(s"SPARK_GRAFT_BENCH_BATCHES=$rawBatches exceeds " +
+        s"EVENTS=$nEvents; clamped to $batches")
+    cfgWith(nEvents, batches)
+  }
+
+  private def cfgWith(nEvents: Long, nBatches: Int) = Cfg(
+    nEvents = nEvents,
+    nBatches = nBatches,
     buckets = envInt("SPARK_GRAFT_BENCH_BUCKETS", 16),
     // salt 16: the workload's 30%-hot repo makes ONE bucket hold 30% of
     // the batch; at salt 4 its window partitions were ~6.5× the average
@@ -113,9 +116,16 @@ object BenchCdc {
     pathsPerRepo = envInt("SPARK_GRAFT_BENCH_PATHS", 200),
     format = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORMAT", "json"))
 
-  /** Generate the timed log + a small warmup log if not present. */
+  /** Generate the timed log + a small warmup log if not present. Both
+    * sentinels are checked (a run interrupted between the two writeLogs
+    * would otherwise leave warmups as SILENT no-ops forever — a missing
+    * warm dir replays an empty batch list without error), and both are
+    * re-verified after generation so a probe/generator mismatch fails
+    * loudly instead of regenerating on every run. */
   def ensureLogs(cfg: Cfg): Unit = {
-    if (!new java.io.File(f"${cfg.logDir}/batch-${cfg.nBatches - 1}%05d").exists()) {
+    val timedSentinel = new java.io.File(f"${cfg.logDir}/batch-${cfg.nBatches - 1}%05d")
+    val warmSentinel = new java.io.File(s"${cfg.warmLogDir}/batch-00000")
+    if (!timedSentinel.exists() || !warmSentinel.exists()) {
       rm(cfg.work)
       val sg = session(32)
       ChangeGen.writeLog(sg,
@@ -126,6 +136,9 @@ object BenchCdc {
           nRepos = cfg.nRepos, pathsPerRepo = cfg.pathsPerRepo),
         cfg.warmLogDir, nBatches = 1, partitions = 32, format = cfg.format)
       sg.stop()
+      require(timedSentinel.exists() && warmSentinel.exists(),
+        s"log generation left no ${timedSentinel} / ${warmSentinel} — " +
+          "generator batch layout disagrees with the sentinel probe")
     }
   }
 
@@ -225,12 +238,16 @@ object BenchCdc {
     // "clean" unobtainable on any shared box.
     val pinned = pinnedSet(cpus)
     val tableDir = s"${cfg.work}/table_$cpus"
-    (1 to reps).foreach { _ =>
-      val (secs, rows, ext, gc) = timedRep(spark, cfg, tableDir, pinned)
-      println(f"CHILD_REP $secs%.3f,$rows,$ext%.3f,$gc%.3f")
+    try
+      (1 to reps).foreach { _ =>
+        val (secs, rows, ext, gc) = timedRep(spark, cfg, tableDir, pinned)
+        println(f"CHILD_REP $secs%.3f,$rows,$ext%.3f,$gc%.3f")
+      }
+    finally {
+      // the table lives on tmpfs (host RAM): clean even when a rep threw
+      rm(tableDir)
+      spark.stop()
     }
-    rm(tableDir)
-    spark.stop()
   }
 
   private def warmedSession(cpus: Int, cfg: Cfg): SparkSession = {
@@ -258,15 +275,19 @@ object BenchCdc {
     println("CHILD_READY")
     System.out.flush()
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
-    var line = in.readLine()
-    while (line != null && line.trim == "rep") {
-      val (secs, rows, ext, gc) = timedRep(spark, cfg, tableDir, pinned)
-      println(f"CHILD_REP $secs%.3f,$rows,$ext%.3f,$gc%.3f")
-      System.out.flush()
-      line = in.readLine()
+    try {
+      var line = in.readLine()
+      while (line != null && line.trim == "rep") {
+        val (secs, rows, ext, gc) = timedRep(spark, cfg, tableDir, pinned)
+        println(f"CHILD_REP $secs%.3f,$rows,$ext%.3f,$gc%.3f")
+        System.out.flush()
+        line = in.readLine()
+      }
+    } finally {
+      // tmpfs-resident table: reclaim host RAM even on a throwing rep
+      rm(tableDir)
+      spark.stop()
     }
-    rm(tableDir)
-    spark.stop()
   }
 
   /** The pinned-child command line (shared by the batch and stepping
@@ -283,6 +304,12 @@ object BenchCdc {
     Seq("taskset", "-c", cpuset, javaBin) ++ jvmArgs ++ extra ++
       Seq(s"-XX:ActiveProcessorCount=$cpus", "-cp", cp, "graft.BenchCdc") ++ args
   }
+
+  /** Upper bound on one child rep (incl. the one-off JVM+Spark warmup
+    * before CHILD_READY). Generous vs the ~15-110 s observed range; a
+    * rep exceeding it is treated as wedged and its child replaced. */
+  private val RepTimeoutSecs: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_TIMEOUT", "900").toLong
 
   /** A persistent pinned stepping child (see [[childStepMain]]): spawn +
     * warm once, then each `step()` runs exactly one timed rep. `None` from
@@ -308,22 +335,34 @@ object BenchCdc {
     private val in = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(p.getOutputStream))
 
-    private def readUntil(prefix: String): Option[String] = {
-      var line = out.readLine()
-      while (line != null && !line.startsWith(prefix)) line = out.readLine()
-      Option(line)
+    /** Read lines until one starts with `prefix`, giving up (None) at the
+      * deadline — a WEDGED child rep (deadlocked task, full tmpfs) must
+      * not hang the whole bench past its budget; readLine alone would
+      * block forever. Polls ready() so the block happens only when a
+      * line is (at least partially) available. */
+    private def readUntil(prefix: String, timeoutSecs: Long): Option[String] = {
+      val deadline = System.nanoTime() + timeoutSecs * 1000L * 1000 * 1000
+      while (System.nanoTime() < deadline) {
+        if (out.ready()) {
+          val line = out.readLine()
+          if (line == null) return None
+          if (line.startsWith(prefix)) return Some(line)
+        } else Thread.sleep(100)
+      }
+      None
     }
 
     /** Blocks through the child's warmup; false = child unusable. */
     val ready: Boolean =
-      try readUntil("CHILD_READY").isDefined
+      try readUntil("CHILD_READY", RepTimeoutSecs).isDefined
       catch { case _: Throwable => false }
 
-    /** One timed rep: (secs, rows, extCores, gcSecs). */
+    /** One timed rep: (secs, rows, extCores, gcSecs); None = dead OR
+      * wedged past [[RepTimeoutSecs]] (callers close + fall back). */
     def step(): Option[(Double, Long, Double, Double)] =
       try {
         in.write("rep\n"); in.flush()
-        readUntil("CHILD_REP ").map(parseChildRep)
+        readUntil("CHILD_REP ", RepTimeoutSecs).map(parseChildRep)
       } catch { case _: Throwable => None }
 
     def close(): Unit = {
@@ -345,11 +384,19 @@ object BenchCdc {
   }
 
   /** Spawn a pinned child running `reps` timed replays; parse its per-rep
-    * lines. Falls back to ONE in-process unpinned rep if the child cannot
-    * run (missing taskset, cpuset-denied mask, crash) — an aborted bench
-    * helps nobody; fallback reps carry ext = -1 (never "clean"). */
-  private def measurePinned(cpus: Int, reps: Int, cfg: Cfg): ScalingEstimator.LegResult = {
-    val cmd = childCmd(cpus, s"0-${cpus - 1}", Seq("child", cpus.toString, reps.toString))
+    * lines. `cpuset` is the child's core set — callers MUST pass the same
+    * set the leg's stepped child used (the N-core leg pins to the TOP
+    * cores when both stepped children coexist), else this fallback would
+    * overlap the surviving sibling's pinned cores and contaminate exactly
+    * the measurement the disjoint guard protects. Falls back to ONE
+    * in-process unpinned rep if the child cannot run (missing taskset,
+    * cpuset-denied mask, crash) — an aborted bench helps nobody; fallback
+    * reps carry ext = [[ScalingEstimator.UnpinnedExt]], which EXCLUDES
+    * them from the minima whenever the leg has pinned evidence (an
+    * unpinned local[N] borrows idle cores and would overstate the leg). */
+  private def measurePinned(cpus: Int, reps: Int, cfg: Cfg,
+                            cpuset: String): ScalingEstimator.LegResult = {
+    val cmd = childCmd(cpus, cpuset, Seq("child", cpus.toString, reps.toString))
     def fallback(reason: String): ScalingEstimator.LegResult = {
       System.err.println(s"pinned child failed ($reason); running in-process unpinned")
       val spark = session(cpus)
@@ -363,20 +410,35 @@ object BenchCdc {
         val tableDir = s"${cfg.work}/table_$cpus"
         val (secs, rows, _, _) = timedRep(spark, cfg, tableDir, 0 until 0)
         rm(tableDir)
-        ScalingEstimator.LegResult(Seq((secs, -1.0)), rows)
+        ScalingEstimator.LegResult(Seq((secs, ScalingEstimator.UnpinnedExt)), rows)
       } finally spark.stop()
     }
     try {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
       sys.env.foreach { case (k, v) => pb.environment().put(k, v) }
-      // batch children pin to 0..n-1; a stepping child's cpuset leaked
-      // through the parent env would mis-aim their /proc/stat accounting
-      pb.environment().remove("GRAFT_CHILD_CPUSET")
+      // aim the child's /proc/stat accounting at ITS cpuset (a stepping
+      // child's leaked env value would mis-aim it)
+      if (cpuset == s"0-${cpus - 1}") pb.environment().remove("GRAFT_CHILD_CPUSET")
+      else pb.environment().put("GRAFT_CHILD_CPUSET", cpuset)
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val exit = p.waitFor()
+      // collect stdout on a thread so a bounded waitFor can kill a WEDGED
+      // child (readAllBytes first would block past any budget)
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val collector = new Thread(() => {
+        try p.getInputStream.transferTo(outBuf): Unit
+        catch { case _: Throwable => () }
+      })
+      collector.setDaemon(true)
+      collector.start()
+      val budget = RepTimeoutSecs * (reps + 1) // + warmup
+      if (!p.waitFor(budget, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(): Unit
+        p.waitFor(15, java.util.concurrent.TimeUnit.SECONDS): Unit
+      }
+      collector.join(2000)
+      val out = outBuf.toString(java.nio.charset.StandardCharsets.UTF_8)
+      val exit = if (p.isAlive) -1 else p.exitValue()
       val repLines = out.linesIterator.filter(_.startsWith("CHILD_REP ")).toSeq
       if (exit == 0 && repLines.nonEmpty) {
         val parsed = repLines.map(parseChildRep)
@@ -439,13 +501,19 @@ object BenchCdc {
     def batchReps(cores: Int, n: Int): Int =
       math.max(n, if (cores == mC && nC != mC) 6 else 2)
     val children = scala.collection.mutable.Map.empty[Int, Option[SteppedChild]]
+    // ONE cpuset rule for a leg, shared by the stepped child AND the
+    // batch fallback: under the disjoint (stepped) regime the N-core leg
+    // lives on the TOP cores — a fallback child pinned to 0..n-1 there
+    // would overlap the surviving mC stepped sibling's cores, inflating
+    // the very reps the disjoint guard exists to keep clean
+    def cpusetFor(cores: Int): String =
+      if (disjoint && cores == nC && nC != mC) s"${avail - nC}-${avail - 1}"
+      else s"0-${cores - 1}"
     def childFor(cores: Int): Option[SteppedChild] =
       children.getOrElseUpdate(cores, {
         if (!disjoint) None
         else {
-          val cpuset =
-            if (cores == nC && nC != mC) s"${avail - nC}-${avail - 1}"
-            else s"0-${cores - 1}"
+          val cpuset = cpusetFor(cores)
           try {
             val c = new SteppedChild(cores, cpuset)
             if (c.ready) Some(c)
@@ -485,7 +553,7 @@ object BenchCdc {
             }
           if (!died) fromChild.get // loop only exits undied with all n drawn
           else {
-            val batch = measurePinned(cores, batchReps(cores, want - drawn.length), cfg)
+            val batch = measurePinned(cores, batchReps(cores, want - drawn.length), cfg, cpusetFor(cores))
             fromChild match {
               case Some(cr) =>
                 require(cr.rows == batch.rows,
@@ -494,7 +562,7 @@ object BenchCdc {
               case None => batch
             }
           }
-        case None => measurePinned(cores, batchReps(cores, n), cfg)
+        case None => measurePinned(cores, batchReps(cores, n), cfg, cpusetFor(cores))
       }
     val t0 = System.nanoTime()
     try {
@@ -510,6 +578,23 @@ object BenchCdc {
     } finally children.values.flatten.foreach(_.close())
   }
 
+  /** SPARK_GRAFT_CORES_LIST parsed + VALIDATED — the one entry point for
+    * both mains (Bench previously parsed it unvalidated: an over-avail
+    * core count silently degraded every leg to the unpinned fallback
+    * with local[N] oversubscribing the host, printing normal-looking but
+    * meaningless numbers). */
+  private[graft] def coreListFromEnv(): Seq[Int] = {
+    val coreList = sys.env.getOrElse("SPARK_GRAFT_CORES_LIST", "2,8")
+      .split(',').map(_.trim.toInt).toSeq
+    val avail = Runtime.getRuntime.availableProcessors
+    require(coreList.forall(c => c >= 1 && c <= avail),
+      s"SPARK_GRAFT_CORES_LIST $coreList exceeds available processors ($avail)")
+    if (coreList.size > 2)
+      System.err.println(s"two-cluster protocol measures only the first and " +
+        s"last of SPARK_GRAFT_CORES_LIST; ignoring ${coreList.tail.init.mkString(",")}")
+    coreList
+  }
+
   def main(args: Array[String]): Unit = {
     // CHILD_REP and the JSON result lines are machine-parsed; pin the
     // default locale so f"%.3f" never emits comma decimal separators.
@@ -523,14 +608,7 @@ object BenchCdc {
       childStepMain(args(1).toInt, cfgFromEnv)
       sys.exit(0)
     }
-    val coreList = sys.env.getOrElse("SPARK_GRAFT_CORES_LIST", "2,8")
-      .split(',').map(_.trim.toInt).toSeq
-    val avail = Runtime.getRuntime.availableProcessors
-    require(coreList.forall(c => c >= 1 && c <= avail),
-      s"SPARK_GRAFT_CORES_LIST $coreList exceeds available processors ($avail)")
-    if (coreList.size > 2)
-      System.err.println(s"two-cluster protocol measures only the first and " +
-        s"last of SPARK_GRAFT_CORES_LIST; ignoring ${coreList.tail.init.mkString(",")}")
+    val coreList = coreListFromEnv()
     val r = runScaling(coreList)
     Seq(r.nCores, r.mCores).distinct.foreach { cpus =>
       println(f"""{"cores":$cpus,"secs":${r.est.minSecs(cpus)}%.2f,"events_per_sec":${r.throughput(cpus)},"rows":${r.rows}}""")

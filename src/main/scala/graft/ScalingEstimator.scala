@@ -40,10 +40,26 @@ object ScalingEstimator {
   /** One measured repetition.
     * @param extCores external busy cores measured on the pinned CPU set
     *                 during the rep (co-tenant processes + hypervisor
-    *                 steal); negative = unknown (treated as not-clean)
+    *                 steal); -1 = pinned but unmeasurable (treated as
+    *                 not-clean); [[UnpinnedExt]] (-2) = the in-process
+    *                 UNPINNED fallback — an unpinned local[N] run borrows
+    *                 idle cores and can beat any honest pinned run, so
+    *                 these reps are EXCLUDED from the minima whenever the
+    *                 leg has at least one pinned rep (see preferPinned)
     * @param round    interleaved parent round id (rounds with both legs
     *                 contribute to the paired estimators) */
   final case class Rep(cores: Int, secs: Double, extCores: Double, round: Int)
+
+  /** extCores sentinel for unpinned-fallback reps. */
+  val UnpinnedExt: Double = -2.0
+
+  /** A leg's usable reps: pinned ones when any exist (an unpinned
+    * fallback rep may only carry a leg that has NO pinned evidence at
+    * all — better a flagged degraded number than none). */
+  private def preferPinned(rs: Seq[Rep]): Seq[Rep] = {
+    val pinned = rs.filter(_.extCores > UnpinnedExt + 0.5)
+    if (pinned.nonEmpty) pinned else rs
+  }
 
   /** A rep is "clean" when the kernel saw at most this much external load
     * (in cores) on the pinned set while it ran. 0.25 of one core across a
@@ -68,8 +84,12 @@ object ScalingEstimator {
     /** max of the defined estimators — see the object scaladoc. */
     def headline: Double =
       (Seq(effMinOfK) ++ effClean ++ effPairedMedian ++ effPairedBest).max
-    /** True when both legs have at least one kernel-certified clean rep —
-      * the stop condition the adaptive sampler hunts for. */
+    /** True when both legs have at least one kernel-certified clean rep.
+      * REPORTING/spec accessor only — the adaptive sampler's stop
+      * condition is `headline >= targetEff` (phase 2's FOCUS heuristic
+      * steers toward a leg lacking a clean rep, but never requires one
+      * to stop). Structurally unsatisfiable when nCores == mCores (one
+      * leg level). */
     def bothLegsClean: Boolean = cleanMinSecs.size >= 2
   }
 
@@ -86,8 +106,8 @@ object ScalingEstimator {
     val byLevel = reps.groupBy(_.cores)
     require(byLevel.contains(nCores) && byLevel.contains(mCores),
       s"need reps at both $nCores and $mCores cores, have ${byLevel.keySet}")
-    val minN = byLevel(nCores).map(_.secs).min
-    val minM = byLevel(mCores).map(_.secs).min
+    val minN = preferPinned(byLevel(nCores)).map(_.secs).min
+    val minM = preferPinned(byLevel(mCores)).map(_.secs).min
 
     val clean = reps.filter(r => r.extCores >= 0 && r.extCores <= CleanExtCores)
     val cleanMin = clean.groupBy(_.cores).view.mapValues(_.map(_.secs).min).toMap
@@ -99,8 +119,8 @@ object ScalingEstimator {
     val pairedRounds = reps.groupBy(_.round).values.toSeq
       .filter(rs => rs.exists(_.cores == nCores) && rs.exists(_.cores == mCores))
       .map { rs =>
-        val rn = rs.filter(_.cores == nCores).map(_.secs).min
-        val rm = rs.filter(_.cores == mCores).map(_.secs).min
+        val rn = preferPinned(rs.filter(_.cores == nCores)).map(_.secs).min
+        val rm = preferPinned(rs.filter(_.cores == mCores)).map(_.secs).min
         (rn, eff(rn, rm))
       }
     val eligible = pairedRounds.filter(_._1 <= PairedNumeratorGuard * minN)

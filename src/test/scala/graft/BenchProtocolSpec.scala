@@ -151,6 +151,25 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(BenchCdc.parseCpuset(None, 2) == (0 until 2))
   }
 
+  test("unpinned-fallback reps cannot drag a leg's minimum below its pinned floor") {
+    // an unpinned local[N] run borrows idle cores and can beat any honest
+    // pinned run; such reps (ext = UnpinnedExt) must be EXCLUDED from the
+    // minima whenever the leg has pinned evidence — else a failed 4N
+    // child inflates the headline through min-of-K
+    val reps = Seq(
+      Rep(2, 60.0, 0.1, 1), Rep(8, 20.0, 0.1, 1),      // pinned, clean
+      Rep(8, 12.0, UnpinnedExt, 2),                     // unpinned fallback, "too fast"
+      Rep(2, 62.0, -1, 2))
+    val e = estimate(reps, 2, 8)
+    assert(e.minSecs(8) == 20.0, s"unpinned 12.0 leaked into the minimum: ${e.minSecs}")
+    assert(e.effMinOfK == (60.0 / 20.0) / 4)
+    // a leg with ONLY unpinned reps still reports (degraded beats absent)
+    val only = Seq(Rep(2, 60.0, 0.1, 1), Rep(8, 12.0, UnpinnedExt, 1))
+    assert(estimate(only, 2, 8).minSecs(8) == 12.0)
+    // and an unpinned rep can never be "clean"
+    assert(estimate(reps, 2, 8).cleanMinSecs.get(8).contains(20.0))
+  }
+
   test("adaptive: rows must agree across every rep") {
     var first = true
     val bad: (Int, Int) => LegResult = (_, reps) => {
