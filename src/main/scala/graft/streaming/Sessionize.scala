@@ -69,14 +69,21 @@ object Sessionize {
   }
 
   /** Run sessionization over a parquet events directory as a file stream;
-    * results append to `outDir` as parquet. */
-  /** `watermark` must be set at or above the stream's maximum event-time
-    * disorder ACROSS triggers: the stateful operator drops input rows
-    * older than (max event time seen − watermark) — with the "0 seconds"
-    * default, any file whose events predate an earlier trigger's maximum
-    * silently loses those events (file streams order by mtime, not event
-    * time). The default assumes in-order file arrival; a spec drives the
-    * out-of-order case with a widened watermark. */
+    * results append to `outDir` as parquet.
+    *
+    * `watermark` must be set at or above the stream's maximum event-time
+    * disorder ACROSS triggers: the event-time-timeout stateful operator
+    * DROPS input rows older than the watermark before they reach the
+    * session state — the same bounded-state trade StreamingReplay's
+    * dedup documents. Two empirically-pinned (4.1.2) subtleties, both
+    * spec-driven: (a) the filter's watermark lags one batch beyond the
+    * advance (a late file arriving in the very next micro-batch after
+    * the watermark driver escapes the filter — do NOT rely on this, it
+    * is lag, not tolerance); (b) with a watermark ≥ the disorder the
+    * late rows survive, merge into their still-open session, and the
+    * stream reproduces the batch oracle exactly. Under-sized watermark =
+    * silently truncated sessions; recovery is the batch oracle
+    * ([[batchSessions]]) over the full log, which has no watermark. */
   def run(spark: SparkSession, eventsGlob: String, outDir: String, checkpoint: String,
           gap: String = "1 hour", maxFilesPerTrigger: Int = 4,
           watermark: String = "0 seconds"): Unit = {

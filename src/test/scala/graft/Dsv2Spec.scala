@@ -1095,7 +1095,8 @@ class Dsv2Spec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
 
     // a compaction-only range emits nothing and plans ZERO data files
-    Maintenance.compact(table, maxFilesPerBucket = 1)
+    assert(Maintenance.compact(table, maxFilesPerBucket = 1) > 0,
+      "premise: compaction must rewrite files")
     val v2 = table.currentSnapshot().get.version
     val none = spark.read.format("graft")
       .option("changesFrom", v).option("changesTo", v2).load(table.root)
@@ -1188,10 +1189,6 @@ class Dsv2Spec extends AnyFunSuite {
   // readStream.format("graft"): incremental CDC source
   // -------------------------------------------------------------------
 
-  /** Run one Trigger.AvailableNow pass into a parquet sink (the memory
-    * sink cannot recover from a checkpoint, so cross-run resume needs a
-    * durable sink). Returns (ALL rows accumulated in the sink so far,
-    * the stopped query for progress inspection). */
   test("streaming: maxBytesPerTrigger paces batches by manifest-recorded added bytes") {
     import spark.implicits._
     val table = build() // 2 commits, each adding files of known manifest size
@@ -1240,6 +1237,10 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  /** Run one Trigger.AvailableNow pass into a parquet sink (the memory
+    * sink cannot recover from a checkpoint, so cross-run resume needs a
+    * durable sink). Returns (ALL rows accumulated in the sink so far,
+    * the stopped query for progress inspection). */
   private def runStream(root: String, cp: String, out: String,
                         options: Map[String, String] = Map.empty) = {
     var r = spark.readStream.format("graft")

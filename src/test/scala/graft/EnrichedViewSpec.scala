@@ -108,7 +108,7 @@ class EnrichedViewSpec extends AnyFunSuite {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
     assert(refreshes >= 2, s"expected per-commit micro-batches, got $refreshes")
     assert(canon(view.read()) == oracle(base))
   }

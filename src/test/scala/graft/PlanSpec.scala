@@ -16,10 +16,16 @@ class PlanSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  private def executed(df: DataFrame): SparkPlan = {
-    df.write.format("noop").mode("overwrite").save() // finalize AQE
+  /** The query's INITIAL physical plan (inside AdaptiveSparkPlanExec,
+    * unexecuted). NB a `df.write...save()` would NOT finalize this df's
+    * own adaptive plan — the write runs a separate QueryExecution — so
+    * the old "finalize AQE" noop-write here was a full query execution
+    * whose results were thrown away while the assertions read the same
+    * initial plan this returns directly. Tests that need the RUNTIME
+    * adaptive plan (exchange reuse) collect() the df and deep-traverse
+    * query stages themselves (see the q40/q41 test). */
+  private def executed(df: DataFrame): SparkPlan =
     df.queryExecution.executedPlan
-  }
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

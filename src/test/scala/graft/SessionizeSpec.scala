@@ -64,19 +64,29 @@ class SessionizeSpec extends AnyFunSuite {
       s"missing ${(surelySealed diff streamed).size} sealed windows")
   }
 
-  test("out-of-order file arrival: a widened watermark keeps sealed sessions exact") {
+  test("out-of-order file arrival: watermark >= disorder reproduces the oracle; smaller truncates visibly") {
     import spark.implicits._
-    // two files whose MTIME order inverts their EVENT-TIME order: file B
-    // (written second → later trigger at maxFilesPerTrigger=1) holds
-    // events 3 minutes OLDER than file A's maximum. With the default
-    // 0-second watermark the stateful operator would drop them; a
-    // watermark >= the disorder keeps them, and the stream equals the
-    // batch oracle on every sealed session.
+    // The event-time-timeout operator DROPS late input (Sessionize.run
+    // scaladoc) — against a watermark that lags ONE batch beyond the
+    // advance, so the late file must arrive two-plus batches after the
+    // watermark driver for the filter to see it. Staging
+    // (maxFilesPerTrigger=1, mtime-ordered):
+    //   b0 a.parquet  user1 base, base+10m; user2 base+30m (wm driver)
+    //   b1 b.parquet  user3 base+40m (one full batch between driver and
+    //                 late file → the filter lag is consumed)
+    //   b2 c.parquet  user1 base+7m, base+8m — the LATE file, 33 min of
+    //                 disorder vs b1's max
+    //   b3 d.parquet  user2 base+2h (final wm push so everything seals)
+    // With watermark 40m (> disorder) c's rows survive, merge into the
+    // still-open session → ONE 4-event session equal to the batch
+    // oracle. With 0s the filter drops c's rows → user1's session is
+    // silently TRUNCATED to its b0 events — the bounded-state trade the
+    // scaladoc documents, both sides on the same files.
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val base = 1735689600000L
     val work = TestSpark.tmpDir("sess-ooo")
     val evDir = s"$work/events"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
-    def ts(ms: Long) = new java.sql.Timestamp(ms)
-    val base = 1735689600000L
     // the file stream reads a flat directory of parquet FILES: stage each
     // single-part write as one file (mirrors the suite's events fixture)
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
@@ -87,26 +97,43 @@ class SessionizeSpec extends AnyFunSuite {
       java.nio.file.Files.move(part.toPath,
         java.nio.file.Paths.get(evDir, name)): Unit
     }
-    // user 1: one session whose middle events live in the late file
-    stage(Seq((1L, ts(base)), (1L, ts(base + 10 * 60000L)), (2L, ts(base)),
-        (2L, ts(base + 4 * 3600000L))) // user 2's far-future event seals everything
+    val m = 60000L
+    stage(Seq((1L, ts(base)), (1L, ts(base + 10 * m)), (2L, ts(base + 30 * m)))
       .toDF("user_id", "ts"), "a.parquet")
     Thread.sleep(1100) // distinct mtime second → stable trigger order
-    stage(Seq((1L, ts(base + 7 * 60000L)), (1L, ts(base + 8 * 60000L)))
-      .toDF("user_id", "ts"), "b.parquet")
-    Sessionize.run(spark, evDir, s"$work/out", s"$work/cp", gap = "15 minutes",
-      maxFilesPerTrigger = 1, watermark = "10 minutes")
-    val streamed = spark.read.parquet(s"$work/out")
-      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
-    val batch = Sessionize.batchSessions(spark, evDir, "15 minutes")
-      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
-    // user 1's single 4-event session (the late events bridge the gap)
-    // must be sealed and exact — losing the late file would split it
-    val u1 = batch.filter(_._1 == 1L)
-    assert(u1.size == 1 && u1.head._4 == 4, s"oracle premise: $batch")
-    assert(u1 subsetOf streamed, s"streamed=$streamed batch=$batch")
+    stage(Seq((3L, ts(base + 40 * m))).toDF("user_id", "ts"), "b.parquet")
+    Thread.sleep(1100)
+    stage(Seq((1L, ts(base + 7 * m)), (1L, ts(base + 8 * m)))
+      .toDF("user_id", "ts"), "c.parquet")
+    Thread.sleep(1100)
+    stage(Seq((2L, ts(base + 120 * m))).toDF("user_id", "ts"), "d.parquet")
+
+    def u1(outDir: String): Set[(Long, Long, Int)] =
+      spark.read.parquet(outDir)
+        .where(col("user_id") === 1L)
+        .select("session_start_ms", "session_end_ms", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // watermark >= disorder: exact batch oracle (one 4-event session)
+    Sessionize.run(spark, evDir, s"$work/out-wide", s"$work/cp-wide",
+      gap = "15 minutes", maxFilesPerTrigger = 1, watermark = "40 minutes")
+    val oracle = Sessionize.batchSessions(spark, evDir, "15 minutes")
+      .where(col("user_id") === 1L)
+      .select("session_start_ms", "session_end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(oracle == Set((base, base + 10 * m, 4)), s"oracle premise: $oracle")
+    assert(u1(s"$work/out-wide") == oracle,
+      s"wide watermark must reproduce the oracle: ${u1(s"$work/out-wide")}")
+
+    // watermark < disorder: the operator's late filter drops c's rows
+    // and the session is truncated to its b0 events — deterministic and
+    // detectable (the batch oracle over the same log disagrees)
+    Sessionize.run(spark, evDir, s"$work/out-zero", s"$work/cp-zero",
+      gap = "15 minutes", maxFilesPerTrigger = 1, watermark = "0 seconds")
+    assert(u1(s"$work/out-zero") == Set((base, base + 10 * m, 2)),
+      s"0s watermark must truncate deterministically: ${u1(s"$work/out-zero")}")
+    assert(u1(s"$work/out-zero") != oracle,
+      "the truncation must be visible against the batch oracle")
   }
 
   test("sessionization is deterministic across runs") {
