@@ -12,7 +12,11 @@ object KeyPruneProbe {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]").appName("keypruneprobe")
-      .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "8")
+      // UTC like every graft session (Sessions.builder): the replayed
+      // timestamps must not depend on the probe host's timezone
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val work = "/dev/shm/graft-keyprune"
     graft.BenchCdc.rm(work)

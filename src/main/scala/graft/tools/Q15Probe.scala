@@ -20,5 +20,6 @@ object Q15Probe {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     t("cand_raw")(println(cand.count()))
     t("cand_distinct")(println(cand.distinct().count()))
+    spark.stop()
   }
 }

@@ -13,7 +13,7 @@ object QTime {
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"""{"query":"$name","rep":$i,"secs":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     }
     spark.stop()

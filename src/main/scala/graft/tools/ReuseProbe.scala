@@ -19,7 +19,6 @@ object ReuseProbe {
           collectAll(a.executedPlan)
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
           collectAll(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq.empty
         case _ => Seq.empty
       })
       self +: kids
@@ -27,9 +26,8 @@ object ReuseProbe {
     val nodes = collectAll(plan)
     val counts = nodes.groupBy(identity).view.mapValues(_.size).toMap
     Seq("ReusedExchange", "Exchange", "BroadcastExchange", "Scan parquet", "Generate")
-      .foreach(k => println(s"$k=${counts.count { case (n, _) => n.startsWith(k) } match {
-        case 0 => 0
-        case _ => counts.filter { case (n, _) => n.startsWith(k) }.values.sum }}"))
+      .foreach(k => println(
+        s"$k=${counts.collect { case (n, c) if n.startsWith(k) => c }.sum}"))
     spark.stop()
   }
 }

@@ -34,7 +34,10 @@ object ScaleUp {
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String, parts: Int): Unit =
-      df.coalesce(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // repartition, NOT coalesce: coalesce(8) would collapse the whole
+      // 10x replicate+transform pipeline into 8 tasks (24 idle cores);
+      // the extra shuffle buys full parallelism for the expensive part
+      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1
     def shifted(df: DataFrame, shifts: Map[String, Long], k: Int)(extra: DataFrame => DataFrame): DataFrame = {
@@ -57,11 +60,15 @@ object ScaleUp {
     wr(replicate(docs, Map("doc_id" -> dMax)) { (d, k) =>
       if (k == 0) d
       else d
-        // split on \s+ to match q44/q45's tokenizer exactly: a single-space
-        // split would leave tokens around tabs/newlines unsuffixed and leak
-        // shared n-grams across replicas
+        // the EXACT wsTokens class ([ \t\n\f\r]+ — \s would also split
+        // \x0B, which wsTokens does not), so replica token/shingle counts
+        // track replica 0's. NB the rebuild joins with single spaces:
+        // whitespace RUNS are normalized, so two docs differing only in
+        // runs would collapse to exact dups in replicas k>0 — the sf0.1
+        // corpus is single-space throughout, so no pair structure changes
         .withColumn("text", array_join(
-          transform(split(trim(col("text")), "\\s+"), t => concat(t, lit(s"~$k"))), " "))
+          transform(split(trim(col("text")), "[ \t\n\f\r]+"),
+            t => concat(t, lit(s"~$k"))), " "))
         .withColumn("n_chars", length(col("text")))
     }, "documents", 8)
 

@@ -9,7 +9,9 @@ object ScanProbe {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]").appName("scanprobe")
-      .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val work = "/dev/shm/graft-scanprobe"
     graft.BenchCdc.rm(work)

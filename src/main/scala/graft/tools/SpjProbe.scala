@@ -13,6 +13,8 @@ object SpjProbe {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]").appName("spjprobe")
       .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.g", classOf[graft.lake.dsv2.GraftCatalog].getName)
       .config("spark.sql.catalog.g.warehouse", wh)
       .getOrCreate()
@@ -48,8 +50,10 @@ object SpjProbe {
       val r = spark.sql("SELECT a.repo, count(*) AS n " +
         "FROM g.db.a a JOIN g.db.b b ON a.repo = b.repo GROUP BY a.repo")
         .agg(sum(col("n")), count(lit(1))).head
+      val secs = (System.nanoTime() - t0) / 1e9 // BEFORE the drain sleep:
+      // the listener wait is instrumentation, not workload
       Thread.sleep(300) // let stage-completed events drain
-      println(f"PROBE $tag rep$i secs=${(System.nanoTime() - t0) / 1e9}%.2f " +
+      println(f"PROBE $tag rep$i secs=$secs%.2f " +
         s"shuffleBytes=${shuffleBytes.get} out=$r")
     }
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
