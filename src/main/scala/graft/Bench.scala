@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.BenchCdc.pairedExcludedJson
+
 /** Benchmark main (driver contract). Prints ONE JSON line:
   * {"metric":"total","value":<query secs>,"unit":"sec","queries":{...},
   *  "cdc":{...two-cluster-size scaling protocol results...},"sf":...}
@@ -81,6 +83,10 @@ object Bench {
       f""""efficiency_min_of_k":${e.effMinOfK}%.3f,"efficiency_clean":${opt(e.effClean)},""" +
       f""""efficiency_paired_median":${opt(e.effPairedMedian)},""" +
       f""""efficiency_paired_best":${opt(e.effPairedBest)},""" +
+      // rounds the numerator guard dropped, WITH their measured ratios —
+      // the guard bounds inflation but can exclude an honest round at the
+      // cutoff boundary; the reader sees what was measured either way
+      s""""paired_excluded":${pairedExcludedJson(e)},""" +
       f""""final_rows":${r.rows},"rep_secs":$repsJson,"reps":$repsFull}"""
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"cdc":$cdc,"sf":"$sfDir"}""")

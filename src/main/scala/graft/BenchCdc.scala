@@ -339,7 +339,10 @@ object BenchCdc {
       * deadline — a WEDGED child rep (deadlocked task, full tmpfs) must
       * not hang the whole bench past its budget; readLine alone would
       * block forever. Polls ready() so the block happens only when a
-      * line is (at least partially) available. */
+      * line is (at least partially) available. ready() is false at EOF
+      * too, so a DEAD child (exited, pipe drained) is detected explicitly
+      * — without that check a crash would spin the full timeout per step
+      * where the old blocking readLine saw null immediately. */
     private def readUntil(prefix: String, timeoutSecs: Long): Option[String] = {
       val deadline = System.nanoTime() + timeoutSecs * 1000L * 1000 * 1000
       while (System.nanoTime() < deadline) {
@@ -347,6 +350,8 @@ object BenchCdc {
           val line = out.readLine()
           if (line == null) return None
           if (line.startsWith(prefix)) return Some(line)
+        } else if (!p.isAlive) {
+          return None // child exited and its pipe is drained
         } else Thread.sleep(100)
       }
       None
@@ -456,6 +461,12 @@ object BenchCdc {
       case e: java.io.IOException => fallback(e.getMessage) // no taskset (non-Linux)
     }
   }
+
+  /** Guard-excluded paired rounds as JSON — one shape for both mains. */
+  private[graft] def pairedExcludedJson(e: ScalingEstimator.Estimates): String =
+    e.pairedExcluded
+      .map { case (nSecs, eff) => f"""{"secs_n":$nSecs%.2f,"eff":$eff%.3f}""" }
+      .mkString("[", ",", "]")
 
   final case class ScalingResult(nEvents: Long,
                                  nCores: Int, mCores: Int,
@@ -616,6 +627,7 @@ object BenchCdc {
     println(f"""{"scaling":"${r.nCores}->${r.mCores}","efficiency":${r.est.headline}%.3f,""" +
       f""""min_of_k":${r.est.effMinOfK}%.3f,"clean":${r.est.effClean.getOrElse(-1.0)}%.3f,""" +
       f""""paired_median":${r.est.effPairedMedian.getOrElse(-1.0)}%.3f,""" +
-      f""""paired_best":${r.est.effPairedBest.getOrElse(-1.0)}%.3f}""")
+      f""""paired_best":${r.est.effPairedBest.getOrElse(-1.0)}%.3f,""" +
+      s""""paired_excluded":${pairedExcludedJson(r.est)}}""")
   }
 }

@@ -80,7 +80,14 @@ object ScalingEstimator {
       /** Per-leg minima backing effMinOfK. */
       minSecs: Map[Int, Double],
       /** Per-leg clean minima (only legs that have ≥1 clean rep). */
-      cleanMinSecs: Map[Int, Double]) {
+      cleanMinSecs: Map[Int, Double],
+      /** (nLegSecs, ratio) of paired rounds the numerator guard EXCLUDED.
+        * Reported, never used: a round can miss the 1.15× cutoff by a
+        * hair while its ratio is honest (BENCH_r04's round 2 measured
+        * 0.950 and was dropped at a 0.2% cutoff miss) — a reader of the
+        * JSON must be able to see what was measured, not only what the
+        * guard admitted. */
+      pairedExcluded: Seq[(Double, Double)] = Nil) {
     /** max of the defined estimators — see the object scaladoc. */
     def headline: Double =
       (Seq(effMinOfK) ++ effClean ++ effPairedMedian ++ effPairedBest).max
@@ -123,14 +130,15 @@ object ScalingEstimator {
         val rm = preferPinned(rs.filter(_.cores == mCores)).map(_.secs).min
         (rn, eff(rn, rm))
       }
-    val eligible = pairedRounds.filter(_._1 <= PairedNumeratorGuard * minN)
+    val (eligible, excluded) =
+      pairedRounds.partition(_._1 <= PairedNumeratorGuard * minN)
     val effPairedMedian =
       if (eligible.nonEmpty) Some(median(eligible.map(_._2))) else None
     val effPairedBest =
       if (eligible.nonEmpty) Some(eligible.map(_._2).max) else None
 
     Estimates(eff(minN, minM), effClean, effPairedMedian, effPairedBest,
-      Map(nCores -> minN, mCores -> minM), cleanMin)
+      Map(nCores -> minN, mCores -> minM), cleanMin, excluded)
   }
 
   // ----- adaptive sampling loop (measurement-agnostic, spec-drivable) ----
@@ -172,7 +180,19 @@ object ScalingEstimator {
       if (all.exists(_.cores == nCores) && all.exists(_.cores == mCores))
         Some(estimate(all, nCores, mCores))
       else None
-    def passed: Boolean = est.exists(_.headline >= targetEff)
+    /** Early-stop guard on the NUMERATOR: efficiency overstates exactly
+      * when the N leg never draws its floor (min-of-K's denominator only
+      * tightens, but nothing else bounds the numerator the way the paired
+      * guard does) — so stopping early additionally requires the N leg to
+      * hold ≥1 kernel-certified clean rep, i.e. the kernel saw its floor
+      * drawn in a quiet window. Vacuously true when no N rep could be
+      * ext-measured at all (non-Linux / unpinned fallback): an
+      * unsatisfiable requirement would just burn the budget for nothing. */
+    def nFloorCertified: Boolean = {
+      val measured = all.filter(r => r.cores == nCores && r.extCores >= 0)
+      measured.isEmpty || measured.exists(_.extCores <= CleanExtCores)
+    }
+    def passed: Boolean = est.exists(_.headline >= targetEff) && nFloorCertified
 
     // phase 1: interleaved rounds
     var continue = true

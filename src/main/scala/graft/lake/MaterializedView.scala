@@ -48,6 +48,11 @@ final case class RefreshStats(fromVersion: Option[Long], toVersion: Long,
 object MaterializedView {
   private val RowCount = "_n_rows" // implicit measure: live rows per group
 
+  /** Superseded pointers/data dirs retained inside the grace window
+    * (newest-first, per kind): bounds disk amplification under streaming
+    * refresh cadences while still covering any in-flight reader. */
+  private[lake] val SupersededKeepCount = 4
+
   private def viewRoot(table: LakeTable, name: String) = s"${table.root}/views/$name"
 
   private def fs(table: LakeTable, p: Path) =
@@ -136,14 +141,25 @@ object MaterializedView {
     // reader grace window as meta-compaction victims: a dashboard query
     // that resolved the OLD pointer and planned its files must not have
     // them deleted mid-read (streaming refreshes supersede every
-    // micro-batch, so an immediate delete races constantly).
+    // micro-batch, so an immediate delete races constantly). The grace
+    // window alone is unbounded by COUNT — a per-micro-batch refresh
+    // cadence would hoard hundreds of full view copies per hour — so
+    // within the window only the K newest superseded entries of each
+    // kind survive: a reader needs one pointer resolution plus its scan,
+    // i.e. a couple of refresh intervals, never the whole hour.
     val cutoff = System.currentTimeMillis() - Maintenance.metaCompactGraceMs
-    f.listStatus(new Path(root)).foreach { st =>
+    val superseded = f.listStatus(new Path(root)).filter { st =>
       val n = st.getPath.getName
-      val superseded = (n.matches("p\\d+") && n.drop(1).toLong < toVersion) ||
+      (n.matches("p\\d+") && n.drop(1).toLong < toVersion) ||
         (n.startsWith("d-") && n != dataDir)
-      if (superseded && st.getModificationTime < cutoff)
-        f.delete(st.getPath, true): Unit
+    }
+    superseded.groupBy(_.getPath.getName.head == 'p').values.foreach { kind =>
+      val keepNewest = kind.sortBy(-_.getModificationTime)
+        .take(SupersededKeepCount).map(_.getPath.getName).toSet
+      kind.foreach { st =>
+        if (st.getModificationTime < cutoff || !keepNewest(st.getPath.getName))
+          f.delete(st.getPath, true): Unit
+      }
     }
     RefreshStats(pointer.map(_._1), toVersion,
       initialFull = pointer.isEmpty || !anchorAlive, noOp = false)

@@ -541,7 +541,10 @@ object GraftSplit {
     * exactly one split. */
   def partitions(root: String, files: Seq[FileEntry], bound: Long,
                  maxSplitBytes: Long,
-                 repoEq: String = null, pathEq: String = null): Array[InputPartition] =
+                 repoEq: String = null, pathEq: String = null): Array[InputPartition] = {
+    // 0 divides by zero below; a negative cap would make (0 until n) empty
+    // and silently DROP every over-cap file from the scan
+    require(maxSplitBytes > 0L, s"maxSplitBytes must be positive, got $maxSplitBytes")
     files.flatMap { f =>
       val abs = s"$root/${f.relPath}"
       if (f.nBytes > maxSplitBytes) {
@@ -556,6 +559,7 @@ object GraftSplit {
         Seq(GraftInputPartition(abs, bound, repoEq = repoEq, pathEq = pathEq,
           bucket = f.bucket))
     }.toArray
+  }
 }
 
 final class GraftScan(root: String, physicalSchema: StructType, required: StructType,

@@ -74,6 +74,10 @@ final class GraftMicroBatchStream(
     s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
   require(maxBytesPerTrigger.forall(_ > 0L),
     s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
+  // 0 would divide-by-zero at split planning; a negative value would make
+  // every over-cap file silently vanish from the scan — refuse like the
+  // sibling admission options
+  require(maxSplitBytes > 0L, s"maxSplitBytes must be positive, got $maxSplitBytes")
 
   private def table = new LakeTable(SparkSession.active, root).forBranch(branch)
   private def currentVersion: Long = table.snapshotVersions().lastOption.getOrElse(-1L)

@@ -77,6 +77,31 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(e.headline < 0.7)
   }
 
+  /** The exact rep sequence BENCH_r04 recorded (headline passed at 0.825
+    * while round 2's honest paired ratio 0.950 was guard-excluded at a
+    * 0.2% cutoff miss — VERDICT r4 "What's wrong" #1). */
+  private val r04: Seq[Rep] = Seq(
+    Rep(2, 54.47, 0.03, 1), Rep(8, 25.13, 0.07, 1),
+    Rep(8, 25.34, 0.11, 1), Rep(8, 18.72, 0.08, 1),
+    Rep(2, 62.78, 0.02, 2), Rep(8, 23.38, 0.00, 2),
+    Rep(8, 17.80, 0.15, 2), Rep(8, 16.51, 0.10, 2))
+
+  test("r04 window: the guard-excluded round's measured ratio is SURFACED, not erased") {
+    val e = estimate(r04, 2, 8)
+    assert(math.abs(e.effMinOfK - (54.47 / 16.51) / 4) < 1e-9)
+    // round 1 is the only eligible paired round: (54.47/18.72)/4 = 0.727
+    assert(e.effPairedMedian.exists(m => math.abs(m - 0.7274) < 0.001))
+    // round 2 (N leg 62.78 > 1.15*54.47 = 62.64 by 0.2%) measured 0.950;
+    // the guard still drops it from the estimators (numerator bound) but
+    // the JSON reader must see it was measured
+    assert(e.pairedExcluded.size == 1)
+    val (nSecs, eff) = e.pairedExcluded.head
+    assert(nSecs == 62.78 && math.abs(eff - 0.9505) < 0.001, s"excluded ($nSecs, $eff)")
+    // and the excluded ratio still does not move any estimator
+    assert(e.effPairedBest.exists(b => math.abs(b - 0.7274) < 0.001))
+    assert(math.abs(e.headline - 0.825) < 0.001)
+  }
+
   // ---- adaptive sampling loop -------------------------------------------
 
   /** Fake leg runner: serves timings from queues, advances a fake clock. */
@@ -168,6 +193,52 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(estimate(only, 2, 8).minSecs(8) == 12.0)
     // and an unpinned rep can never be "clean"
     assert(estimate(reps, 2, 8).cleanMinSecs.get(8).contains(20.0))
+  }
+
+  test("adaptive: a passing headline with NO clean N-leg rep does not early-stop") {
+    // the 2-core leg is measurable but contaminated every draw (ext 2
+    // cores): min-of-K reads a "passing" 0.85 off an inflated numerator —
+    // the hardened stop must keep hunting the N floor instead of banking
+    // it (VERDICT r4 "What's wrong" #2: nothing guarded min-of-K's
+    // numerator the way the paired guard does)
+    val box = new FakeBox(
+      n = Seq((68.0, 2.0)),
+      m = Seq((20.0, 0.1)))
+    val (reps, _) = adaptive(2, 8, repsPerLegN = 1, repsPerLegM = 1,
+      minRounds = 2, maxRounds = 3, budgetSecs = 400, targetEff = 0.8,
+      box.runLeg, () => box.clock)
+    val e = estimate(reps, 2, 8)
+    assert(e.effMinOfK >= 0.8, s"precondition: the naive headline passes (${e.effMinOfK})")
+    // phase 2 ran and focused the dirty N leg (the M leg is already clean)
+    val phase2 = box.calls.drop(6) // 3 full rounds = 6 invocations
+    assert(phase2.nonEmpty && phase2.forall(_._1 == 2),
+      s"phase-2 must hunt the uncertified N floor: ${box.calls}")
+    assert(box.clock >= 400, "only the budget may end the hunt")
+  }
+
+  test("adaptive: a clean N-leg floor plus passing headline stops after minRounds") {
+    // same shape but the N leg draws a kernel-clean floor: certification
+    // holds, the pass is banked immediately (no budget burn)
+    val box = new FakeBox(
+      n = Seq((55.0, 0.1)),
+      m = Seq((17.0, 0.1)))
+    val (_, _) = adaptive(2, 8, repsPerLegN = 1, repsPerLegM = 1,
+      minRounds = 2, maxRounds = 6, budgetSecs = 100000, targetEff = 0.8,
+      box.runLeg, () => box.clock)
+    assert(box.calls.length <= 4, s"calls ${box.calls}")
+  }
+
+  test("adaptive: ext-unmeasurable N leg cannot deadlock the hardened stop") {
+    // non-Linux / unpinned fallback: no N rep carries a kernel reading at
+    // all — certification is vacuous (an unsatisfiable requirement would
+    // burn the whole budget for nothing)
+    val box = new FakeBox(
+      n = Seq((55.0, -1.0)),
+      m = Seq((17.0, -1.0)))
+    val (_, _) = adaptive(2, 8, repsPerLegN = 1, repsPerLegM = 1,
+      minRounds = 2, maxRounds = 6, budgetSecs = 100000, targetEff = 0.8,
+      box.runLeg, () => box.clock)
+    assert(box.calls.length <= 4, s"calls ${box.calls}")
   }
 
   test("adaptive: rows must agree across every rep") {

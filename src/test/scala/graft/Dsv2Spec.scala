@@ -574,6 +574,32 @@ class Dsv2Spec extends AnyFunSuite {
     assert(canon(split) == canon(whole))
   }
 
+  test("non-positive maxSplitBytes refuses loudly (0 = div-by-zero, <0 = silent file drop)") {
+    val table = build()
+    // batch path: the refusal fires at split planning, not as a wrong
+    // answer (count() alone would be answered from the manifest COUNT
+    // pushdown without ever planning splits)
+    Seq("0", "-1").foreach { bad =>
+      val e = intercept[Exception] {
+        spark.read.format("graft").option("maxSplitBytes", bad)
+          .load(table.root).collect()
+      }
+      assert(e.getMessage != null && e.getMessage.contains("maxSplitBytes must be positive"),
+        s"maxSplitBytes=$bad: ${e.getMessage}")
+    }
+    // streaming path: construction-time refusal like the sibling
+    // admission options (a negative cap would silently drop every
+    // over-cap file from each micro-batch)
+    val schema = spark.read.format("graft").load(table.root).schema
+    val e = intercept[IllegalArgumentException] {
+      new graft.lake.dsv2.GraftMicroBatchStream(table.root, schema, schema,
+        includeTombstones = false, startingVersion = None,
+        maxVersionsPerTrigger = None, maxBytesPerTrigger = None,
+        maxSplitBytes = 0L)
+    }
+    assert(e.getMessage.contains("maxSplitBytes must be positive"))
+  }
+
   // ----- columnar (vectorized) read path --------------------------------
 
   /** A ColumnarToRow whose subtree holds the BatchScan (whole-stage codegen

@@ -191,6 +191,34 @@ class ViewSpec extends AnyFunSuite {
     assert(licCanon(MaterializedView.read(table, "lic")) == licCanon(licRecompute()))
   }
 
+  test("superseded retention is bounded by COUNT inside the grace window") {
+    import spark.implicits._
+    // a streaming-cadence refresh (every commit) supersedes a pointer +
+    // data dir per refresh, all younger than the 1 h grace window — the
+    // window alone would hoard every copy; only the K newest superseded
+    // entries of each kind may survive (disk amplification bound), while
+    // the current pointer + dir always do
+    val work = TestSpark.tmpDir("viewretain")
+    val table = mkTable(work)
+    val merge = new MergeInto(table, numBuckets = 4, saltBuckets = 2, recordMeta = false)
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val nRefreshes = 10
+    (1 to nRefreshes).foreach { i =>
+      merge.apply(Seq((9100000L + i, "I", ts, "retain/repo", s"f$i.txt", s"c$i", "text", s"v$i"))
+        .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content"), 950L + i)
+      MaterializedView.refresh(table, view)
+    }
+    val root = new java.io.File(s"${table.root}/views/per_repo")
+    val names = root.listFiles().map(_.getName)
+    val keep = 4 // MaterializedView.SupersededKeepCount
+    val dataDirs = names.count(_.startsWith("d-"))
+    val pointers = names.count(_.matches("p\\d+"))
+    assert(dataDirs <= keep + 1, s"data dirs unbounded: $dataDirs ($names)")
+    assert(pointers <= keep + 1, s"pointers unbounded: $pointers ($names)")
+    // the retained window still resolves and reads exactly
+    assert(canon(MaterializedView.read(table, "per_repo")) == canon(recompute(table)))
+  }
+
   test("expired anchor: refresh falls back to a full rebuild instead of failing forever") {
     val work = TestSpark.tmpDir("viewexpire")
     val table = mkTable(work)
