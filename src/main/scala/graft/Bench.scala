@@ -66,29 +66,49 @@ object Bench {
     }
 
     // ---- part 2: CDC replay scaling protocol ---------------------------
-    val r = BenchCdc.runScaling(BenchCdc.coreListFromEnv())
-    val (nC, mC) = (r.nCores, r.mCores)
-    val e = r.est
-    // rep_secs keeps its historical [[cores, secs], ...] shape; "reps"
-    // adds the kernel-measured external load (ext_cores, -1 = unknown)
-    // and the interleaved round each sample belongs to
-    val repsJson = r.reps.map(x => f"""[${x.cores},${x.secs}%.2f]""").mkString("[", ",", "]")
-    val repsFull = r.reps.map(x =>
-      f"""{"cores":${x.cores},"secs":${x.secs}%.2f,"ext_cores":${x.extCores}%.2f,"round":${x.round}}""")
-      .mkString("[", ",", "]")
-    def opt(v: Option[Double]) = v.map(d => f"$d%.3f").getOrElse("null")
-    val cdc = f"""{"events":${r.nEvents},"n_cores":$nC,"secs_n":${e.minSecs(nC)}%.2f,""" +
-      f""""events_per_sec_n":${r.throughput(nC)},"n4_cores":$mC,"secs_4n":${e.minSecs(mC)}%.2f,""" +
-      f""""events_per_sec_4n":${r.throughput(mC)},"scaling_efficiency":${e.headline}%.3f,""" +
-      f""""efficiency_min_of_k":${e.effMinOfK}%.3f,"efficiency_clean":${opt(e.effClean)},""" +
-      f""""efficiency_paired_median":${opt(e.effPairedMedian)},""" +
-      f""""efficiency_paired_best":${opt(e.effPairedBest)},""" +
-      // rounds the numerator guard dropped, WITH their measured ratios —
-      // the guard bounds inflation but can exclude an honest round at the
-      // cutoff boundary; the reader sees what was measured either way
-      s""""paired_excluded":${pairedExcludedJson(e)},""" +
-      f""""final_rows":${r.rows},"rep_secs":$repsJson,"reps":$repsFull}"""
+    def cdcJson(r: BenchCdc.ScalingResult, extra: String = ""): String = {
+      val (nC, mC) = (r.nCores, r.mCores)
+      val e = r.est
+      // rep_secs keeps its historical [[cores, secs], ...] shape; "reps"
+      // adds the kernel-measured external load (ext_cores, -1 = unknown)
+      // and the interleaved round each sample belongs to
+      val repsJson = r.reps.map(x => f"""[${x.cores},${x.secs}%.2f]""").mkString("[", ",", "]")
+      val repsFull = r.reps.map(x =>
+        f"""{"cores":${x.cores},"secs":${x.secs}%.2f,"ext_cores":${x.extCores}%.2f,"round":${x.round}}""")
+        .mkString("[", ",", "]")
+      def opt(v: Option[Double]) = v.map(d => f"$d%.3f").getOrElse("null")
+      f"""{$extra"events":${r.nEvents},"n_cores":$nC,"secs_n":${e.minSecs(nC)}%.2f,""" +
+        f""""events_per_sec_n":${r.throughput(nC)},"n4_cores":$mC,"secs_4n":${e.minSecs(mC)}%.2f,""" +
+        f""""events_per_sec_4n":${r.throughput(mC)},"scaling_efficiency":${e.headline}%.3f,""" +
+        f""""efficiency_min_of_k":${e.effMinOfK}%.3f,"efficiency_clean":${opt(e.effClean)},""" +
+        f""""efficiency_paired_median":${opt(e.effPairedMedian)},""" +
+        f""""efficiency_paired_best":${opt(e.effPairedBest)},""" +
+        // rounds the numerator guard dropped, WITH their measured ratios —
+        // the guard bounds inflation but can exclude an honest round at the
+        // cutoff boundary; the reader sees what was measured either way
+        s""""paired_excluded":${pairedExcludedJson(e)},""" +
+        f""""final_rows":${r.rows},"rep_secs":$repsJson,"reps":$repsFull}"""
+    }
+    val coreList = BenchCdc.coreListFromEnv()
+    val cdc = cdcJson(BenchCdc.runScaling(coreList))
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"cdc":$cdc,"sf":"$sfDir"}""")
+    // ---- part 3: INCREMENTAL (multi-epoch) replay scaling --------------
+    // The production path is stage-resumable incremental epochs, not one
+    // backfill: the same 8M-event log split into SPARK_GRAFT_BENCH_EPOCHS
+    // batch dirs, each a ledgered MERGE commit onto the growing table —
+    // per-epoch commit overhead and copy-on-write amplification included.
+    // 0 disables; its budget is separate so a noisy incremental hunt
+    // cannot starve (or be starved by) part 2's.
+    val epochs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPOCHS", "8").toInt
+    val cdcIncr =
+      if (epochs <= 1) ""
+      else {
+        val ri = BenchCdc.runScaling(coreList,
+          budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_INCR", "1200").toInt,
+          nBatches = Some(epochs))
+        s""","cdc_incremental":${cdcJson(ri, extra = s""""epochs":$epochs,""")}"""
+      }
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"cdc":$cdc$cdcIncr,"sf":"$sfDir"}""")
   }
 }

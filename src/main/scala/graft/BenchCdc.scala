@@ -87,15 +87,16 @@ object BenchCdc {
     * (tools.ReplayProbe) — same knobs, same log. */
   private[graft] def probeCfg: Cfg = cfgFromEnv
 
-  private def cfgFromEnv = {
+  private def cfgFromEnv = cfgForBatches(envInt("SPARK_GRAFT_BENCH_BATCHES", 1))
+
+  private def cfgForBatches(rawBatches: Int): Cfg = {
     val nEvents = envLong("SPARK_GRAFT_BENCH_EVENTS", 8000000L)
-    val rawBatches = envInt("SPARK_GRAFT_BENCH_BATCHES", 1)
     // more batches than events: ChangeGen skips the empty tail dirs, so
     // ensureLogs' last-batch sentinel would never exist and every run
     // would silently regenerate from scratch — clamp loudly instead
     val batches = math.min(rawBatches.toLong, math.max(1L, nEvents)).toInt
     if (batches != rawBatches)
-      System.err.println(s"SPARK_GRAFT_BENCH_BATCHES=$rawBatches exceeds " +
+      System.err.println(s"bench batches=$rawBatches exceeds " +
         s"EVENTS=$nEvents; clamped to $batches")
     cfgWith(nEvents, batches)
   }
@@ -250,6 +251,44 @@ object BenchCdc {
     }
   }
 
+  /** Child with ADAPTIVE floor-hunting for environments where the parent
+    * cannot interleave legs (the standalone-cluster script: executors are
+    * separate JVMs per spark-submit, so per-leg JIT warmup and window
+    * luck used to decide a whole leg on a fixed rep count). Runs timed
+    * reps until the leg's floor stops improving — stop once ≥ `minReps`
+    * drawn AND the best time has not improved by >1% for `patience`
+    * consecutive reps — bounded by `maxReps` and `budgetSecs`. Early
+    * (JIT-cold or noise-inflated) reps simply never become the minimum;
+    * a degraded window buys more draws instead of sinking the leg.
+    * Prints the same CHILD_REP lines as the fixed-rep child. */
+  def childAdaptMain(cpus: Int, minReps: Int, maxReps: Int, patience: Int,
+                     budgetSecs: Long, cfg: Cfg): Unit = {
+    val spark = warmedSession(cpus, cfg)
+    val pinned = pinnedSet(cpus)
+    val tableDir = s"${cfg.work}/table_${cpus}_adapt"
+    val t0 = System.nanoTime()
+    var best = Double.MaxValue
+    var sinceImprove = 0
+    var n = 0
+    try {
+      var continue = true
+      while (continue) {
+        val (secs, rows, ext, gc) = timedRep(spark, cfg, tableDir, pinned)
+        n += 1
+        if (secs < best * 0.99) sinceImprove = 0 else sinceImprove += 1
+        best = math.min(best, secs)
+        println(f"CHILD_REP $secs%.3f,$rows,$ext%.3f,$gc%.3f")
+        System.out.flush()
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        continue = n < maxReps && elapsed < budgetSecs &&
+          !(n >= minReps && sinceImprove >= patience)
+      }
+    } finally {
+      rm(tableDir)
+      spark.stop()
+    }
+  }
+
   private def warmedSession(cpus: Int, cfg: Cfg): SparkSession = {
     val spark = session(cpus)
     val warmDir = s"${cfg.work}/table_${cpus}_warm"
@@ -314,10 +353,12 @@ object BenchCdc {
   /** A persistent pinned stepping child (see [[childStepMain]]): spawn +
     * warm once, then each `step()` runs exactly one timed rep. `None` from
     * step() means the child died — callers fall back to the batch path. */
-  private final class SteppedChild(cpus: Int, cpuset: String) {
+  private final class SteppedChild(cpus: Int, cpuset: String,
+                                   extraEnv: Map[String, String] = Map.empty) {
     private val pb = new ProcessBuilder(
       childCmd(cpus, cpuset, Seq("childstep", cpus.toString)): _*)
     sys.env.foreach { case (k, v) => pb.environment().put(k, v) }
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.environment().put("GRAFT_CHILD_CPUSET", cpuset)
     private val p = pb.start()
     // drain stderr (Spark INFO noise) so the child can never block on a
@@ -400,7 +441,9 @@ object BenchCdc {
     * them from the minima whenever the leg has pinned evidence (an
     * unpinned local[N] borrows idle cores and would overstate the leg). */
   private def measurePinned(cpus: Int, reps: Int, cfg: Cfg,
-                            cpuset: String): ScalingEstimator.LegResult = {
+                            cpuset: String,
+                            extraEnv: Map[String, String] = Map.empty)
+      : ScalingEstimator.LegResult = {
     val cmd = childCmd(cpus, cpuset, Seq("child", cpus.toString, reps.toString))
     def fallback(reason: String): ScalingEstimator.LegResult = {
       System.err.println(s"pinned child failed ($reason); running in-process unpinned")
@@ -422,6 +465,7 @@ object BenchCdc {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
       sys.env.foreach { case (k, v) => pb.environment().put(k, v) }
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
       // aim the child's /proc/stat accounting at ITS cpuset (a stepping
       // child's leaked env value would mis-aim it)
       if (cpuset == s"0-${cpus - 1}") pb.environment().remove("GRAFT_CHILD_CPUSET")
@@ -481,8 +525,18 @@ object BenchCdc {
     * and the adaptive sampling policy. */
   def runScaling(coreList: Seq[Int],
                  budgetSecs: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1320").toInt,
-                 targetEff: Double = 0.8): ScalingResult = {
-    val cfg = cfgFromEnv
+                 targetEff: Double = 0.8,
+                 /** Epoch count override (INCREMENTAL-replay mode: the
+                   * same log split into N batch dirs, one ledgered MERGE
+                   * commit each — the production stage-resumable path).
+                   * None = the env-driven config (driver default 1 =
+                   * single-epoch backfill). Children re-derive their
+                   * config from env, so the override rides to them as
+                   * SPARK_GRAFT_BENCH_BATCHES. */
+                 nBatches: Option[Int] = None): ScalingResult = {
+    val cfg = nBatches.map(cfgForBatches).getOrElse(cfgFromEnv)
+    val extraEnv = nBatches
+      .map(b => Map("SPARK_GRAFT_BENCH_BATCHES" -> b.toString)).getOrElse(Map.empty)
     ensureLogs(cfg)
     val (nC, mC) = (coreList.head, coreList.last)
     // Persistent stepping children (one per core level) make the marginal
@@ -526,7 +580,7 @@ object BenchCdc {
         else {
           val cpuset = cpusetFor(cores)
           try {
-            val c = new SteppedChild(cores, cpuset)
+            val c = new SteppedChild(cores, cpuset, extraEnv)
             if (c.ready) Some(c)
             else { c.close(); System.err.println(s"stepped child ($cores cores) failed to warm; batch fallback"); None }
           } catch { case e: Throwable =>
@@ -564,7 +618,8 @@ object BenchCdc {
             }
           if (!died) fromChild.get // loop only exits undied with all n drawn
           else {
-            val batch = measurePinned(cores, batchReps(cores, want - drawn.length), cfg, cpusetFor(cores))
+            val batch = measurePinned(cores, batchReps(cores, want - drawn.length),
+              cfg, cpusetFor(cores), extraEnv)
             fromChild match {
               case Some(cr) =>
                 require(cr.rows == batch.rows,
@@ -573,7 +628,7 @@ object BenchCdc {
               case None => batch
             }
           }
-        case None => measurePinned(cores, batchReps(cores, n), cfg, cpusetFor(cores))
+        case None => measurePinned(cores, batchReps(cores, n), cfg, cpusetFor(cores), extraEnv)
       }
     val t0 = System.nanoTime()
     try {
@@ -617,6 +672,12 @@ object BenchCdc {
     }
     if (args.length >= 2 && args(0) == "childstep") {
       childStepMain(args(1).toInt, cfgFromEnv)
+      sys.exit(0)
+    }
+    if (args.length >= 2 && args(0) == "childadapt") {
+      def a(i: Int, d: Int) = if (args.length > i) args(i).toInt else d
+      childAdaptMain(args(1).toInt, minReps = a(2, 3), maxReps = a(3, 12),
+        patience = a(4, 3), budgetSecs = a(5, 600).toLong, cfgFromEnv)
       sys.exit(0)
     }
     val coreList = coreListFromEnv()

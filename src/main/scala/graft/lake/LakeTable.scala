@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import java.nio.charset.StandardCharsets
 
@@ -525,7 +525,12 @@ final class LakeTable(
 
   /** Atomically publish `snap` as version `snap.version`.
     * Fails if that version already exists (conflict detection). */
-  def commitSnapshot(snap: Snapshot): Unit = {
+  def commitSnapshot(snap0: Snapshot): Unit = {
+    // single choke point for column-identity assignment: every committed
+    // schema carries a stable `graft.id` per field (new fields get the
+    // next free id; existing ids are never touched) — see FieldIds
+    val snap = snap0.copy(schema =
+      graft.schema.FieldIds.assignIds(snap0.schema, skip = Set(LakeTable.DeletedCol)))
     val f = fs
     f.mkdirs(snapshotDir)
     val body = snap.filesRef match {
@@ -890,10 +895,34 @@ final class LakeTable(
   /** Raw state rows (including tombstones) of the given files. Old files
     * lacking newly-evolved columns are read with the snapshot schema so the
     * missing columns surface as nulls (the reference's tolerant reader,
-    * src/places/place_index.rs:359-370, done by Spark's parquet reader). */
+    * src/places/place_index.rs:359-370, done by Spark's parquet reader).
+    *
+    * RENAMED columns (FieldIds aliases): files written before the rename
+    * store the column under its era name. The read schema is expanded
+    * with every alias (same type, nullable) and the logical column is
+    * `coalesce(current, alias…)` — exact, because any one file contains
+    * at most ONE of a field's names (names are reserved against reuse),
+    * so per file all but one leg of the coalesce are all-null. Tables
+    * that never renamed skip the wrapper entirely. */
   def readFiles(schema: StructType, entries: Seq[FileEntry]): DataFrame =
     if (entries.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(entries.map(absolute): _*)
+    else {
+      val aliasMap = graft.schema.FieldIds.aliasMap(schema)
+      if (aliasMap.isEmpty) spark.read.schema(schema).parquet(entries.map(absolute): _*)
+      else {
+        import org.apache.spark.sql.functions.{coalesce, col}
+        val expanded = StructType(schema.fields.flatMap(f =>
+          f +: aliasMap.getOrElse(f.name, Nil)
+            .map(a => StructField(a, f.dataType, nullable = true))))
+        spark.read.schema(expanded).parquet(entries.map(absolute): _*)
+          .select(schema.fields.toIndexedSeq.map { f =>
+            aliasMap.get(f.name) match {
+              case None => col(f.name)
+              case Some(als) => coalesce((f.name +: als).map(col): _*).as(f.name)
+            }
+          }: _*)
+      }
+    }
 
   /** Max applied lsn across ALL rows of `snap` — tombstones INCLUDED,
     * unlike `read()`: a deleted key's tombstone still orders later events,

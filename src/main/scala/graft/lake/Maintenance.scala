@@ -726,7 +726,11 @@ object Maintenance {
       // bucket-count evolution inside the range: bucket ids are
       // incomparable across the boundary, so diff the full states by key
       // (a rebucket is a full rewrite anyway — rare, administrative)
-      val oldDf = table.readFiles(from.schema, from.allFiles)
+      // BOTH sides read with the `to` era's schema: its FieldIds aliases
+      // resolve pre-rename files, columns added inside the range surface
+      // as null from the old side (tolerant rule) — so the feed's column
+      // names are uniformly the destination era's
+      val oldDf = table.readFiles(to.schema, from.allFiles)
       val newDf = table.readFiles(to.schema, to.allFiles)
       return if (includePreimages) emitWithPreimages(newDf, oldDf, "full_outer")
              else emitPostimagesFullOuter(newDf, oldDf)
@@ -754,8 +758,8 @@ object Maintenance {
         val newDf = table.readFiles(to.schema, readNew).where(col("lsn") > hw)
         if (includePreimages)
           return emitWithPreimages(newDf,
-            table.readFiles(from.schema, from.filesIn(liveBuckets)), "left")
-        val o = table.readFiles(from.schema, from.filesIn(liveBuckets))
+            table.readFiles(to.schema, from.filesIn(liveBuckets)), "left")
+        val o = table.readFiles(to.schema, from.filesIn(liveBuckets))
           .select(col("repo"), col("path"), col("lsn").as("_old_lsn"),
             col(DeletedCol).as("_old_del"))
         val joined = newDf.as("n").join(o.as("o"),
@@ -772,7 +776,9 @@ object Maintenance {
             newDf.columns.filterNot(_ == DeletedCol).map(c => col(s"n.$c")).toIndexedSeq: _*)
 
       case _ => // legacy/stat-less/unordered path: full per-bucket diff
-        val oldDf = table.readFiles(from.schema, from.filesIn(changedBuckets))
+        // old side under the `to` schema — same era-uniformity rule as
+        // the rebucket branch above
+        val oldDf = table.readFiles(to.schema, from.filesIn(changedBuckets))
         val newDf = table.readFiles(to.schema, to.filesIn(changedBuckets))
         if (includePreimages) emitWithPreimages(newDf, oldDf, "full_outer")
         else emitPostimagesFullOuter(newDf, oldDf)

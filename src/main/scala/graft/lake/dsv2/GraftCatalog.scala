@@ -50,7 +50,13 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
     Array("compact", "vacuum", "rebucket", "refresh_view", "expire_snapshots", "history",
       "rollback", "revert", "create_tag", "drop_tag", "list_tags",
       "create_branch", "fast_forward", "drop_branch", "list_branches",
-      "replay_quarantine", "refresh_enriched_view")
+      "replay_quarantine", "refresh_enriched_view",
+      // the training-data pipeline kernels (ops.DedupOps / ops.TextOps),
+      // SQL-callable so ingest → dedup → sample → pack composes without
+      // Scala: each reads a lake table (or plain parquet dir), runs the
+      // distributed kernel, writes a parquet output, returns stats
+      "dedup_pairs", "dedup_assign", "sample_stratified", "sample_pps",
+      "pack_sequences")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procNames.map(Identifier.of(Array("system"), _))
@@ -176,24 +182,56 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
 
   /** SQL DDL schema evolution, under exactly the registry rules merges
     * enforce (add-nullable / widen — graft.schema.SchemaRegistry.evolve):
-    * `ALTER TABLE t ADD COLUMN c TYPE` and `ALTER COLUMN c TYPE wider`.
-    * The commit is METADATA-ONLY — a successor snapshot carrying every
-    * file untouched (split-manifest groups by reference), so altering a
-    * 100-TB table moves no data: old files read through the tolerant
-    * reader (absent column → null, narrow physical type → upcast), and
-    * CDC readers see an empty commit range. Declares evolution AHEAD of
-    * data arriving — the complement of merge-time evolution, which infers
-    * it FROM arriving data. Everything else (DROP/RENAME COLUMN would
-    * strand committed data, nullability tightening breaks old rows) is
+    * `ALTER TABLE t ADD COLUMN c TYPE`, `ALTER COLUMN c TYPE wider`, and
+    * `RENAME COLUMN a TO b` (stable-field-id model — the field keeps its
+    * `graft.id`; the old name becomes an alias era readers resolve
+    * against old files, see graft.schema.FieldIds). The commit is
+    * METADATA-ONLY — a successor snapshot carrying every file untouched
+    * (split-manifest groups by reference), so altering a 100-TB table
+    * moves no data: old files read through the tolerant reader (absent
+    * column → null, narrow physical type → upcast, era name → current
+    * name), and CDC readers see an empty commit range. Declares evolution
+    * AHEAD of data arriving — the complement of merge-time evolution,
+    * which infers it FROM arriving data. Everything else (DROP COLUMN
+    * would strand committed data, nullability tightening breaks old rows,
+    * renaming an engine key column would break bucketing/stats) is
     * rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import graft.schema.FieldIds
     val path = pathOf(ident)
     val t = new LakeTable(spark, path)
     var attempts = 0
     while (true) {
       val snap = t.currentSnapshot().getOrElse(throw new NoSuchTableException(ident))
-      val current = StructType(snap.schema.fields.filterNot(_.name == LakeTable.DeletedCol))
-      val incoming = changes.map {
+      val visible = StructType(snap.schema.fields.filterNot(_.name == LakeTable.DeletedCol))
+      // renames first (identity-preserving), then the add/widen delta
+      // against the renamed shape — so one statement mixing both resolves
+      // names consistently
+      val current = changes.collect { case rn: TableChange.RenameColumn => rn }
+        .foldLeft(visible) { (schema, rn) =>
+          require(rn.fieldNames().length == 1,
+            s"nested RENAME COLUMN is not supported: ${rn.fieldNames().mkString(".")}")
+          val old = rn.fieldNames()(0)
+          val nw = rn.newName()
+          require(schema.fieldNames.contains(old), s"no column $old to rename")
+          require(!GraftCatalog.RenameReserved.contains(old) && old != LakeTable.DeletedCol,
+            s"column $old is an engine key column (bucketing/merge/stats are " +
+              "keyed on it) and cannot be renamed")
+          require(nw.nonEmpty && nw != LakeTable.DeletedCol,
+            s"'$nw' is not a valid column name")
+          // a name, once used by ANY OTHER field (live or former), is
+          // reserved forever — reusing it would put two logical columns
+          // under one name inside committed files of different eras
+          val others = schema.fields.filterNot(_.name == old)
+          val taken = (others.flatMap(f => f.name +: FieldIds.aliases(f)) ++
+            GraftCatalog.RenameReserved).toSet
+          require(!taken.contains(nw),
+            s"column name $nw is already in use (as a live column, a former " +
+              "name, or an engine key)")
+          StructType(schema.fields.map(f =>
+            if (f.name == old) FieldIds.rename(f, nw) else f))
+        }
+      val incoming = changes.collect {
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1,
             s"nested ADD COLUMN is not supported: ${add.fieldNames().mkString(".")}")
@@ -203,7 +241,8 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
             s"new column $name must be nullable (rows committed before the " +
               "ALTER have no value for it)")
           require(add.dataType() != NullType, s"new column $name needs a real type")
-          require(!current.fieldNames.contains(name), s"column $name already exists")
+          require(!FieldIds.allNames(current).contains(name),
+            s"column name $name is already in use (live or as a former name)")
           GraftCatalog.requireReadableType(name, add.dataType())
           StructField(name, add.dataType(), nullable = true)
         case up: TableChange.UpdateColumnType =>
@@ -212,9 +251,10 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
           val name = up.fieldNames()(0)
           require(current.fieldNames.contains(name), s"no column $name to alter")
           StructField(name, up.newDataType(), current(name).nullable)
-        case other => throw new UnsupportedOperationException(
-          s"unsupported ALTER TABLE change $other: graft supports ADD COLUMN " +
-            "(nullable) and ALTER COLUMN TYPE (widening only)")
+        case other if !other.isInstanceOf[TableChange.RenameColumn] =>
+          throw new UnsupportedOperationException(
+            s"unsupported ALTER TABLE change $other: graft supports ADD COLUMN " +
+              "(nullable), ALTER COLUMN TYPE (widening only), and RENAME COLUMN")
       }
       // the registry rules on the delta; it ACCEPTS a narrower incoming
       // type (old-producer tolerance on the merge path), so explicit DDL
@@ -226,7 +266,10 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
             s"${current(f.name).dataType.simpleString} -> ${f.dataType.simpleString} " +
             "(only widening is supported)")
       }
-      val physical = evolved.add(StructField(LakeTable.DeletedCol, BooleanType, nullable = false))
+      // re-append the STORED tombstone field (it carries its assigned
+      // graft.id — a fresh StructField would defeat the idempotency check)
+      val physical = evolved.add(snap.schema.fields.find(_.name == LakeTable.DeletedCol)
+        .getOrElse(StructField(LakeTable.DeletedCol, BooleanType, nullable = false)))
       if (physical == snap.schema) return loadTable(ident) // idempotent no-op
       try {
         t.commitSnapshot(Snapshot(
@@ -357,6 +400,16 @@ private final class GraftProcedure(procName: String)
       "re-merge quarantined (repaired) events as one epoch; still-poison rows re-quarantine"
     case "refresh_enriched_view" =>
       "create or incrementally refresh an enrichment view (a derived lake table fed by the CDC stream)"
+    case "dedup_pairs" =>
+      "MinHash+LSH near-duplicate pairs (band-bucketed candidates, exact-jaccard verified) -> parquet"
+    case "dedup_assign" =>
+      "connected-component cluster ids over a dedup pair list (min-label + pointer jumping) -> parquet"
+    case "sample_stratified" =>
+      "deterministic per-stratum hash sample (mix64 bucket < per-128 rate; shuffle-free) -> parquet"
+    case "sample_pps" =>
+      "deterministic weighted (PPS) Bernoulli sample with Horvitz-Thompson weights -> parquet"
+    case "pack_sequences" =>
+      "GPT-style sequence packing: token prefix sums -> per-doc chunk spans (two-pass, no global window) -> parquet"
   }
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -397,6 +450,41 @@ private final class GraftProcedure(procName: String)
       inDefault("select", StringType, "''"), // name:expr;... beyond repo/path/lsn
       inDefault("num_buckets", IntegerType, "16"),
       inDefault("salt_buckets", IntegerType, "4"))
+    case "dedup_pairs" => Array(in("path", StringType), in("out_path", StringType),
+      inDefault("id_col", StringType, "'doc_id'"),
+      inDefault("text_col", StringType, "'text'"))
+    case "dedup_assign" => Array(in("pairs_path", StringType), in("out_path", StringType))
+    case "sample_stratified" => Array(in("path", StringType), in("out_path", StringType),
+      inDefault("id_col", StringType, "'doc_id'"),
+      inDefault("stratum_col", StringType, "'lang'"),
+      inDefault("default_per_128", IntegerType, "38"),
+      inDefault("rates", StringType, "''")) // 'en:13;de:25' per-128 overrides
+    case "sample_pps" => Array(in("path", StringType), in("out_path", StringType),
+      inDefault("id_col", StringType, "'doc_id'"),
+      inDefault("weight_col", StringType, "'n_chars'"),
+      inDefault("scale", LongType, "2048")) // power of two
+    case "pack_sequences" => Array(in("path", StringType), in("out_path", StringType),
+      inDefault("id_col", StringType, "'doc_id'"),
+      inDefault("tokens_col", StringType, "'n_tokens'"),
+      inDefault("chunk_tokens", IntegerType, "512"),
+      inDefault("range_width", LongType, "1024"))
+  }
+
+  /** Pipeline-procedure input: a graft lake table when `path` holds one
+    * (visible state via read()), else a plain parquet directory — so
+    * stages chain through either lake tables or intermediate parquet. */
+  private def readAny(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val t = new LakeTable(spark, path)
+    if (t.currentSnapshot().isDefined) t.read() else spark.read.parquet(path)
+  }
+
+  /** Write a pipeline stage's output and return its row count (one
+    * cheap count over the written files — the stats row every stage
+    * returns). */
+  private def writeStage(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+                         out: String): Long = {
+    df.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    spark.read.parquet(out).count()
   }
 
   override def call(input: InternalRow): JIterator[Scan] = {
@@ -445,6 +533,41 @@ private final class GraftProcedure(procName: String)
         new GraftResultScan(schema, rows)).iterator()
     }
     val (schema, row): (StructType, Seq[Any]) = procName match {
+      case "dedup_pairs" =>
+        val d = readAny(spark, input.getString(0)).select(
+          col(input.getString(2)).as("doc_id"), col(input.getString(3)).as("text"))
+        val n = writeStage(spark, graft.ops.DedupOps.minhashPairs(d), input.getString(1))
+        (StructType(Seq(StructField("pairs_written", LongType))), Seq(n))
+      case "dedup_assign" =>
+        val pairs = spark.read.parquet(input.getString(0))
+        val clusters = graft.ops.DedupOps.assignClusters(pairs)
+        val n = writeStage(spark, clusters, input.getString(1))
+        val nClusters = spark.read.parquet(input.getString(1))
+          .where(col("is_canonical")).count()
+        (StructType(Seq(StructField("docs_clustered", LongType),
+          StructField("clusters", LongType))), Seq(n, nClusters))
+      case "sample_stratified" =>
+        val rates = Option(input.getString(5)).getOrElse("")
+          .split(';').map(_.trim).filter(_.nonEmpty).map { kv =>
+            val i = kv.indexOf(':')
+            require(i > 0, s"rates must be stratum:per128;..., got '$kv'")
+            kv.substring(0, i).trim -> kv.substring(i + 1).trim.toInt
+          }.toMap
+        val n = writeStage(spark, graft.ops.TextOps.hashStratifiedSample(
+          readAny(spark, input.getString(0)), input.getString(2), input.getString(3),
+          input.getInt(4), rates), input.getString(1))
+        (StructType(Seq(StructField("rows_sampled", LongType))), Seq(n))
+      case "sample_pps" =>
+        val n = writeStage(spark, graft.ops.TextOps.ppsSample(
+          readAny(spark, input.getString(0)), input.getString(2), input.getString(3),
+          input.getLong(4)), input.getString(1))
+        (StructType(Seq(StructField("rows_sampled", LongType))), Seq(n))
+      case "pack_sequences" =>
+        val packed = graft.ops.TextOps.packSequences(
+          readAny(spark, input.getString(0)), input.getString(2), input.getString(3),
+          input.getInt(4), input.getLong(5))
+        val n = writeStage(spark, packed, input.getString(1))
+        (StructType(Seq(StructField("docs_packed", LongType))), Seq(n))
       case "compact" =>
         val nBuckets = Maintenance.compact(table, input.getInt(1))
         (StructType(Seq(StructField("compacted_buckets", IntegerType))), Seq(nBuckets))
@@ -628,6 +751,12 @@ private final class GraftResultScan(schema: StructType, rs: Array[InternalRow])
   * richer type at CREATE/ALTER time would commit a table that is
   * permanently unreadable through the row path — fail at DDL instead. */
 object GraftCatalog {
+  /** Engine key columns: bucketing (`repo`), merge keys (`repo`,`path`),
+    * LWW ordering + manifest stats (`lsn`), and the change-op envelope
+    * (`op`). Renaming any of them would break the machinery that names
+    * them; they are also reserved as rename TARGETS. */
+  private[dsv2] val RenameReserved = Set("repo", "path", "lsn", "op")
+
   private val Readable: Set[org.apache.spark.sql.types.DataType] = Set(
     StringType, LongType, IntegerType, DoubleType, FloatType,
     BooleanType, BinaryType, TimestampType, TimestampNTZType)

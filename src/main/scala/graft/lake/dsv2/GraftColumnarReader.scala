@@ -50,7 +50,10 @@ final class GraftColumnarPartitionReader(absPath: String,
                                          projectLen: Int,
                                          filterTombstones: Boolean,
                                          rangeStart: Long, rangeEnd: Long,
-                                         conf0: Configuration)
+                                         conf0: Configuration,
+                                         /** current name → former names
+                                           * (rename eras, FieldIds). */
+                                         aliasMap: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val conf = new Configuration(conf0)
@@ -63,6 +66,26 @@ final class GraftColumnarPartitionReader(absPath: String,
     if (filterTombstones) readSchema.fieldIndex(LakeTable.DeletedCol) else -1
 
   private def init(): Unit = {
+    // rename-era substitution (FieldIds aliases): Spark's vectorized
+    // reader resolves requested columns BY NAME against the file, so a
+    // column requested under its post-rename name would read all-null
+    // from a pre-rename file. Substitute the era name THIS file stores
+    // the column under — positional, so the decoded vector lands in the
+    // right batch slot regardless of which name era produced it. The
+    // footer consult is the same LRU-cached lookup the row path uses;
+    // alias-free tables skip it entirely.
+    if (aliasMap.nonEmpty) {
+      val fileSchema = GraftPartitionReader.fileSchemaOf(absPath, new Path(absPath), conf)
+      val sub = StructType(readSchema.fields.map { f =>
+        if (fileSchema.containsField(f.name)) f
+        else aliasMap.getOrElse(f.name, Nil).find(fileSchema.containsField) match {
+          case Some(era) => f.copy(name = era)
+          case None => f
+        }
+      })
+      if (sub != readSchema)
+        org.apache.spark.sql.graftx.Bridge.setRequestedSchema(conf, sub.json)
+    }
     // same byte-range rule as the row path (and Spark's own parquet
     // splits): a row group belongs to the split holding its midpoint
     val length =

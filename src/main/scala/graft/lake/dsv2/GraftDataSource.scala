@@ -608,10 +608,17 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
     * that would otherwise move both tables over the network. Scans
     * outside a catalog (plain `format("graft")`) can't resolve the
     * function and Spark falls back to normal shuffling — a graceful
-    * no-op, never a wrong plan. */
+    * no-op, never a wrong plan.
+    *
+    * Reported ONLY while `repo` survives column pruning: consumers
+    * (PartitionPruning.getFilterableTableScan, V2ExpressionUtils
+    * .resolveRefs) resolve the transform's reference against the scan
+    * OUTPUT and throw on a pruned-away column — a scan projecting other
+    * columns must report unknown instead. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (numBuckets > 0 && files.nonEmpty)
+    if (numBuckets > 0 && files.nonEmpty &&
+        required.fieldNames.exists(_.equalsIgnoreCase("repo")))
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .bucket(numBuckets, "repo")),
@@ -645,7 +652,12 @@ final class GraftScan(root: String, physicalSchema: StructType, required: Struct
     * (pruning is a pure reduction; row-level semantics are unchanged
     * because Spark re-applies the join itself). */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (numBuckets > 0) Array(org.apache.spark.sql.connector.expressions.Expressions.column("repo"))
+    // only while `repo` SURVIVES column pruning: PartitionPruning resolves
+    // these refs against the scan OUTPUT (V2ExpressionUtils.resolveRefs)
+    // and throws on a pruned-away column — a join keyed on other columns
+    // must simply not offer runtime filtering
+    if (numBuckets > 0 && required.fieldNames.exists(_.equalsIgnoreCase("repo")))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("repo"))
     else Array.empty
   override def filter(filters: Array[Filter]): Unit = {
     def asRepo(v: Any): Option[String] = v match {

@@ -39,11 +39,17 @@ final class GraftReaderFactory(physicalSchema: StructType, required: StructType,
                                  * the exec node holds by construction. */
                                columnar: Boolean = false)
     extends PartitionReaderFactory {
+  /** Former-name eras per current column (FieldIds) — computed from the
+    * SNAPSHOT schema, which carries the alias metadata (Spark's column
+    * pruner is not obligated to preserve field metadata into `required`). */
+  private val aliasMap: Map[String, Seq[String]] =
+    graft.schema.FieldIds.aliasMap(physicalSchema)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.absPath, physicalSchema, required,
       includeTombstones, p.lsnLowerExclusive, p.rangeStart, p.rangeEnd,
-      p.repoEq, p.pathEq, conf.value)
+      p.repoEq, p.pathEq, conf.value, aliasMap)
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
@@ -73,7 +79,7 @@ final class GraftReaderFactory(physicalSchema: StructType, required: StructType,
     new GraftColumnarPartitionReader(p.absPath, columnarReadSchema,
       projectLen = required.length,
       filterTombstones = !includeTombstones,
-      p.rangeStart, p.rangeEnd, columnarConf.value)
+      p.rangeStart, p.rangeEnd, columnarConf.value, aliasMap)
   }
 }
 
@@ -94,7 +100,12 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
                                    * point lookup to 1-2 row groups. */
                                  repoEq: String = null,
                                  pathEq: String = null,
-                                 conf0: Configuration = null)
+                                 conf0: Configuration = null,
+                                 /** current name → former names (rename
+                                   * eras): a requested column absent from
+                                   * the file under its current name is
+                                   * looked up under each era name. */
+                                 aliasMap: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   // copy: PARQUET_READ_SCHEMA is set per reader below and the shipped
@@ -108,11 +119,18 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
     GraftPartitionReader.fileSchemaOf(absPath, path, conf)
   private def inFile(name: String): Boolean = fileSchema.containsField(name)
 
+  /** The name THIS FILE stores a requested column under: the current name
+    * when present, else the newest era name present (a file holds at most
+    * one of a field's names — names are reserved against reuse). */
+  private def physName(name: String): String =
+    if (inFile(name) || aliasMap.isEmpty) name
+    else aliasMap.getOrElse(name, Nil).find(inFile).getOrElse(name)
+
   // always read the tombstone flag (filtered here unless surfaced) and,
   // when an lsn bound applies, the lsn column, plus the requested cols —
   // an unbounded scan must not pay lsn decompression+decode per row
   private val readNames: Seq[String] =
-    (required.fieldNames.toSeq ++ Seq(LakeTable.DeletedCol) ++
+    (required.fieldNames.toSeq.map(physName) ++ Seq(LakeTable.DeletedCol) ++
       (if (lsnLowerExclusive != Long.MinValue) Seq("lsn") else Seq.empty) ++
       Option(repoEq).map(_ => "repo") ++ Option(pathEq).map(_ => "path"))
       .distinct.filter(inFile)
@@ -178,7 +196,7 @@ final class GraftPartitionReader(absPath: String, physicalSchema: StructType,
   }
 
   private def readValue(g: Group, f: StructField): Any = {
-    val name = f.name
+    val name = physName(f.name)
     if (!inFile(name) || g.getFieldRepetitionCount(name) == 0) return null
     // WIDENED columns (SchemaRegistry: int->long, float->double): an old
     // file written before the widen stores the narrow physical type — read
@@ -249,7 +267,7 @@ object GraftPartitionReader {
         size() > SchemaCacheMax
     }
 
-  private def fileSchemaOf(key: String, path: Path, conf: Configuration): MessageType = {
+  private[dsv2] def fileSchemaOf(key: String, path: Path, conf: Configuration): MessageType = {
     schemaCache.synchronized {
       val hit = schemaCache.get(key)
       if (hit != null) return hit

@@ -251,15 +251,62 @@ object AnnOps {
        |WHERE rank <= $TopK""".stripMargin
   }
 
+  /** q54: index QUALITY as an oracle-checked result — recall@k of the two
+    * approximate indexes (q19 LSH, q38 IVF) against the exact top-k
+    * (q18), micro-averaged over all (query, neighbor) pairs. LSH/IVF
+    * recall is data-dependent: the hash-exact oracles on q19/q38 verify
+    * the candidates FOUND, not the candidates MISSED, so a silent index
+    * regression (bucketing bug, probe-set shrink) that still produced
+    * well-formed top-k rows would pass every other gate — here it moves
+    * `n_hit` and fails the hash compare. Fully distributed: the exact set
+    * left-joins each approximate set on (query_id, vec_id) (both sides
+    * are TopK rows per query — tiny vs the corpus scan that produced
+    * them) and aggregates to one row per method. */
+  def q54AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = q18AnnBruteForce(s, dir).select("query_id", "vec_id")
+    def leg(approx: DataFrame, method: String): DataFrame =
+      exact.join(
+          approx.select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L)),
+          Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+    leg(q19AnnLsh(s, dir), "lsh").unionByName(leg(q38AnnIvf(s, dir), "ivf"))
+  }
+
+  /** The oracle recomputes all three result sets with the existing q18/
+    * q19/q38 SQL (nested WITH) and derives the identical recall — any
+    * drift in what the indexes retrieve lands in n_hit. */
+  val q54Sql: String =
+    s"""WITH exact AS ($q18Sql),
+       |lsh AS ($q19Sql),
+       |ivf AS ($q38Sql),
+       |legs AS (
+       |  SELECT 'lsh' AS method,
+       |    (SELECT count(*) FROM exact) AS n_exact,
+       |    (SELECT count(*) FROM exact e JOIN lsh a
+       |       ON e.query_id = a.query_id AND e.vec_id = a.vec_id) AS n_hit
+       |  UNION ALL
+       |  SELECT 'ivf' AS method,
+       |    (SELECT count(*) FROM exact) AS n_exact,
+       |    (SELECT count(*) FROM exact e JOIN ivf a
+       |       ON e.query_id = a.query_id AND e.vec_id = a.vec_id) AS n_hit)
+       |SELECT method, n_exact, n_hit,
+       |  round(n_hit::DOUBLE / n_exact, 4) AS recall
+       |FROM legs""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_ann_bruteforce" -> (q18AnnBruteForce _),
     "q19_ann_lsh" -> (q19AnnLsh _),
-    "q38_ann_ivf" -> (q38AnnIvf _)
+    "q38_ann_ivf" -> (q38AnnIvf _),
+    "q54_ann_recall" -> (q54AnnRecall _)
   )
 
   val oracles: Map[String, String] = Map(
     "q18_ann_bruteforce" -> q18Sql,
     "q19_ann_lsh" -> q19Sql,
-    "q38_ann_ivf" -> q38Sql
+    "q38_ann_ivf" -> q38Sql,
+    "q54_ann_recall" -> q54Sql
   )
 }

@@ -101,9 +101,15 @@ object DedupOps {
     *
     * This is the at-scale path: candidate generation is an equi-join on
     * (band, bandHash) instead of an O(n²/blocks) blocked cross join. */
-  def q15MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def q15MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(docs(s, dir))
+
+  /** The reusable kernel behind q15, over any `(doc_id, text)` frame —
+    * also the SQL surface's `CALL graft.system.dedup_pairs`. */
+  private[graft] def minhashPairs(d0: DataFrame): DataFrame = {
     val k = 64
     val bandRows = 2
+    val d = d0.select(col("doc_id"), col("text"))
     // narrow banded view: (doc_id, band, band_hash) — one single-pass
     // band-hash expression per row, no wide payload in the shuffle
     // docs with NO shingles (< 3 tokens) are excluded before banding:
@@ -112,7 +118,7 @@ object DedupOps {
     // O(n_short^2) candidate blow-up — while contributing zero output
     // (two empty sets can never reach the jaccard threshold; the oracle's
     // 0/0 comparison is NULL ≥ θ = false, same exclusion)
-    val banded = docs(s, dir).select(
+    val banded = d.select(
       col("doc_id"), fns.hashedWordShingles(col("text"), 3).as("shh"))
       .where(size(col("shh")) > 0)
       .select(col("doc_id"),
@@ -126,7 +132,7 @@ object DedupOps {
       .distinct()
     // exact verify: re-join hashed shingle sets for surviving candidates
     // (repartition = optimizer barrier against per-pair recompute, as in q14)
-    val sh = docs(s, dir)
+    val sh = d
       .select(col("doc_id"), fns.hashedWordShingles(col("text"), 3).as("shh"))
       .repartition(col("doc_id"))
     cand
@@ -353,12 +359,15 @@ object DedupOps {
     * these parameters — spec-proven), so the DuckDB oracle regenerates
     * the same graph from the exhaustive pair scan and closes it with
     * WITH RECURSIVE reachability + min-per-node. */
-  def q37DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q15MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    connectedComponents(pairs)
+  def q37DedupClusters(s: SparkSession, dir: String): DataFrame =
+    assignClusters(q15MinhashLsh(s, dir))
+
+  /** Cluster assignment over any `(doc_a, doc_b)` pair frame — the
+    * reusable kernel behind q37 and `CALL graft.system.dedup_assign`. */
+  private[graft] def assignClusters(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
       .select(col("label").as("cluster_id"), col("id").as("doc_id"),
         (col("id") === col("label")).as("is_canonical"))
-  }
 
   /** Connected components over an undirected pair list `(doc_a, doc_b)`:
     * returns (id, label) with label = min node id of the component.

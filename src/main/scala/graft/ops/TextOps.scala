@@ -364,12 +364,25 @@ object TextOps {
     * exactly as parallel as the scan itself. English (the majority
     * stratum) keeps ~10%, every other language ~30% — the usual
     * rebalance-toward-minority-strata shape. */
-  def q42StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val bucket = graft.functions.fns.mix64(col("doc_id")).bitwiseAND(lit(127L))
-    docs(s, dir)
-      .withColumn("bucket", bucket)
-      .where(col("bucket") < when(col("lang") === "en", lit(13L)).otherwise(lit(38L)))
+  def q42StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    hashStratifiedSample(docs(s, dir), "doc_id", "lang", 38, Map("en" -> 13))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("bucket"))
+
+  /** The reusable kernel behind q42 (and `CALL graft.system.
+    * sample_stratified`): keep a row iff mix64(id) mod 128 falls under
+    * its stratum's per-128 rate — shuffle-free, engine-independent,
+    * identical at any parallelism. Input columns pass through + `bucket`. */
+  private[graft] def hashStratifiedSample(d: DataFrame, idCol: String,
+                                          stratumCol: String, defaultPer128: Int,
+                                          rates: Map[String, Int]): DataFrame = {
+    require(defaultPer128 >= 0 && defaultPer128 <= 128 &&
+      rates.values.forall(v => v >= 0 && v <= 128), "rates are per-128 buckets")
+    val bucket = graft.functions.fns.mix64(col(idCol)).bitwiseAND(lit(127L))
+    // rates.toSeq.sortBy keeps the when-chain deterministic across runs
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPer128.toLong)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    d.withColumn("bucket", bucket).where(col("bucket") < rate)
   }
 
   val q42Sql: String = {
@@ -615,12 +628,22 @@ object TextOps {
     * two-pass path at test scale (500 dense doc_ids fit one default
     * range) and prove the output is range-width-invariant. */
   private[graft] def q48Packed(s: SparkSession, dir: String,
-                               rangeWidth: Long): DataFrame = {
+                               rangeWidth: Long): DataFrame =
+    packSequences(docs(s, dir)
+        .select(col("doc_id"), size(fns.wsTokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", Q48ChunkTokens, rangeWidth)
+
+  /** The reusable packing kernel behind q48 (and `CALL graft.system.
+    * pack_sequences`) over any `(id, tokenCount)` frame: the two-pass
+    * distributed prefix sum keyed on `id div rangeWidth` — see q48's
+    * scaladoc for why this replaces the global-window scale-killer. */
+  private[graft] def packSequences(d0: DataFrame, idCol: String, tokensCol: String,
+                                   chunkTokens: Int, rangeWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = Q48ChunkTokens
-    val d = docs(s, dir)
-      .select(col("doc_id"),
-        size(fns.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    require(chunkTokens > 0 && rangeWidth > 0, "chunkTokens/rangeWidth must be positive")
+    val b = chunkTokens
+    val d = d0
+      .select(col(idCol).as("doc_id"), col(tokensCol).cast("long").as("n_tokens"))
       .withColumn("rk", floor(col("doc_id") / rangeWidth).cast("long"))
     val wLoc = Window.partitionBy(col("rk")).orderBy(col("doc_id"))
     val local = d.withColumn("cum_in", sum(col("n_tokens")).over(wLoc))
@@ -758,18 +781,30 @@ object TextOps {
     * epochs. All arithmetic is power-of-two exact (p is an exact
     * double, the inclusion test is integer), so the oracle compare is
     * hash-exact; ht_weight is the single rounded IEEE division. */
-  def q50WeightedSample(s: SparkSession, dir: String): DataFrame = {
-    val u48 = shiftrightunsigned(fns.mix64(col("doc_id")), 16)
-    val p = least(lit(1.0), col("n_chars").cast("double") / lit(2048.0))
+  def q50WeightedSample(s: SparkSession, dir: String): DataFrame =
+    ppsSample(docs(s, dir), "doc_id", "n_chars", 2048L)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("p"), col("ht_weight"))
+
+  /** The reusable PPS kernel behind q50 (and `CALL graft.system.
+    * sample_pps`): Bernoulli probability-proportional-to-size with
+    * Horvitz-Thompson weights over any `(id, weight)` frame. `scale`
+    * must be a power of two so p = min(1, w/scale) and the inclusion
+    * threshold stay exactly representable (hash-exact cross-engine).
+    * Input columns pass through + `p`, `ht_weight`. */
+  private[graft] def ppsSample(d: DataFrame, idCol: String, weightCol: String,
+                               scale: Long): DataFrame = {
+    require(scale > 0 && (scale & (scale - 1)) == 0, s"scale must be a power of two: $scale")
+    val u48 = shiftrightunsigned(fns.mix64(col(idCol)), 16)
+    val p = least(lit(1.0), col(weightCol).cast("double") / lit(scale.toDouble))
     // the clamp keeps the threshold product <= 2^48 (no long overflow for
     // huge docs) and makes every p = 1 doc unconditionally included
     // (u48 < 2^48 always holds)
-    docs(s, dir)
-      .withColumn("u48", u48)
+    d.withColumn("u48", u48)
       .where(col("u48") <
-        least(col("n_chars").cast("long"), lit(2048L)) * lit(137438953472L))
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        p.as("p"), round(lit(1.0) / p, 6).as("ht_weight"))
+        least(col(weightCol).cast("long"), lit(scale)) * lit(281474976710656L / scale))
+      .drop("u48")
+      .withColumn("p", p)
+      .withColumn("ht_weight", round(lit(1.0) / p, 6))
   }
 
   val q50Sql: String = {

@@ -121,11 +121,22 @@ object SchemaRegistry {
         case _ => curF
       }
     }
+    // a column name, once used, is reserved forever: after RENAME a TO b,
+    // an arriving batch still carrying "a" must refuse loudly — treating
+    // it as a brand-new column would fork one logical column into two,
+    // and the alias-era reader (FieldIds) relies on at most one of a
+    // field's names existing per file
+    val formerNames = current.fields.flatMap(f =>
+      FieldIds.aliases(f).map(_ -> f.name)).toMap
     val added = incoming.fields.filterNot(f => curByName.contains(f.name))
       // a NEW all-null column carries no type to store — it joins the
       // schema properly typed once a producer sends a real value
       .filterNot(_.dataType == NullType)
       .map { f =>
+        formerNames.get(f.name).foreach { now =>
+          throw new IllegalArgumentException(
+            s"column ${f.name} was renamed to $now; producers must send the new name")
+        }
         require(f.nullable, s"new column ${f.name} must be nullable")
         f
       }

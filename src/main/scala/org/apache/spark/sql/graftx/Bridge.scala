@@ -106,6 +106,14 @@ object Bridge {
     new org.apache.spark.util.SerializableConfiguration(c)
   }
 
+  /** Swap the requested-schema key of a [[parquetReadConf]]-prepared conf
+    * (per-file rename-era substitution in the columnar graft reader —
+    * the key constant is `private[sql]`). */
+  def setRequestedSchema(conf: org.apache.hadoop.conf.Configuration,
+                         schemaJson: String): Unit =
+    conf.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+      .SPARK_ROW_REQUESTED_SCHEMA, schemaJson)
+
   /** Construct Spark's vectorized parquet record reader (constructor is
     * internal API). Rebase modes CORRECTED/UTC: every file in a graft lake
     * was written by this engine on Spark 4 — no legacy-calendar files. */

@@ -840,13 +840,189 @@ class Dsv2Spec extends AnyFunSuite {
     spark.sql("ALTER TABLE graft_at.db.t ALTER COLUMN stars TYPE BIGINT")
     assert(t.currentSnapshot().get.version == vBefore)
 
-    // narrowing, dropping, renaming, and NOT NULL adds all fail loudly
+    // narrowing, dropping, renaming ENGINE KEYS, and NOT NULL adds fail loudly
     intercept[Exception](spark.sql("ALTER TABLE graft_at.db.t ALTER COLUMN lsn TYPE INT"))
     intercept[Exception](spark.sql("ALTER TABLE graft_at.db.t DROP COLUMN content"))
-    intercept[Exception](spark.sql("ALTER TABLE graft_at.db.t RENAME COLUMN content TO body"))
+    intercept[Exception](spark.sql("ALTER TABLE graft_at.db.t RENAME COLUMN repo TO origin"))
     intercept[Exception](spark.sql("ALTER TABLE graft_at.db.t ADD COLUMN req STRING NOT NULL"))
     // the failures left no snapshot behind
     assert(t.currentSnapshot().get.version == vBefore)
+  }
+
+  test("RENAME COLUMN: stable field id, both eras readable, era-correct time travel") {
+    import graft.schema.FieldIds
+    val wh = TestSpark.tmpDir("dsv2rename")
+    spark.conf.set("spark.sql.catalog.graft_rn",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rn.warehouse", wh)
+    spark.sql("CREATE TABLE graft_rn.db.t (lsn BIGINT, repo STRING, path STRING, " +
+      "stars INT, content STRING) TBLPROPERTIES ('buckets'='2')")
+    spark.sql("INSERT INTO graft_rn.db.t VALUES (1, 'r1', 'a', 10, 'v1'), " +
+      "(2, 'r2', 'b', 20, 'w1')") // era-1 files store the column as "stars"
+    val t = new LakeTable(spark, s"$wh/db/t")
+    val vPre = t.currentSnapshot().get.version
+    val idBefore = FieldIds.id(t.currentSnapshot().get.schema("stars")).get
+
+    spark.sql("ALTER TABLE graft_rn.db.t RENAME COLUMN stars TO rating")
+    val snapRn = t.currentSnapshot().get
+    // metadata-only: no data file touched; identity (field id) survives,
+    // the old name is recorded as an alias era
+    assert(snapRn.allFiles.map(_.relPath).sorted ==
+      t.snapshotAt(vPre).allFiles.map(_.relPath).sorted)
+    assert(snapRn.schema.fieldNames.contains("rating") &&
+      !snapRn.schema.fieldNames.contains("stars"))
+    assert(FieldIds.id(snapRn.schema("rating")).contains(idBefore))
+    assert(FieldIds.aliases(snapRn.schema("rating")) == Seq("stars"))
+
+    // pre-rename files answer under the NEW name (alias-era resolution) —
+    // whole-state scan (columnar path) and key point-lookup (row path)
+    assert(spark.sql("SELECT rating FROM graft_rn.db.t ORDER BY repo")
+      .collect().map(_.getInt(0)).toSeq == Seq(10, 20))
+    assert(spark.sql("SELECT rating FROM graft_rn.db.t WHERE repo = 'r2' AND path = 'b'")
+      .head.getInt(0) == 20)
+
+    // post-rename writes store the new name; one scan mixes both eras
+    spark.sql("INSERT INTO graft_rn.db.t VALUES (3, 'r1', 'a', 11, 'v2')")
+    assert(spark.sql("SELECT repo, rating FROM graft_rn.db.t ORDER BY repo")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("r1", 11), ("r2", 20)))
+
+    // time travel BEFORE the rename shows that era's own name
+    val pre = spark.read.format("graft").option("versionAsOf", vPre).load(s"$wh/db/t")
+    assert(pre.columns.contains("stars") && !pre.columns.contains("rating"))
+    assert(pre.where(col("repo") === "r1").select("stars").head.getInt(0) == 10)
+
+    // a CDC range spanning the rename emits destination-era column names
+    val feed = spark.read.format("graft").option("changesFrom", vPre).load(s"$wh/db/t")
+    assert(feed.columns.contains("rating") && !feed.columns.contains("stars"))
+    assert(feed.where(col("repo") === "r1").select("rating").head.getInt(0) == 11)
+
+    // compaction rewrites era-mixed buckets under the current name;
+    // results unchanged
+    spark.sql(s"CALL graft_rn.system.compact('$wh/db/t', 1)")
+    assert(spark.sql("SELECT repo, rating FROM graft_rn.db.t ORDER BY repo")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("r1", 11), ("r2", 20)))
+
+    // guards: engine keys, name collisions, and FORMER-name reuse refuse
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft_rn.db.t RENAME COLUMN path TO location"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft_rn.db.t RENAME COLUMN rating TO content"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft_rn.db.t ADD COLUMN stars INT")) // former name reserved
+    // an arriving batch still carrying the former name refuses loudly
+    // (evolve alias guard) instead of forking the column
+    val stale = intercept[Exception] {
+      val merge = new graft.merge.MergeInto(t, numBuckets = 2, saltBuckets = 1,
+        recordMeta = false)
+      import spark.implicits._
+      merge.apply(Seq((9L, "U", "r2", "b", 30, "w2"))
+        .toDF("lsn", "op", "repo", "path", "stars", "content"), 777L)
+    }
+    assert(stale.getMessage.contains("renamed"), stale.getMessage)
+
+    // renaming BACK to the former name round-trips (the alias collapses)
+    spark.sql("ALTER TABLE graft_rn.db.t RENAME COLUMN rating TO stars")
+    val back = t.currentSnapshot().get
+    assert(FieldIds.id(back.schema("stars")).contains(idBefore))
+    assert(FieldIds.aliases(back.schema("stars")) == Seq("rating"))
+    assert(spark.sql("SELECT repo, stars FROM graft_rn.db.t ORDER BY repo")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("r1", 11), ("r2", 20)))
+  }
+
+  test("SQL-only training pipeline: ingest -> dedup -> sample -> pack via CALL") {
+    // the 29 pipeline operators are Scala `queries()` entries; this is
+    // the no-Scala composition path: every stage is SQL (DDL + INSERT +
+    // CALL graft.system.*), intermediate results are parquet dirs, and
+    // each stage's output is asserted EQUAL to the Scala kernel run on
+    // the same input — the procedures surface the kernels, not copies
+    val wh = TestSpark.tmpDir("dsv2pipewh")
+    val work = TestSpark.tmpDir("dsv2pipework")
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.catalog.graft_pl",
+      classOf[graft.lake.dsv2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_pl.warehouse", wh)
+
+    // 1. INGEST: the corpus lands in a lake table through ordinary SQL
+    spark.sql("CREATE TABLE graft_pl.db.docs (lsn BIGINT, repo STRING, path STRING, " +
+      "doc_id BIGINT, lang STRING, text STRING, n_chars BIGINT) " +
+      "TBLPROPERTIES ('buckets'='4')")
+    spark.sql("INSERT INTO graft_pl.db.docs " +
+      s"SELECT doc_id, source, CAST(doc_id AS STRING), doc_id, lang, text, n_chars " +
+      s"FROM parquet.`$sf/documents.parquet`")
+    val nDocs = spark.sql("SELECT count(*) FROM graft_pl.db.docs").head.getLong(0)
+    assert(nDocs == 500L)
+
+    // 2. DEDUP: near-dup pairs, then cluster assignment
+    val nPairs = spark.sql(s"CALL graft_pl.system.dedup_pairs('$wh/db/docs', '$work/pairs')")
+      .head.getLong(0)
+    assert(nPairs > 0, "corpus has planted near-dups; none found")
+    val assign = spark.sql(
+      s"CALL graft_pl.system.dedup_assign('$work/pairs', '$work/clusters')").head
+    assert(assign.getLong(0) > 0 && assign.getLong(1) > 0 &&
+      assign.getLong(1) <= assign.getLong(0))
+    // kernel equality: the procedure == the Scala operator on the same corpus
+    val canonPairs = spark.read.parquet(s"$work/pairs")
+      .collect().map(_.toString).sorted.toSeq
+    assert(canonPairs == ops.DedupOps.q15MinhashLsh(spark, sf)
+      .collect().map(_.toString).sorted.toSeq)
+    assert(spark.read.parquet(s"$work/clusters").collect().map(_.toString).sorted.toSeq ==
+      ops.DedupOps.q37DedupClusters(spark, sf).collect().map(_.toString).sorted.toSeq)
+
+    // 3. SAMPLE: keep only canonical docs (plain SQL over the stage
+    // outputs), then PPS-sample them with HT weights
+    spark.sql(s"""CREATE OR REPLACE TEMP VIEW kept AS
+      SELECT d.* FROM graft_pl.db.docs d
+      LEFT JOIN parquet.`$work/clusters` c ON d.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR c.is_canonical""")
+    val nKept = spark.sql("SELECT count(*) FROM kept").head.getLong(0)
+    assert(nKept < nDocs && nKept > 0, s"dedup kept $nKept of $nDocs")
+    // materialize the deduped stage as parquet so the next CALL reads it
+    spark.sql(s"CREATE TABLE graft_pl.db.kept (lsn BIGINT, repo STRING, path STRING, " +
+      "doc_id BIGINT, lang STRING, n_chars BIGINT) TBLPROPERTIES ('buckets'='4')")
+    spark.sql("INSERT INTO graft_pl.db.kept " +
+      "SELECT doc_id, repo, path, doc_id, lang, n_chars FROM kept")
+    val nSampled = spark.sql(s"CALL graft_pl.system.sample_pps('$wh/db/kept', " +
+      s"'$work/sample', weight_col => 'n_chars')").head.getLong(0)
+    assert(nSampled > 0 && nSampled < nKept)
+    val sample = spark.read.parquet(s"$work/sample")
+    assert(sample.count() == nSampled)
+    // HT weights are 1/p and p = min(1, n_chars/2048)
+    assert(sample.where(col("ht_weight") < 1.0).count() == 0)
+    // equality vs the Scala kernel on the same input
+    assert(sample.select("doc_id", "p", "ht_weight").collect().map(_.toString).sorted.toSeq ==
+      ops.TextOps.ppsSample(spark.table("graft_pl.db.kept"), "doc_id", "n_chars", 2048L)
+        .select("doc_id", "p", "ht_weight").collect().map(_.toString).sorted.toSeq)
+
+    // 4. PACK: chunk spans over the sampled docs (token counts = n_chars
+    // here; the kernel only needs an (id, count) frame)
+    val nPacked = spark.sql(s"CALL graft_pl.system.pack_sequences('$work/sample', " +
+      s"'$work/packed', tokens_col => 'n_chars')").head.getLong(0)
+    assert(nPacked == nSampled)
+    val packed = spark.read.parquet(s"$work/packed")
+    // spans tile the token stream: total chunks == ceil(total/512) and
+    // consecutive docs' spans overlap by at most the shared boundary
+    val totalTokens = sample.agg(sum(col("n_chars"))).head.getLong(0)
+    val maxChunk = packed.agg(max(col("last_chunk"))).head.getLong(0)
+    assert(maxChunk == (totalTokens - 1) / 512,
+      s"chunk space must tile the token stream: $maxChunk vs $totalTokens tokens")
+    assert(packed.where(col("first_chunk") > col("last_chunk")).count() == 0)
+    // equality vs the Scala kernel on the same input
+    assert(packed.collect().map(_.toString).sorted.toSeq ==
+      ops.TextOps.packSequences(sample, "doc_id", "n_chars", 512, 1024L)
+        .collect().map(_.toString).sorted.toSeq)
+
+    // 5. stratified sampling surfaces too (rates override string form)
+    val nStrat = spark.sql(s"CALL graft_pl.system.sample_stratified('$wh/db/docs', " +
+      s"'$work/strat', rates => 'en:13')").head.getLong(0)
+    assert(nStrat > 0 && nStrat < nDocs)
+    val strat = spark.read.parquet(s"$work/strat")
+    assert(strat.select("doc_id", "bucket").collect().map(_.toString).sorted.toSeq ==
+      ops.TextOps.hashStratifiedSample(spark.table("graft_pl.db.docs"),
+        "doc_id", "lang", 38, Map("en" -> 13))
+        .select("doc_id", "bucket").collect().map(_.toString).sorted.toSeq)
   }
 
   test("DDL rejects column types the reader cannot decode; sink requires a checkpoint") {

@@ -109,6 +109,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recalls.nonEmpty && approx.nonEmpty)
   }
 
+  test("q54 recall rows equal the brute-force recall computation, above the corpus floor") {
+    // q54 makes index quality ORACLE-VISIBLE (the hash-exact q19/q38
+    // oracles verify candidates found, never candidates missed); this
+    // spec pins its arithmetic to an independent driver-side recompute
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = sets(AnnOps.q18AnnBruteForce(spark, sf))
+    val want = Map(
+      "lsh" -> sets(AnnOps.q19AnnLsh(spark, sf)),
+      "ivf" -> sets(AnnOps.q38AnnIvf(spark, sf)))
+    val nExact = exact.valuesIterator.map(_.size).sum
+    val rows = AnnOps.q54AnnRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("lsh", "ivf"))
+    want.foreach { case (m, approx) =>
+      val hits = exact.map { case (q, s) => s.intersect(approx.getOrElse(q, Set.empty)).size }.sum
+      val (gotExact, gotHit, gotRecall) = rows(m)
+      assert(gotExact == nExact && gotHit == hits, s"$m: ($gotExact,$gotHit) vs ($nExact,$hits)")
+      assert(math.abs(gotRecall - math.rint(hits.toDouble / nExact * 1e4) / 1e4) < 1e-9)
+      // recall floor: near-uniform synthetic embeddings make high recall
+      // impossible by geometry (multiprobe touches ~11% of the corpus);
+      // the floor catches a COLLAPSE (empty probe set, dead bucketing),
+      // the oracle hash catches any 1-neighbor drift
+      assert(gotRecall > 0.15, s"$m recall collapsed: $gotRecall")
+    }
+  }
+
   test("q37 cluster assignment equals a union-find over the same pair graph") {
     val got = ops.DedupOps.q37DedupClusters(spark, sf)
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getBoolean(2)))
