@@ -98,7 +98,10 @@ object Bench {
     // batch dirs, each a ledgered MERGE commit onto the growing table —
     // per-epoch commit overhead and copy-on-write amplification included.
     // 0 disables; its budget is separate so a noisy incremental hunt
-    // cannot starve (or be starved by) part 2's.
+    // cannot starve (or be starved by) part 2's. The 8-epoch layout gets
+    // its OWN cached workspace (Cfg.work embeds the batch count): ~4 GB
+    // more tmpfs alongside part 2's, generated once per boot — the same
+    // events in a different batch layout cannot share a log dir.
     val epochs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPOCHS", "8").toInt
     val cdcIncr =
       if (epochs <= 1) ""
@@ -106,7 +109,8 @@ object Bench {
         val ri = BenchCdc.runScaling(coreList,
           budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_INCR", "1200").toInt,
           nBatches = Some(epochs))
-        s""","cdc_incremental":${cdcJson(ri, extra = s""""epochs":$epochs,""")}"""
+        // echo the MEASURED (post-clamp) epoch count, not the request
+        s""","cdc_incremental":${cdcJson(ri, extra = s""""epochs":${ri.nBatches},""")}"""
       }
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"cdc":$cdc$cdcIncr,"sf":"$sfDir"}""")

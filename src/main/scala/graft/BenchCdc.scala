@@ -263,6 +263,10 @@ object BenchCdc {
     * Prints the same CHILD_REP lines as the fixed-rep child. */
   def childAdaptMain(cpus: Int, minReps: Int, maxReps: Int, patience: Int,
                      budgetSecs: Long, cfg: Cfg): Unit = {
+    // unlike child/childstep (whose parent runScaling generates the log),
+    // adapt mode has no parent — a fresh box must not replay a MISSING
+    // log as a silent no-op (listBatches returns empty) and die on read
+    ensureLogs(cfg)
     val spark = warmedSession(cpus, cfg)
     val pinned = pinnedSet(cpus)
     val tableDir = s"${cfg.work}/table_${cpus}_adapt"
@@ -516,7 +520,11 @@ object BenchCdc {
                                  nCores: Int, mCores: Int,
                                  est: ScalingEstimator.Estimates,
                                  reps: Seq[ScalingEstimator.Rep],
-                                 rows: Long) {
+                                 rows: Long,
+                                 /** Epoch count actually measured (post
+                                   * clamp) — reporters must echo this,
+                                   * not their requested value. */
+                                 nBatches: Int = 1) {
     def throughput(cpus: Int): Long = (nEvents / est.minSecs(cpus)).toLong
   }
 
@@ -640,7 +648,8 @@ object BenchCdc {
         budgetSecs = budgetSecs, targetEff = targetEff,
         runLeg = runLeg,
         elapsed = () => (System.nanoTime() - t0) / 1e9)
-      ScalingResult(cfg.nEvents, nC, mC, ScalingEstimator.estimate(reps, nC, mC), reps, rows)
+      ScalingResult(cfg.nEvents, nC, mC, ScalingEstimator.estimate(reps, nC, mC), reps, rows,
+        nBatches = cfg.nBatches)
     } finally children.values.flatten.foreach(_.close())
   }
 

@@ -93,10 +93,11 @@ object ScalingEstimator {
       (Seq(effMinOfK) ++ effClean ++ effPairedMedian ++ effPairedBest).max
     /** True when both legs have at least one kernel-certified clean rep.
       * REPORTING/spec accessor only — the adaptive sampler's stop
-      * condition is `headline >= targetEff` (phase 2's FOCUS heuristic
-      * steers toward a leg lacking a clean rep, but never requires one
-      * to stop). Structurally unsatisfiable when nCores == mCores (one
-      * leg level). */
+      * condition is `headline >= targetEff` plus a clean (or entirely
+      * ext-unmeasurable) N-leg floor (see `adaptive.nFloorCertified`);
+      * the M leg never needs a clean rep to stop (phase 2's FOCUS
+      * heuristic merely steers toward a leg lacking one). Structurally
+      * unsatisfiable when nCores == mCores (one leg level). */
     def bothLegsClean: Boolean = cleanMinSecs.size >= 2
   }
 

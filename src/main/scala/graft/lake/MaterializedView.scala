@@ -53,6 +53,16 @@ object MaterializedView {
     * refresh cadences while still covering any in-flight reader. */
   private[lake] val SupersededKeepCount = 4
 
+  /** Entries beyond the keep count still survive this long: the COUNT
+    * bound alone would delete a superseded dir seconds after a fast
+    * refresh cadence buries it, racing a reader mid-scan — the very
+    * race the grace window exists to prevent. Reader contract: a scan
+    * must complete within this window of its pointer resolution under a
+    * streaming cadence (the full grace hour applies at batch cadences,
+    * where the count bound never triggers). Bounds amplification to
+    * cadence x 10 min instead of cadence x 1 h. */
+  private[lake] val SupersededMinRetainMs: Long = 10L * 60 * 1000
+
   private def viewRoot(table: LakeTable, name: String) = s"${table.root}/views/$name"
 
   private def fs(table: LakeTable, p: Path) =
@@ -153,11 +163,13 @@ object MaterializedView {
       (n.matches("p\\d+") && n.drop(1).toLong < toVersion) ||
         (n.startsWith("d-") && n != dataDir)
     }
+    val minRetainCutoff = System.currentTimeMillis() - SupersededMinRetainMs
     superseded.groupBy(_.getPath.getName.head == 'p').values.foreach { kind =>
       val keepNewest = kind.sortBy(-_.getModificationTime)
         .take(SupersededKeepCount).map(_.getPath.getName).toSet
       kind.foreach { st =>
-        if (st.getModificationTime < cutoff || !keepNewest(st.getPath.getName))
+        val m = st.getModificationTime
+        if (m < cutoff || (!keepNewest(st.getPath.getName) && m < minRetainCutoff))
           f.delete(st.getPath, true): Unit
       }
     }

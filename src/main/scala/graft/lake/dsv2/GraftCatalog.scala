@@ -539,7 +539,7 @@ private final class GraftProcedure(procName: String)
         val n = writeStage(spark, graft.ops.DedupOps.minhashPairs(d), input.getString(1))
         (StructType(Seq(StructField("pairs_written", LongType))), Seq(n))
       case "dedup_assign" =>
-        val pairs = spark.read.parquet(input.getString(0))
+        val pairs = readAny(spark, input.getString(0))
         val clusters = graft.ops.DedupOps.assignClusters(pairs)
         val n = writeStage(spark, clusters, input.getString(1))
         val nClusters = spark.read.parquet(input.getString(1))

@@ -263,7 +263,10 @@ object AnnOps {
     * are TopK rows per query — tiny vs the corpus scan that produced
     * them) and aggregates to one row per method. */
   def q54AnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = q18AnnBruteForce(s, dir).select("query_id", "vec_id")
+    // localCheckpoint: both legs reuse the materialized exact top-k —
+    // without it each leg's action re-executes the full brute-force
+    // corpus scan (the suite's most expensive plan) a second time
+    val exact = q18AnnBruteForce(s, dir).select("query_id", "vec_id").localCheckpoint()
     def leg(approx: DataFrame, method: String): DataFrame =
       exact.join(
           approx.select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L)),

@@ -794,6 +794,9 @@ object TextOps {
   private[graft] def ppsSample(d: DataFrame, idCol: String, weightCol: String,
                                scale: Long): DataFrame = {
     require(scale > 0 && (scale & (scale - 1)) == 0, s"scale must be a power of two: $scale")
+    // past 2^48 the threshold multiplier (2^48 / scale) integer-divides
+    // to 0 and EVERY row silently fails the inclusion test
+    require(scale <= (1L << 48), s"scale must be <= 2^48: $scale")
     val u48 = shiftrightunsigned(fns.mix64(col(idCol)), 16)
     val p = least(lit(1.0), col(weightCol).cast("double") / lit(scale.toDouble))
     // the clamp keeps the threshold product <= 2^48 (no long overflow for

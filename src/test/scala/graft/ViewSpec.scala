@@ -209,12 +209,30 @@ class ViewSpec extends AnyFunSuite {
       MaterializedView.refresh(table, view)
     }
     val root = new java.io.File(s"${table.root}/views/per_repo")
-    val names = root.listFiles().map(_.getName)
     val keep = 4 // MaterializedView.SupersededKeepCount
+    // everything superseded so far is YOUNGER than the minimum-retention
+    // window: the count bound must NOT have fired (a reader mid-scan of a
+    // just-superseded dir would otherwise lose its files seconds after a
+    // fast cadence buries it)
+    assert(root.listFiles().count(_.getName.startsWith("d-")) >= nRefreshes,
+      "count bound deleted entries still inside the min-retention window")
+    // age every superseded entry past the window; the next refresh's GC
+    // then applies the count bound (only the K newest of each kind survive)
+    val current = MaterializedView.currentPointer(table, "per_repo").get._2
+    root.listFiles().foreach { f =>
+      if (f.getName != current && !f.getName.matches(s"p\\d+"))
+        f.setLastModified(System.currentTimeMillis() - 15 * 60 * 1000): Unit
+      if (f.getName.matches("p\\d+"))
+        f.setLastModified(System.currentTimeMillis() - 15 * 60 * 1000): Unit
+    }
+    merge.apply(Seq((9100099L, "I", ts, "retain/repo", "f99.txt", "c99", "text", "v99"))
+      .toDF("lsn", "op", "ts", "repo", "path", "commit", "lang", "content"), 999L)
+    MaterializedView.refresh(table, view)
+    val names = root.listFiles().map(_.getName)
     val dataDirs = names.count(_.startsWith("d-"))
     val pointers = names.count(_.matches("p\\d+"))
-    assert(dataDirs <= keep + 1, s"data dirs unbounded: $dataDirs ($names)")
-    assert(pointers <= keep + 1, s"pointers unbounded: $pointers ($names)")
+    assert(dataDirs <= keep + 2, s"data dirs unbounded: $dataDirs (${names.toSeq})")
+    assert(pointers <= keep + 2, s"pointers unbounded: $pointers (${names.toSeq})")
     // the retained window still resolves and reads exactly
     assert(canon(MaterializedView.read(table, "per_repo")) == canon(recompute(table)))
   }
