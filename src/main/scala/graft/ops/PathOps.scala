@@ -26,12 +26,20 @@ object PathOps {
     * deterministically from lineitem rows; confined to a ~2° patch so
     * segments are short and the spherical math is well-conditioned). */
   def q33RepPoint(s: SparkSession, dir: String): DataFrame = {
+    // DISTINCT: lineitem carries duplicate (l_orderkey, l_linenumber)
+    // pairs, and lat/lng are pure functions of (key, pos) — duplicates
+    // are bit-identical vertices whose only effect is a TIE in the
+    // `ORDER BY pos` window (engines break it differently; the sf1 audit
+    // caught the midpoint landing on a duplicated row). Dedup makes pos
+    // unique per key, the window order total, and drops the degenerate
+    // zero-length self-segments.
     val pts = s.read.parquet(s"$dir/lineitem.parquet")
       .where(col("l_orderkey") % 10 === 0)
       .select(
         col("l_orderkey").as("key"), col("l_linenumber").as("pos"),
         (lit(40.0) + ((col("l_orderkey") * 7 + col("l_linenumber") * 13) % 200) / 100.0).as("lat"),
         (lit(-5.0) + ((col("l_orderkey") * 11 + col("l_linenumber") * 17) % 300) / 100.0).as("lng"))
+      .distinct()
 
     val wo = Window.partitionBy("key").orderBy("pos")
     val seg0 = pts
@@ -60,9 +68,15 @@ object PathOps {
 
     // the segment containing the half-length point: first row (in pos
     // order) whose cumulative angle reaches total/2 — cum is monotone so
-    // the pick is deterministic
+    // the pick is deterministic. BOTH comparison operands are rounded
+    // (the argmax-rounding discipline every geo query uses): cum sums
+    // libm-computed thetas, and JVM Math.asin vs C libm differ by ulps —
+    // at 10x scale keys started landing within an ulp of the knife edge
+    // and the two engines picked DIFFERENT segments (sf1 audit, 10 of
+    // 136k keys). Rounding to 9 decimals absorbs ulp noise while moving
+    // the boundary only for geometrically-indifferent ties.
     val mrow = segc
-      .where(col("cum") >= col("total") / 2)
+      .where(round(col("cum"), 9) >= round(col("total") / 2, 9))
       .withColumn("rn", row_number().over(wo))
       .where(col("rn") === 1)
 
@@ -94,7 +108,7 @@ object PathOps {
 
   val q33Sql: String =
     """WITH pts AS (
-      |  SELECT l_orderkey AS key, l_linenumber AS pos,
+      |  SELECT DISTINCT l_orderkey AS key, l_linenumber AS pos,
       |    40.0 + ((l_orderkey * 7 + l_linenumber * 13) % 200) / 100.0 AS lat,
       |    -5.0 + ((l_orderkey * 11 + l_linenumber * 17) % 300) / 100.0 AS lng
       |  FROM lineitem WHERE l_orderkey % 10 = 0),
@@ -127,7 +141,7 @@ object PathOps {
       |mrow AS (
       |  SELECT * FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos) AS rn
-      |    FROM segc WHERE cum >= total / 2)
+      |    FROM segc WHERE round(cum, 9) >= round(total / 2, 9))
       |  WHERE rn = 1),
       |mid AS (
       |  SELECT key,
